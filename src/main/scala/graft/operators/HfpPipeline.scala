@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.HfpCasts._
+import graft.sources.Tables
+
+/** The reference's whole dataflow DAG (SURVEY.md §2), rebuilt as
+  * declarative DataFrame transforms over the driver's `events` table:
+  *
+  *   scan → C1 parse (string layer) → C3×K2 cast → C4 key filter →
+  *   C5 route → A1 anti-join dedup → sink
+  *
+  * `events.parquet` plays the HFP archive (FIXTURES.md §4): a string
+  * "wire layer" is synthesized deterministically from typed columns so
+  * the cast layer has real work to do, including every quirk row from
+  * the fixture matrix (empty, garbage, '0', 'false', epoch-ms vs ISO,
+  * unparseable dates). All synthesis is keyed on `event_id` so the
+  * DuckDB oracle can reproduce it exactly.
+  *
+  * Scale design: every step is a narrow projection/filter (no shuffle)
+  * except the dedup anti-join, which Spark plans as a broadcast-hash
+  * left-anti join while the key side is small and degrades gracefully
+  * to a shuffled hash/SMJ anti-join beyond the broadcast threshold —
+  * strictly generalizing the reference's driver-heap-bound Set probe
+  * (reference: hfpTask.ts:105-115). Within-run dedup (dropDuplicates)
+  * is a map-side-combine + shuffle on the key only.
+  */
+object HfpPipeline {
+
+  private val FloatPrefixRe = """^([+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)"""
+  private val IntPrefixRe = """^([+-]?[0-9]+)"""
+
+  /** C1 analog: the synthesized headerless-CSV string layer.
+    * Columns mirror HFP roles: uuid (dedup key), desi (string),
+    * dl (int), spd (float), drst (boolean truthiness), tst (dual
+    * ISO/epoch-ms timestamp), oday (date). journey-type routing key is
+    * the raw `event_type` (kept alongside).
+    */
+  def rawStrings(events: DataFrame): DataFrame = {
+    val id = col("event_id")
+    events.select(
+      id,
+      col("event_type"),
+      when(id % 97 === 0, lit("")).otherwise(md5(id.cast(StringType))).as("uuid_s"),
+      when(id % 13 === 0, lit("")).otherwise(col("event_type")).as("desi_s"),
+      when(id % 11 === 0, lit("")).when(id % 11 === 1, lit("abc"))
+        .when(id % 11 === 2, lit("0")).when(id % 11 === 3, lit("42px"))
+        .otherwise(col("user_id").cast(StringType)).as("dl_s"),
+      when(id % 7 === 0, lit("")).when(id % 7 === 1, lit("NaNope"))
+        .when(id % 7 === 2, lit("3.5e2oops"))
+        .otherwise(col("value").cast(StringType)).as("spd_s"),
+      when(id % 5 === 0, lit("")).when(id % 5 === 1, lit("false"))
+        .when(id % 5 === 2, lit("0")).otherwise(lit("true")).as("drst_s"),
+      when(id % 4 === 0, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(id % 4 === 1, unix_millis(col("ts")).cast(StringType))
+        .when(id % 4 === 2, lit("garbage-date")).otherwise(lit("")).as("tst_s"),
+      when(id % 6 === 0, lit("")).when(id % 6 === 1, lit("not-a-date"))
+        .otherwise(date_format(col("ts"), "yyyy-MM-dd")).as("oday_s"))
+  }
+
+  /** The same wire layer in DuckDB SQL (oracle side). */
+  private val rawSql =
+    s"""SELECT event_id, event_type,
+       |  CASE WHEN event_id % 97 = 0 THEN '' ELSE md5(CAST(event_id AS VARCHAR)) END AS uuid_s,
+       |  CASE WHEN event_id % 13 = 0 THEN '' ELSE event_type END AS desi_s,
+       |  CASE event_id % 11 WHEN 0 THEN '' WHEN 1 THEN 'abc' WHEN 2 THEN '0' WHEN 3 THEN '42px' ELSE CAST(user_id AS VARCHAR) END AS dl_s,
+       |  CASE event_id % 7 WHEN 0 THEN '' WHEN 1 THEN 'NaNope' WHEN 2 THEN '3.5e2oops' ELSE CAST(value AS VARCHAR) END AS spd_s,
+       |  CASE event_id % 5 WHEN 0 THEN '' WHEN 1 THEN 'false' WHEN 2 THEN '0' ELSE 'true' END AS drst_s,
+       |  CASE event_id % 4 WHEN 0 THEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') WHEN 1 THEN CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS VARCHAR) WHEN 2 THEN 'garbage-date' ELSE '' END AS tst_s,
+       |  CASE event_id % 6 WHEN 0 THEN '' WHEN 1 THEN 'not-a-date' ELSE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') END AS oday_s
+       |FROM events""".stripMargin
+
+  /** C3×K2: typed cast projection (see HfpCasts). */
+  def castLayer(raw: DataFrame): DataFrame =
+    raw.select(
+      col("event_id"),
+      col("event_type"),
+      castString(col("uuid_s")).as("uuid"),
+      castString(col("desi_s")).as("desi"),
+      castInt(col("dl_s")).as("dl"),
+      castFloat(col("spd_s")).as("spd"),
+      castBool(col("drst_s")).as("drst"),
+      castTimestamp(col("tst_s")).as("tst"),
+      castDate(col("oday_s")).as("oday"))
+
+  /** The cast projection in DuckDB SQL over `raw`. */
+  private val castSql =
+    s"""SELECT event_id, event_type,
+       |  NULLIF(uuid_s, '') AS uuid,
+       |  NULLIF(desi_s, '') AS desi,
+       |  NULLIF(CASE WHEN regexp_extract(dl_s, '$IntPrefixRe', 1) = '' OR length(regexp_replace(regexp_extract(dl_s, '$IntPrefixRe', 1), '^[+-]', '')) > 18 THEN NULL ELSE CAST(regexp_extract(dl_s, '$IntPrefixRe', 1) AS BIGINT) END, 0) AS dl,
+       |  NULLIF(CASE WHEN regexp_extract(spd_s, '$FloatPrefixRe', 1) = '' THEN NULL ELSE CAST(regexp_extract(spd_s, '$FloatPrefixRe', 1) AS DOUBLE) END, 0.0) AS spd,
+       |  CASE WHEN drst_s IS NOT NULL AND drst_s <> '' THEN TRUE ELSE NULL END AS drst,
+       |  CASE WHEN tst_s = '' THEN NULL
+       |       WHEN contains(tst_s, '-') THEN TRY_CAST(tst_s AS TIMESTAMP)
+       |       WHEN regexp_extract(tst_s, '^([0-9]+)', 1) = '' OR length(regexp_extract(tst_s, '^([0-9]+)', 1)) > 15 THEN NULL
+       |       ELSE epoch_ms(CAST(regexp_extract(tst_s, '^([0-9]+)', 1) AS BIGINT)) END AS tst,
+       |  CAST(CASE WHEN oday_s = '' THEN NULL WHEN contains(oday_s, '-') THEN TRY_CAST(oday_s AS TIMESTAMP) ELSE NULL END AS DATE) AS oday
+       |FROM raw""".stripMargin
+
+  /** C4: dedup-key presence filter (insertHfpFromBlobStream.ts:75). */
+  def keyFilter(df: DataFrame): DataFrame =
+    df.where(col("uuid").isNotNull && col("uuid") =!= "")
+
+  /** C5: journey-type routing. `purchase` plays `journey` (signed);
+    * everything else routes to the unsigned table
+    * (insertHfpFromBlobStream.ts:62-70).
+    */
+  def route(df: DataFrame): DataFrame =
+    df.withColumn("target_table",
+      when(col("event_type") === "purchase", lit("vehicleposition"))
+        .otherwise(lit("unsignedevent")))
+
+  private val routeCaseSql =
+    "CASE WHEN event_type = 'purchase' THEN 'vehicleposition' ELSE 'unsignedevent' END AS target_table"
+
+  /** A1 build side: the "already in Postgres for this oday" key set —
+    * a deterministic subset of events (event_id % 10 < 3). On the
+    * reference this is the JDBC projection+predicate scan (S3,
+    * getEvents.ts:9-16); here a parquet scan with the same pushed
+    * filter/projection shape.
+    */
+  def existingKeys(events: DataFrame): DataFrame =
+    events.where(col("event_id") % 10 < 3 && col("event_id") % 97 =!= 0)
+      .select(md5(col("event_id").cast(StringType)).as("uuid"))
+
+  private val existingKeysSql =
+    """SELECT md5(CAST(event_id AS VARCHAR)) AS uuid FROM events
+      |WHERE event_id % 10 < 3 AND event_id % 97 <> 0""".stripMargin
+
+  /** A1: dedup anti-join. Broadcast while small (the reference's Set
+    * probe), shuffled beyond the threshold (what the reference cannot
+    * do). `broadcast` hint is intentional at this build-side size.
+    */
+  def dedupAgainst(df: DataFrame, existing: DataFrame): DataFrame =
+    df.join(broadcast(existing), Seq("uuid"), "left_anti")
+
+  /** Full chain, flagship. */
+  def full(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val casted = castLayer(rawStrings(events))
+    val routed = route(keyFilter(casted))
+    dedupAgainst(routed, existingKeys(events))
+      .select("event_id", "uuid", "desi", "dl", "spd", "drst", "tst", "oday", "target_table")
+      .orderBy("event_id")
+  }
+
+  // ---- driver registry --------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hfp_cast" -> ((s, dir) =>
+      castLayer(rawStrings(Tables(s, dir, "events")))
+        .drop("event_type").orderBy("event_id")),
+    "hfp_route" -> ((s, dir) =>
+      route(keyFilter(castLayer(rawStrings(Tables(s, dir, "events")))))
+        .select("event_id", "uuid", "target_table").orderBy("event_id")),
+    "hfp_dedup_anti" -> ((s, dir) => {
+      val events = Tables(s, dir, "events")
+      dedupAgainst(keyFilter(castLayer(rawStrings(events))), existingKeys(events))
+        .select("event_id", "uuid").orderBy("event_id")
+    }),
+    "hfp_dedup_within" -> ((s, dir) => {
+      // within-run duplicate handling (a flagged improvement over the
+      // reference, which keeps same-run duplicates — SURVEY.md §2 A1):
+      // duplicate a deterministic slice, then dropDuplicates on the key.
+      val base = keyFilter(castLayer(rawStrings(Tables(s, dir, "events"))))
+        .select("event_id", "uuid")
+      base.union(base.where(col("event_id") % 50 === 0))
+        .dropDuplicates("uuid").orderBy("event_id")
+    }),
+    "hfp_union" -> ((s, dir) => {
+      // U1 bag-semantics union of two key scans (hfpTask.ts:100-103)
+      val events = Tables(s, dir, "events")
+      existingKeys(events)
+        .union(existingKeys(events.where(col("event_type") =!= "purchase")))
+        .orderBy("uuid")
+    }),
+    "hfp_pipeline" -> ((s, dir) => full(s, dir)))
+
+  def oracles: Map[String, String] = Map(
+    "hfp_cast" ->
+      s"""WITH raw AS ($rawSql), casted AS ($castSql)
+         |SELECT event_id, uuid, desi, dl, spd, drst, tst, oday
+         |FROM casted ORDER BY event_id""".stripMargin,
+    "hfp_route" ->
+      s"""WITH raw AS ($rawSql), casted AS ($castSql)
+         |SELECT event_id, uuid, $routeCaseSql
+         |FROM casted WHERE uuid IS NOT NULL AND uuid <> ''
+         |ORDER BY event_id""".stripMargin,
+    "hfp_dedup_anti" ->
+      s"""WITH raw AS ($rawSql), casted AS ($castSql),
+         |  existing AS ($existingKeysSql)
+         |SELECT event_id, uuid FROM casted
+         |WHERE uuid IS NOT NULL AND uuid <> ''
+         |  AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.uuid = casted.uuid)
+         |ORDER BY event_id""".stripMargin,
+    "hfp_dedup_within" ->
+      s"""WITH raw AS ($rawSql), casted AS ($castSql),
+         |  base AS (SELECT event_id, uuid FROM casted WHERE uuid IS NOT NULL AND uuid <> ''),
+         |  unioned AS (SELECT * FROM base UNION ALL SELECT * FROM base WHERE event_id % 50 = 0)
+         |SELECT DISTINCT event_id, uuid FROM unioned ORDER BY event_id""".stripMargin,
+    "hfp_union" ->
+      s"""WITH e1 AS ($existingKeysSql),
+         |  e2 AS (SELECT md5(CAST(event_id AS VARCHAR)) AS uuid FROM events
+         |         WHERE event_id % 10 < 3 AND event_id % 97 <> 0 AND event_type <> 'purchase')
+         |SELECT uuid FROM (SELECT uuid FROM e1 UNION ALL SELECT uuid FROM e2)
+         |ORDER BY uuid""".stripMargin,
+    "hfp_pipeline" ->
+      s"""WITH raw AS ($rawSql), casted AS ($castSql),
+         |  existing AS ($existingKeysSql)
+         |SELECT event_id, uuid, desi, dl, spd, drst, tst, oday, $routeCaseSql
+         |FROM casted
+         |WHERE uuid IS NOT NULL AND uuid <> ''
+         |  AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.uuid = casted.uuid)
+         |ORDER BY event_id""".stripMargin)
+}
