@@ -1,0 +1,538 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Phase-2 analytics surface (SURVEY.md §7): the relational operator
+  * families the driver checklist expects, built Spark-first over the
+  * TPC-H-ish tables, each verified against a DuckDB oracle.
+  *
+  * Determinism-for-oracle design notes:
+  *  - Double aggregation order differs between engines, so every SUM of
+  *    a double measure is computed in exact DECIMAL arithmetic (inputs
+  *    have ≤2 decimals by construction) and cast back to DOUBLE at the
+  *    end — bit-identical on both sides, while the Spark plan keeps
+  *    partial (map-side) aggregation.
+  *  - AVG is SUM(decimal)::double / COUNT so both engines do one
+  *    identical double division instead of engine-specific decimal-avg.
+  *  - Every query ends in a total ORDER BY; rollup/cube orderings pin
+  *    NULLS FIRST explicitly (DuckDB defaults NULLS LAST).
+  *
+  * Scale notes per family are on each query below.
+  */
+object Analytics {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def dec42(c: Column): Column = c.cast(DecimalType(4, 2))
+  private def dsum(c: Column): Column = sum(c).cast(DoubleType)
+
+  // ---------------------------------------------------------------------
+  // Aggregation family
+  // ---------------------------------------------------------------------
+
+  /** TPC-H Q1-shaped pricing summary: hash aggregate with map-side
+    * partial agg; at 100 TB this is a single shuffle on a 6-value key —
+    * the canonical "let Catalyst do it" aggregation.
+    */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val qty = dec2(col("l_quantity"))
+    val price = dec2(col("l_extendedprice"))
+    val disc = dec42(col("l_discount"))
+    val oneMinus = (lit(1) - disc).cast(DecimalType(4, 2))
+    val onePlus = (lit(1) + dec42(col("l_tax"))).cast(DecimalType(4, 2))
+    li.filter(col("l_shipdate") <= lit("2000-09-02").cast(TimestampType))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(qty).as("sum_qty"),
+        dsum(price).as("sum_base_price"),
+        dsum(price * oneMinus).as("sum_disc_price"),
+        dsum(price * oneMinus * onePlus).as("sum_charge"),
+        (dsum(qty) / count(lit(1))).as("avg_qty"),
+        (dsum(price) / count(lit(1))).as("avg_price"),
+        (dsum(disc) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Distinct-count family: exact distinct (shuffle on key) — the
+    * scale-path approximate variant lives in DedupOps (HLL sketch).
+    */
+  def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  private val qDistinctSql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** ROLLUP: hierarchical subtotals (year ⊃ priority ⊃ grand total). */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")).cast(LongType))
+      .rollup("o_year", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(dec2(col("o_totalprice"))).as("total"))
+      .orderBy(asc_nulls_first("o_year"), asc_nulls_first("o_orderpriority"))
+
+  private val qRollupSql =
+    """SELECT year(o_orderdate) AS o_year, o_orderpriority,
+      |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+      |ORDER BY o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** CUBE: all grouping combinations. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(dec2(col("l_quantity"))).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  private val qCubeSql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** GROUPING SETS via the SQL frontend (views registered on the fly). */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val qGroupingSetsSql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Join family
+  // ---------------------------------------------------------------------
+
+  /** TPC-H Q3-shaped: selective dim filter → fact join → agg → top-k.
+    * Scale: customer side is filtered then joined — Catalyst broadcasts
+    * it under the threshold; at 100 TB AQE would pick broadcast from
+    * runtime stats. Top-k is TakeOrderedAndProject (no full sort).
+    */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+    val li = Tables(s, dir, "lineitem")
+    val price = dec2(col("l_extendedprice"))
+    val oneMinus = (lit(1) - dec42(col("l_discount"))).cast(DecimalType(4, 2))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(dsum(price * oneMinus).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
+
+  /** 5-way join through the dimension chain (lineitem→orders→customer→
+    * nation→region). nation/region are tiny → broadcast joins; only the
+    * fact-fact join shuffles.
+    */
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val ord = Tables(s, dir, "orders")
+    val cust = Tables(s, dir, "customer")
+    val nat = broadcast(Tables(s, dir, "nation"))
+    val reg = broadcast(Tables(s, dir, "region"))
+    val price = dec2(col("l_extendedprice"))
+    val oneMinus = (lit(1) - dec42(col("l_discount"))).cast(DecimalType(4, 2))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(dsum(price * oneMinus).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val q5Sql =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** Left-semi join (EXISTS): customers that placed at least one order. */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_active"))
+      .orderBy("c_mktsegment")
+
+  private val qSemiSql =
+    """SELECT c_mktsegment, COUNT(*) AS n_active FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  private val qAntiSql =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Sort / limit
+  // ---------------------------------------------------------------------
+
+  /** Top-k: Catalyst plans TakeOrderedAndProject — per-partition heap +
+    * driver merge, no global sort. The plan to want at 100 TB.
+    */
+  def q2TopkOrders(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(15)
+
+  private val q2Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Set operations
+  // ---------------------------------------------------------------------
+
+  def qSetIntersect(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    c.filter(col("c_mktsegment") === "BUILDING").select("c_nationkey")
+      .intersect(c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_nationkey"))
+      .orderBy("c_nationkey")
+  }
+
+  private val qIntersectSql =
+    """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT
+      |SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      |ORDER BY c_nationkey""".stripMargin
+
+  def qSetExcept(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    c.filter(col("c_mktsegment") === "BUILDING").select("c_nationkey")
+      .except(c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_nationkey"))
+      .orderBy("c_nationkey")
+  }
+
+  private val qExceptSql =
+    """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |EXCEPT
+      |SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      |ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Window functions
+  // ---------------------------------------------------------------------
+
+  /** Ranking family. row_number gets a full tiebreak (determinism);
+    * rank/dense_rank rank on the value alone (tie semantics exercised).
+    */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val byBal = Window.partitionBy("c_mktsegment").orderBy(desc("c_acctbal"))
+    val byBalKey = Window.partitionBy("c_mktsegment").orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        row_number().over(byBalKey).as("rn"),
+        rank().over(byBal).as("rnk"),
+        dense_rank().over(byBal).as("drnk"))
+      .orderBy(asc("c_mktsegment"), desc("c_acctbal"), asc("c_custkey"))
+  }
+
+  private val qWindowRankSql =
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+      |  CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rn,
+      |  CAST(rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS INT) AS rnk,
+      |  CAST(dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS INT) AS drnk
+      |FROM customer
+      |ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC""".stripMargin
+
+  /** lag/lead analytics over each customer's order history. */
+  def qWindowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val qWindowLagSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price,
+      |  lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_price
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Frame specs: running total + the reference's M1 sliding mean
+    * (mean over the trailing 50 rows — averageTime.ts:3-23) as real
+    * window ops, decimal-exact then cast for the oracle.
+    */
+  def qWindowFrame(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("l_suppkey")
+      .orderBy(asc("l_shipdate"), asc("l_orderkey"), asc("l_linenumber"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sliding = ord.rowsBetween(-49, Window.currentRow)
+    Tables(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        sum(dec2(col("l_quantity"))).over(run).cast(DoubleType).as("running_qty"),
+        (sum(dec2(col("l_quantity"))).over(sliding).cast(DoubleType) /
+          count(lit(1)).over(sliding)).as("sliding_mean_qty"))
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+      .drop("l_shipdate")
+  }
+
+  private val qWindowFrameSql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER w_run AS DOUBLE) AS running_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER w_slide AS DOUBLE)
+      |    / COUNT(*) OVER w_slide AS sliding_mean_qty
+      |FROM lineitem
+      |WINDOW
+      |  w_run AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  w_slide AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Scalar function families
+  // ---------------------------------------------------------------------
+
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part")
+      .filter(col("p_name").like("%a%"))
+      .select(col("p_partkey"),
+        lower(col("p_brand")).as("lo_brand"),
+        upper(col("p_name")).as("up_name"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        length(col("p_name")).cast(LongType).as("name_len"),
+        concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "*").as("starred"),
+        lpad(col("p_brand"), 12, "*").as("padded"))
+      .orderBy("p_partkey")
+
+  private val qStringSql =
+    """SELECT p_partkey, lower(p_brand) AS lo_brand, upper(p_name) AS up_name,
+      |  substring(p_name, 1, 8) AS name8, CAST(length(p_name) AS BIGINT) AS name_len,
+      |  concat(p_brand, '-', p_type) AS brand_type,
+      |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred,
+      |  lpad(p_brand, 12, '*') AS padded
+      |FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""".stripMargin
+
+  def qDateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        month(col("o_orderdate")).cast(LongType).as("mo"),
+        quarter(col("o_orderdate")).cast(LongType).as("qtr"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        last_day(col("o_orderdate").cast(DateType)).as("month_end"),
+        date_add(col("o_orderdate").cast(DateType), 30).as("plus30"),
+        datediff(col("o_orderdate").cast(DateType), lit("1995-01-01").cast(DateType))
+          .cast(LongType).as("days_since"))
+      .orderBy("o_orderkey")
+
+  private val qDateSql =
+    """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      |  quarter(o_orderdate) AS qtr, day(o_orderdate) AS dom,
+      |  CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS TIMESTAMP) AS month_start,
+      |  last_day(o_orderdate) AS month_end,
+      |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+      |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Math family: exact ops stay raw; transcendentals (libm differs in
+    * the last ulp across engines) are rounded to 6 decimals both sides.
+    */
+  def qMathFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        // scale 4: a 2-dec × 2-dec product has ≤4 true decimals, so no
+        // rounding ties — Spark (BigDecimal string repr) and DuckDB
+        // (multiply-and-round) disagree on shortest-repr .xx5 ties at
+        // scale 2, but at 4 both recover the exact product.
+        round(col("l_extendedprice") * col("l_discount"), 4).as("disc_amt"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        abs(col("l_discount") - lit(0.05)).as("abs_dev"),
+        sqrt(col("l_extendedprice")).as("sqrt_price"),
+        round(log(col("l_extendedprice") + lit(1.0)), 6).as("ln_price"),
+        round(exp(col("l_discount")), 6).as("exp_disc"),
+        (col("l_partkey") % 7).as("mod7"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val qMathSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  round(l_extendedprice * l_discount, 4) AS disc_amt,
+      |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+      |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+      |  abs(l_discount - 0.05) AS abs_dev,
+      |  sqrt(l_extendedprice) AS sqrt_price,
+      |  round(ln(l_extendedprice + 1.0), 6) AS ln_price,
+      |  round(exp(l_discount), 6) AS exp_disc,
+      |  l_partkey % 7 AS mod7
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  def qCondFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "supplier")
+      .select(col("s_suppkey"),
+        when(col("s_acctbal") < 0, "neg")
+          .when(col("s_acctbal") < 1000, "low")
+          .otherwise("high").as("bal_bucket"),
+        coalesce(nullif(col("s_name"), col("s_name")), lit("redacted")).as("masked"),
+        greatest(col("s_acctbal"), lit(0.0)).as("bal_floor0"),
+        least(col("s_acctbal"), lit(5000.0)).as("bal_cap5k"))
+      .orderBy("s_suppkey")
+
+  private val qCondSql =
+    """SELECT s_suppkey,
+      |  CASE WHEN s_acctbal < 0 THEN 'neg' WHEN s_acctbal < 1000 THEN 'low' ELSE 'high' END AS bal_bucket,
+      |  COALESCE(NULLIF(s_name, s_name), 'redacted') AS masked,
+      |  GREATEST(s_acctbal, 0.0) AS bal_floor0,
+      |  LEAST(s_acctbal, 5000.0) AS bal_cap5k
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  /** JSON extraction over the events props column. */
+  def qJsonFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .orderBy("event_id")
+
+  private val qJsonSql =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Array/higher-order functions over the embedding column: the exact
+    * fold the similarity ops build on (sequential double accumulation,
+    * identical on both engines).
+    */
+  def qArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    val asDouble = transform(col("embedding"), x => x.cast(DoubleType))
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        size(col("embedding")).cast(LongType).as("dim"),
+        element_at(col("embedding"), 1).as("first_val"),
+        round(sqrt(aggregate(asDouble, lit(0.0), (acc, x) => acc + x * x)), 6).as("l2_norm"),
+        round(aggregate(asDouble, lit(0.0), (acc, x) => acc + x), 6).as("sum_vals"))
+      .orderBy("vec_id")
+  }
+
+  private val qArraySql =
+    """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+      |  embedding[1] AS first_val,
+      |  round(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_norm,
+      |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS sum_vals
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** Tumbling-window aggregation (batch shape of the streaming op). */
+  def qTumblingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(dec2(col("value"))).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  private val qTumblingSql =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
+      |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary(_, _)),
+    "q2_topk_orders" -> (q2TopkOrders(_, _)),
+    "q3_shipping_priority" -> (q3ShippingPriority(_, _)),
+    "q5_region_revenue" -> (q5RegionRevenue(_, _)),
+    "q_distinct_agg" -> (qDistinctAgg(_, _)),
+    "q_rollup" -> (qRollup(_, _)),
+    "q_cube" -> (qCube(_, _)),
+    "q_grouping_sets" -> (qGroupingSets(_, _)),
+    "q_semi_join" -> (qSemiJoin(_, _)),
+    "q_anti_join" -> (qAntiJoin(_, _)),
+    "q_set_intersect" -> (qSetIntersect(_, _)),
+    "q_set_except" -> (qSetExcept(_, _)),
+    "q_window_rank" -> (qWindowRank(_, _)),
+    "q_window_lag" -> (qWindowLag(_, _)),
+    "q_window_frame" -> (qWindowFrame(_, _)),
+    "q_string_funcs" -> (qStringFuncs(_, _)),
+    "q_date_funcs" -> (qDateFuncs(_, _)),
+    "q_math_funcs" -> (qMathFuncs(_, _)),
+    "q_cond_funcs" -> (qCondFuncs(_, _)),
+    "q_json_funcs" -> (qJsonFuncs(_, _)),
+    "q_array_funcs" -> (qArrayFuncs(_, _)),
+    "q_tumbling_window" -> (qTumblingWindow(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q2_topk_orders" -> q2Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q5_region_revenue" -> q5Sql,
+    "q_distinct_agg" -> qDistinctSql,
+    "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_semi_join" -> qSemiSql,
+    "q_anti_join" -> qAntiSql,
+    "q_set_intersect" -> qIntersectSql,
+    "q_set_except" -> qExceptSql,
+    "q_window_rank" -> qWindowRankSql,
+    "q_window_lag" -> qWindowLagSql,
+    "q_window_frame" -> qWindowFrameSql,
+    "q_string_funcs" -> qStringSql,
+    "q_date_funcs" -> qDateSql,
+    "q_math_funcs" -> qMathSql,
+    "q_cond_funcs" -> qCondSql,
+    "q_json_funcs" -> qJsonSql,
+    "q_array_funcs" -> qArraySql,
+    "q_tumbling_window" -> qTumblingSql)
+}
