@@ -1,0 +1,277 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.PortableHash
+import graft.sources.Tables
+
+/** Deduplication family for a training-data pipeline, over `documents`
+  * and `embeddings`:
+  *
+  *  - exact:        hash-groupBy on content hash (one shuffle on a
+  *                  64-char key; at 100 TB: map-side partial agg, AQE
+  *                  handles skew on pathological duplicate clusters)
+  *  - MinHash+LSH:  shingle → 16-perm minhash → 4×4 banding →
+  *                  candidate pairs by band-bucket join → exact-Jaccard
+  *                  verify. The LSH join replaces the O(n²) all-pairs
+  *                  compare with per-bucket joins — the only shape that
+  *                  survives 100 TB. Buckets are tiny by construction;
+  *                  a hot bucket (boilerplate cluster) is bounded by
+  *                  AQE skew-join splitting.
+  *  - SimHash:      32-bit fingerprint, hamming-distance pairs. The
+  *                  pairing here is all-pairs (fine at test scale and
+  *                  exercisable by an oracle); the scale path is
+  *                  bucketing by fingerprint bands, same as LSH.
+  *  - embedding:    cosine near-dup pairs over normalized dot products.
+  *                  All-pairs at test scale; at 100 TB the candidate
+  *                  generation goes through Similarity's IVF cells.
+  *
+  * Every hash is [[PortableHash]] so each operator has an EXACT DuckDB
+  * oracle — no "trust me" sketches.
+  */
+object DedupOps {
+
+  // ---------------------------------------------------------------------
+  // Exact dedup
+  // ---------------------------------------------------------------------
+
+  def ddExact(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  private val ddExactSql =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Shingles (shared by MinHash-LSH and n-gram Jaccard)
+  // ---------------------------------------------------------------------
+
+  /** Distinct word-3-gram shingles per document. */
+  private def shingles(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    // <3 tokens → empty array → explode emits no rows (mirrors the
+    // oracle's range-filter producing no shingle rows)
+    val arr = when(size(toks) < 3, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
+    docs.select(col("doc_id"), explode(arr).as("shingle"))
+  }
+
+  /** DuckDB mirror: lateral generate_series is unsupported in 1.0, so a
+    * bounded `range` cross join + filter plays the index source.
+    */
+  private val shinglesSql =
+    """SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT d.doc_id, d.toks[i] || ' ' || d.toks[i+1] || ' ' || d.toks[i+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d
+      |  CROSS JOIN range(1, 4001) t(i) WHERE i <= len(d.toks) - 2)""".stripMargin
+
+  /** Exact Jaccard for a set of candidate pairs (columns a, b). */
+  private def jaccardFor(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("a"), col("shingle").as("sh_a")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("shingle").as("sh_b")), "b")
+      .where(col("sh_a") === col("sh_b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("ni"))
+    inter
+      .join(cnt.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(cnt.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("ni").cast(DoubleType) / (col("na") + col("nb") - col("ni"))).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------------
+  // MinHash + LSH
+  // ---------------------------------------------------------------------
+
+  private val NumPerms = 16
+  private val NumBands = 4 // 4 rows per band
+  private val JaccardThreshold = 0.5
+
+  /** doc_id + sig0..sig15 columns. */
+  private def minhashSigs(sh: DataFrame): DataFrame = {
+    val aggs = (0 until NumPerms).map(i =>
+      min(PortableHash.hash64(col("shingle"), i)).as(s"sig$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def bandKeys(sigs: DataFrame): DataFrame = {
+    val bands = (0 until NumBands).map { b =>
+      val parts = (0 until NumPerms / NumBands)
+        .map(r => col(s"sig${b * (NumPerms / NumBands) + r}").cast(StringType))
+      md5(concat_ws(",", parts: _*)).as(s"band$b")
+    }
+    sigs.select(col("doc_id") +: bands: _*)
+  }
+
+  def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables(s, dir, "documents")).cache()
+    val banded = bandKeys(minhashSigs(sh))
+    val cands = (0 until NumBands).map { b =>
+      val l = banded.select(col("doc_id").as("a"), col(s"band$b").as("bk"))
+      val r = banded.select(col("doc_id").as("b"), col(s"band$b").as("bk"))
+      l.join(r, "bk").where(col("a") < col("b")).select("a", "b")
+    }.reduce(_ union _).distinct()
+    jaccardFor(cands, sh)
+      .where(col("jaccard") >= JaccardThreshold)
+      .orderBy("a", "b")
+  }
+
+  private val ddMinhashSql = {
+    val sigExprs = (0 until NumPerms)
+      .map(i => s"min(${PortableHash.sql("shingle", i)}) AS sig$i").mkString(",\n  ")
+    val bandExprs = (0 until NumBands).map { b =>
+      val parts = (0 until NumPerms / NumBands)
+        .map(r => s"CAST(sig${b * (NumPerms / NumBands) + r} AS VARCHAR)")
+      s"md5(${parts.mkString(" || ',' || ")}) AS band$b"
+    }.mkString(",\n  ")
+    val unions = (0 until NumBands).map(b =>
+      s"SELECT x.doc_id AS a, y.doc_id AS b FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id")
+      .mkString("\n  UNION\n  ")
+    s"""WITH sh AS ($shinglesSql),
+       |sigs AS (SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id),
+       |banded AS (SELECT doc_id, $bandExprs FROM sigs),
+       |cands AS ($unions),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.a, c.b, COUNT(*) AS ni FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle
+       |  GROUP BY c.a, c.b)
+       |SELECT i.a, i.b, CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jaccard
+       |FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+       |WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= $JaccardThreshold
+       |ORDER BY a, b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // n-gram Jaccard (all candidate pairs sharing any shingle)
+  // ---------------------------------------------------------------------
+
+  def ddNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables(s, dir, "documents")).cache()
+    val cands = sh.select(col("doc_id").as("a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), "shingle")
+      .where(col("a") < col("b")).select("a", "b").distinct()
+    jaccardFor(cands, sh)
+      .where(col("jaccard") >= JaccardThreshold)
+      .orderBy("a", "b")
+  }
+
+  private val ddNgramSql =
+    s"""WITH sh AS ($shinglesSql),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS ni FROM sh sa
+       |  JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i.a, i.b, CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jaccard
+       |FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+       |WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= $JaccardThreshold
+       |ORDER BY a, b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------------
+
+  private val SimBits = 32
+  private val HammingMax = 6
+
+  def ddSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val tokHash = PortableHash.hash64(col("tok"))
+    val exploded = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), tokHash.as("h"))
+    val bitSums = (0 until SimBits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j"))
+    val summed = exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until SimBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val fps = summed.select(col("doc_id"), fp.as("fingerprint"))
+    val l = fps.select(col("doc_id").as("a"), col("fingerprint").as("fa"))
+    val r = fps.select(col("doc_id").as("b"), col("fingerprint").as("fb"))
+    l.crossJoin(r).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast(LongType).as("hamming"))
+      .where(col("hamming") <= HammingMax)
+      .orderBy("a", "b")
+  }
+
+  private val ddSimhashSql = {
+    val h = PortableHash.sql("tok")
+    val bitSums = (0 until SimBits)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n  ")
+    val fp = (0 until SimBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH ex AS (SELECT doc_id, $h AS h FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |summed AS (SELECT doc_id, $bitSums FROM ex GROUP BY doc_id),
+       |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS fingerprint FROM summed)
+       |SELECT x.doc_id AS a, y.doc_id AS b,
+       |  CAST(bit_count(xor(x.fingerprint, y.fingerprint)) AS BIGINT) AS hamming
+       |FROM fps x JOIN fps y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.fingerprint, y.fingerprint)) <= $HammingMax
+       |ORDER BY a, b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Embedding cosine near-dup
+  // ---------------------------------------------------------------------
+
+  private val CosineThreshold = 0.5
+
+  /** Sequential-fold dot product in double — identical accumulation
+    * order in Spark (`aggregate`) and DuckDB (`list_aggregate 'sum'`).
+    */
+  private[operators] def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private[operators] def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x))
+
+  def ddEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val l = e.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val r = e.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    l.crossJoin(r).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+      .where(col("cosine") >= CosineThreshold)
+      .orderBy("a", "b")
+  }
+
+  private val dotSql =
+    "list_aggregate(list_transform(list_zip(%s, %s), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
+  private val normSql =
+    "sqrt(list_aggregate(list_transform(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+
+  private val ddEmbedSql = {
+    val d = dotSql.format("x.embedding", "y.embedding")
+    s"""WITH n AS (SELECT vec_id, embedding, ${normSql.format("embedding")} AS nrm FROM embeddings)
+       |SELECT x.vec_id AS a, y.vec_id AS b, $d / (x.nrm * y.nrm) AS cosine
+       |FROM n x JOIN n y ON x.vec_id < y.vec_id
+       |WHERE $d / (x.nrm * y.nrm) >= $CosineThreshold
+       |ORDER BY a, b""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> (ddExact(_, _)),
+    "dd_minhash_lsh" -> (ddMinhashLsh(_, _)),
+    "dd_ngram_jaccard" -> (ddNgramJaccard(_, _)),
+    "dd_simhash" -> (ddSimhash(_, _)),
+    "dd_embed_cosine" -> (ddEmbedCosine(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "dd_exact" -> ddExactSql,
+    "dd_minhash_lsh" -> ddMinhashSql,
+    "dd_ngram_jaccard" -> ddNgramSql,
+    "dd_simhash" -> ddSimhashSql,
+    "dd_embed_cosine" -> ddEmbedSql)
+}

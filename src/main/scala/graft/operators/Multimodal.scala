@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Multimodal column handling: media (image/audio/video) modeled as
+  * opaque `binary` columns plus typed metadata, with decode /
+  * feature-extraction running as a typed `mapPartitions` stage.
+  *
+  * The Spark-side plumbing is real and tested — schema, partition-wise
+  * batch iteration, typed Encoders — while the codec itself is a
+  * deterministic STUB (`fakeDecode`): this container has no image/audio
+  * libraries, and the seam where a JNI/FFI decoder (or a Python worker
+  * via Arrow) plugs in is exactly the `decode` function below.
+  *
+  * Scale notes: binary payloads ride the columnar scan like any other
+  * column (parquet keeps them contiguous); `mapPartitions` processes a
+  * whole partition per task so a native decoder amortizes init once per
+  * partition, not per row. Keep partitions sized by bytes
+  * (`maxPartitionBytes`), not row count, when payloads are large —
+  * and for genuinely huge media, store a pointer column (URI) plus
+  * metadata instead of inlining bytes.
+  */
+object Multimodal {
+
+  /** A media row: payload + metadata (the `documents` text is the
+    * stand-in payload source).
+    */
+  case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String)
+
+  /** Extracted features: what a decode+featurize stage emits. */
+  case class MediaFeatures(
+    doc_id: Long, n_bytes: Long, checksum: Long,
+    width: Int, height: Int, mean_intensity: Double)
+
+  /** The decode stub: deterministic pseudo-features from the raw bytes.
+    * A real implementation replaces ONLY this function (e.g. libjpeg
+    * via JNI) — signature and call site stay identical.
+    */
+  private def fakeDecode(r: MediaRow): MediaFeatures = {
+    val bytes = r.payload
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+    val w = 16 + (sum % 16).toInt
+    val h = 16 + ((sum / 16) % 16).toInt
+    MediaFeatures(r.doc_id, bytes.length.toLong, sum,
+      w, h, sum.toDouble / math.max(bytes.length, 1))
+  }
+
+  /** Binary-column construction + per-payload metadata, fully
+    * expressible relationally (has a DuckDB oracle).
+    */
+  def mmBinaryStats(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(to_binary(col("text"), lit("utf-8"))).cast(LongType).as("n_bytes"),
+        sha2(to_binary(col("text"), lit("utf-8")), 256).as("sha256"),
+        lit("text/plain").as("media_type"))
+      .orderBy("doc_id")
+
+  private val mmBinaryStatsSql =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  sha256(text) AS sha256, 'text/plain' AS media_type
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** The typed decode pipeline: binary payloads → mapPartitions over
+    * the stub codec → feature rows. Deterministic, so it still gets a
+    * rows+schema check from the driver (no SQL oracle: the partition-
+    * iterator stage is the point).
+    */
+  def mmDecodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media: Dataset[MediaRow] = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        to_binary(col("text"), lit("utf-8")).as("payload"),
+        lit("text/plain").as("media_type"))
+      .as[MediaRow]
+    media
+      .mapPartitions(rows => rows.map(fakeDecode))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_stats" -> (mmBinaryStats(_, _)),
+    "mm_decode_features" -> (mmDecodeFeatures(_, _)))
+
+  /** mm_decode_features intentionally has no oracle (mapPartitions
+    * codec stage); driver records the weaker rows-only check.
+    */
+  def oracles: Map[String, String] = Map(
+    "mm_binary_stats" -> mmBinaryStatsSql)
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`Array[Float]`, 64-dim).
+  *
+  *  - Brute force: broadcast the query vector(s), one narrow pass over
+  *    every embedding computing a codegen'd fold dot product, then
+  *    TakeOrderedAndProject top-k. This is the exact baseline and —
+  *    because the scan is embarrassingly parallel — is itself viable
+  *    at surprising scale when k is small.
+  *  - IVF: coarse-quantize vectors to their nearest centroid cell
+  *    (build side: one pass + a tiny broadcast of centroids); at query
+  *    time probe only the nProbe nearest cells. The cell assignment is
+  *    the partition key at 100 TB — each query touches a bounded
+  *    fraction of the data. Centroid selection here is a deterministic
+  *    sample (vec_id % 50 == 0) rather than trained k-means; the
+  *    assignment/probe machinery is identical and the trainer is
+  *    pluggable.
+  *
+  * Both variants share DedupOps.dot/norm (sequential double fold →
+  * exact DuckDB oracle).
+  */
+object Similarity {
+
+  private val K = 10
+  private val QueryId = 0
+  private val NProbe = 2
+
+  import DedupOps.{dot, norm}
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+
+  /** Brute-force exact cosine top-k for query vector `QueryId`. */
+  def annBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables(s, dir, "embeddings"))
+    val q = e.where(col("vec_id") === QueryId)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    e.where(col("vec_id") =!= QueryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(K)
+  }
+
+  private def dotSql(a: String, b: String) =
+    s"list_aggregate(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
+  private def normSql(a: String) =
+    s"sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+
+  private val annBruteSql =
+    s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |q AS (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = $QueryId)
+       |SELECT n.vec_id, ${dotSql("n.embedding", "q.qe")} / (n.nrm * q.qn) AS cosine
+       |FROM n, q WHERE n.vec_id <> $QueryId
+       |ORDER BY cosine DESC, vec_id ASC LIMIT $K""".stripMargin
+
+  /** IVF cell assignment: nearest centroid by cosine (ties → lowest
+    * centroid id). Returns vec_id, embedding, nrm, cell.
+    */
+  private def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val byVec = Window.partitionBy("vec_id").orderBy(desc("cos_c"), asc("cid"))
+    e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        (dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("cos_c"))
+      .withColumn("rk", row_number().over(byVec))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+  }
+
+  /** IVF probe: search only the NProbe cells nearest the query. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables(s, dir, "embeddings"))
+    val centroids = e.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val cells = assignCells(e, centroids)
+    val q = cells.where(col("vec_id") === QueryId)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val probeCells = centroids.crossJoin(broadcast(q))
+      .select(col("cid"), (dot(col("ce"), col("qe")) / (col("cn") * col("qn"))).as("cos_q"))
+      .orderBy(desc("cos_q"), asc("cid")).limit(NProbe)
+      .select("cid")
+    cells.join(broadcast(probeCells), cells("cell") === probeCells("cid"), "left_semi")
+      .where(col("vec_id") =!= QueryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell"),
+        (dot(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(K)
+  }
+
+  private val annIvfSql =
+    s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm, cell FROM (
+       |    SELECT n.vec_id, n.embedding, n.nrm, cent.cid AS cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${dotSql("n.embedding", "cent.ce")} / (n.nrm * cent.cn) DESC, cent.cid ASC) AS rk
+       |    FROM n CROSS JOIN cent) WHERE rk = 1),
+       |q AS (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = $QueryId),
+       |probe AS (SELECT cid FROM cent, q
+       |  ORDER BY ${dotSql("cent.ce", "q.qe")} / (cent.cn * q.qn) DESC, cid ASC LIMIT $NProbe)
+       |SELECT a.vec_id, a.cell, ${dotSql("a.embedding", "q.qe")} / (a.nrm * q.qn) AS cosine
+       |FROM assigned a, q
+       |WHERE a.cell IN (SELECT cid FROM probe) AND a.vec_id <> $QueryId
+       |ORDER BY cosine DESC, vec_id ASC LIMIT $K""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute" -> (annBrute(_, _)),
+    "ann_ivf" -> (annIvf(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "ann_brute" -> annBruteSql,
+    "ann_ivf" -> annIvfSql)
+}
