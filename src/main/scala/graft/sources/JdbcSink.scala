@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** The reference's Postgres surface re-expressed as Spark JDBC I/O.
+  *
+  * Source side (S3 — getEvents.ts:9-16): the dedup-key scan with
+  * projection and predicate pushed down to the database. Sink side
+  * (K1/K2 — hfpTask.ts:53-80 + upsert.ts:6-55): batched multi-row
+  * INSERTs with bounded concurrency.
+  *
+  * The mapping that replaces the reference's hand-rolled machinery:
+  *  - `INSERT_CONCURRENCY` (bounded PQueue)  → `numPartitions` (one
+  *    JDBC connection per partition; Spark's task scheduler IS the
+  *    bounded queue — no unbounded buffering exists to begin with)
+  *  - `EVENT_BATCH_SIZE` (rows per INSERT)   → `batchsize` option
+  *    (executeBatch under the hood)
+  *  - `item[key] || null` falsy→NULL netting → already folded into the
+  *    cast layer (HfpCasts), so the sink writes values as-is
+  *  - "upsert" that is really plain INSERT   → SaveMode.Append
+  *  - fail-fast on insert error (hfpTask.ts:46-49) → task failure fails
+  *    the job (retries configurable, idempotent thanks to dedup)
+  *
+  * No database runs in the test harness, so this module is exercised at
+  * the API level (plan construction) and by the parquet twin below,
+  * which the driver-facing queries use.
+  */
+object JdbcSink {
+
+  final case class Config(
+    url: String,
+    table: String,
+    user: String = "",
+    password: String = "",
+    batchSize: Int = 1000, // EVENT_BATCH_SIZE default, constants.ts:52
+    numPartitions: Int = 100) // INSERT_CONCURRENCY default, constants.ts:51
+
+  private def props(cfg: Config): java.util.Properties = {
+    val p = new java.util.Properties()
+    p.setProperty("user", cfg.user)
+    p.setProperty("password", cfg.password)
+    p
+  }
+
+  /** S3: key scan with pushed projection + predicate. Spark's JDBC
+    * source pushes both `where` and `select` down to the database —
+    * the same `SELECT uuid WHERE oday = ?` the reference issues.
+    */
+  def readKeys(spark: SparkSession, cfg: Config, oday: String): DataFrame =
+    spark.read.jdbc(cfg.url, cfg.table, props(cfg))
+      .where(org.apache.spark.sql.functions.col("oday") === oday)
+      .select("uuid")
+
+  /** K1/K2: batched, concurrent INSERT append. */
+  def write(df: DataFrame, cfg: Config): Unit =
+    df.repartition(cfg.numPartitions)
+      .write
+      .mode(SaveMode.Append)
+      .option("batchsize", cfg.batchSize.toString)
+      .jdbc(cfg.url, cfg.table, props(cfg))
+
+  /** Parquet twin of the sink for harness runs (same routing shape:
+    * one directory per target table, partitioned by operating day for
+    * partition-pruned re-reads — the `oday` layout the reference keys
+    * its dedup scans on).
+    */
+  def writeParquet(df: DataFrame, baseDir: String, table: String): Unit =
+    df.write.mode(SaveMode.Append)
+      .partitionBy("oday")
+      .parquet(s"$baseDir/$table")
+}

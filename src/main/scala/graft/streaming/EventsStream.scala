@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Structured Streaming variant of the ingest pipeline (SURVEY.md §7
+  * Phase 3): the reference is a batch-per-day job whose late-data story
+  * is "re-run the day, dedup makes it idempotent" (hfpStorage.ts:15-16).
+  * The streaming build replaces that with a file-source stream +
+  * watermark, keeping the same cast/filter/route stages.
+  *
+  * Scale notes: the file source discovers new files incrementally (the
+  * blob-archive analog); state for the windowed aggregation is bounded
+  * by the watermark; `foreachBatch` reuses the batch JDBC/parquet sink
+  * so exactly the same routing + dedup code serves both modes — one
+  * pipeline, two execution modes, which is the Spark-native answer to
+  * the reference's single-purpose loader.
+  */
+object EventsStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos-as-long at the wire (TESTDATA)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String, glob: String = "*.parquet"): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling-window aggregation with a watermark: the streaming twin
+    * of Analytics.qTumblingWindow. Late rows beyond 10 minutes are
+    * dropped — the state-bounding contract a 24/7 ingest needs.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** foreachBatch sink wiring: each micro-batch flows through the same
+    * batch write path (JDBC in production, parquet in the harness) —
+    * the streaming equivalent of the reference's insert queue, with
+    * idempotency provided by the same anti-join dedup when re-processed.
+    */
+  def sinkTo(df: DataFrame, writeBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) => writeBatch(batch, id) }
+
+  /** Synchronous smoke runner for tests: memory sink, drain, return. */
+  def runToMemory(spark: SparkSession, agg: DataFrame, name: String): StreamingQuery = {
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

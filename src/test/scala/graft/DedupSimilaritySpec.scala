@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, Similarity}
+
+class DedupSimilaritySpec extends SparkSuite {
+
+  test("exact dedup keeps the minimum doc_id per content hash") {
+    val out = DedupOps.ddExact(sc, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("n_copies") >= 1))
+  }
+
+  test("minhash-LSH pairs are a subset of exhaustive n-gram pairs") {
+    val lsh = DedupOps.ddMinhashLsh(sc, sfDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = DedupOps.ddNgramJaccard(sc, sfDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(full))
+    // at threshold .5 with 16 perms / 4 bands, recall should be total
+    // on the planted ~.9-jaccard near-dups
+    assert(lsh == full)
+  }
+
+  test("jaccard values are in (0,1] and pairs ordered a<b") {
+    val rows = DedupOps.ddNgramJaccard(sc, sfDir).collect()
+    assert(rows.forall { r =>
+      val j = r.getAs[Double]("jaccard")
+      j > 0.0 && j <= 1.0 && r.getLong(0) < r.getLong(1)
+    })
+  }
+
+  test("brute-force ANN: descending cosine, k rows, query excluded") {
+    val rows = Similarity.annBrute(sc, sfDir).collect()
+    assert(rows.length == 10)
+    val sims = rows.map(_.getAs[Double]("cosine"))
+    assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    assert(!rows.map(_.getAs[Long]("vec_id")).contains(0L))
+  }
+
+  test("IVF ANN returns plausible neighbors from probed cells only") {
+    val ivf = Similarity.annIvf(sc, sfDir).collect()
+    assert(ivf.length == 10)
+    val cells = ivf.map(_.getAs[Long]("cell")).distinct
+    assert(cells.length <= 2) // nProbe = 2
+    // IVF top hit should appear in the exact top-k reasonably often;
+    // with random cells we only assert overlap is possible, not exact —
+    // but the scores themselves must match brute-force cosine for the
+    // same ids
+    val brute = Similarity.annBrute(sc, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    ivf.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      brute.get(id).foreach(c => assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-12))
+    }
+  }
+
+  test("simhash: hamming bounded and symmetric-free (a<b)") {
+    val rows = DedupOps.ddSimhash(sc, sfDir).collect()
+    assert(rows.forall { r =>
+      r.getAs[Long]("hamming") <= 6 && r.getLong(0) < r.getLong(1)
+    })
+  }
+}
