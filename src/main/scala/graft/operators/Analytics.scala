@@ -119,7 +119,7 @@ object Analytics {
 
   /** GROUPING SETS via the SQL frontend (views registered on the fly). */
   def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(s, dir)
+    Tables(s, dir, "orders").createOrReplaceTempView("orders")
     s.sql(
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         |FROM orders

@@ -94,10 +94,24 @@ object DedupOps {
   private val NumBands = 4 // 4 rows per band
   private val JaccardThreshold = 0.5
 
+  /** One base hash per shingle + affine permutations `(a·h+b) mod p`
+    * instead of 16 md5 invocations — 16× less hashing on the hot path,
+    * same minhash guarantees, still exactly mirrored by the oracle.
+    * p = 2^31-1 keeps every product inside a Long.
+    */
+  private val MersenneP = 2147483647L
+  private[operators] val perms: Seq[(Long, Long)] = (0 until NumPerms).map { i =>
+    val a = (1103515245L * (2 * i + 1) + 12345L) % (MersenneP - 1) + 1
+    val b = (1103515245L * (2 * i + 2) + 54321L) % MersenneP
+    (a, b)
+  }
+
   /** doc_id + sig0..sig15 columns. */
   private def minhashSigs(sh: DataFrame): DataFrame = {
-    val aggs = (0 until NumPerms).map(i =>
-      min(PortableHash.hash64(col("shingle"), i)).as(s"sig$i"))
+    val base = PortableHash.hash64(col("shingle")) % MersenneP
+    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((base * a + b) % MersenneP).as(s"sig$i")
+    }
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -124,8 +138,10 @@ object DedupOps {
   }
 
   private val ddMinhashSql = {
-    val sigExprs = (0 until NumPerms)
-      .map(i => s"min(${PortableHash.sql("shingle", i)}) AS sig$i").mkString(",\n  ")
+    val baseH = s"(${PortableHash.sql("shingle")} % $MersenneP)"
+    val sigExprs = perms.zipWithIndex
+      .map { case ((a, b), i) => s"min(($baseH * $a + $b) % $MersenneP) AS sig$i" }
+      .mkString(",\n  ")
     val bandExprs = (0 until NumBands).map { b =>
       val parts = (0 until NumPerms / NumBands)
         .map(r => s"CAST(sig${b * (NumPerms / NumBands) + r} AS VARCHAR)")
@@ -153,11 +169,19 @@ object DedupOps {
   // ---------------------------------------------------------------------
 
   def ddNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // intersections come straight off the shingle self-join — no
+    // separate candidate pass (the oracle has the same single-pass shape)
     val sh = shingles(Tables(s, dir, "documents")).cache()
-    val cands = sh.select(col("doc_id").as("a"), col("shingle"))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("a"), col("shingle"))
       .join(sh.select(col("doc_id").as("b"), col("shingle")), "shingle")
-      .where(col("a") < col("b")).select("a", "b").distinct()
-    jaccardFor(cands, sh)
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("ni"))
+    inter
+      .join(cnt.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(cnt.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("ni").cast(DoubleType) / (col("na") + col("nb") - col("ni"))).as("jaccard"))
       .where(col("jaccard") >= JaccardThreshold)
       .orderBy("a", "b")
   }
@@ -235,16 +259,36 @@ object DedupOps {
     sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x))
 
+  /** All-pairs cosine via a broadcast + mapPartitions kernel: the
+    * declarative crossJoin-of-HOF-folds version is semantically
+    * identical but pays per-pair ArrayData overhead; a quadratic
+    * numeric kernel is the one place `mapPartitions` is the right
+    * Spark tool (SURVEY.md preference (d) — justified for O(n²·d)
+    * inner loops). The broadcast side is the full (small) table here;
+    * at 100 TB the pair space is prefiltered to LSH/IVF buckets first
+    * and the same kernel runs per bucket.
+    * Accumulation is float→double products summed left-to-right —
+    * bit-identical to the HOF fold and to the DuckDB oracle.
+    */
   def ddEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val l = e.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
-    val r = e.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
-    l.crossJoin(r).where(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
-      .where(col("cosine") >= CosineThreshold)
-      .orderBy("a", "b")
+      .as[(Long, Array[Float], Double)]
+    val side = s.sparkContext.broadcast(e.orderBy("vec_id").collect())
+    val thr = CosineThreshold
+    e.mapPartitions { it =>
+      val all = side.value
+      it.flatMap { case (a, ea, na) =>
+        all.iterator.filter(_._1 > a).flatMap { case (b, eb, nb) =>
+          var acc = 0.0
+          var i = 0
+          while (i < ea.length) { acc += ea(i).toDouble * eb(i).toDouble; i += 1 }
+          val cos = acc / (na * nb)
+          if (cos >= thr) Some((a, b, cos)) else None
+        }
+      }
+    }.toDF("a", "b", "cosine").orderBy("a", "b")
   }
 
   private val dotSql =
