@@ -16,11 +16,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     HfpPipeline.queries ++ Analytics.queries ++ TextAnalysis.queries ++
-      DedupOps.queries ++ Similarity.queries ++ Multimodal.queries
+      DedupOps.queries ++ Similarity.queries ++ Multimodal.queries ++
+      AdvancedOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     HfpPipeline.oracles ++ Analytics.oracles ++ TextAnalysis.oracles ++
-      DedupOps.oracles ++ Similarity.oracles ++ Multimodal.oracles
+      DedupOps.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      AdvancedOps.oracles
 }

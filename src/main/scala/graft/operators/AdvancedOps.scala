@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Operators beyond plain relational algebra: as-of join, session
+  * windows, percentiles, pivot.
+  *
+  * The as-of join is the textbook "operator Spark lacks": rather than a
+  * custom SparkPlan, it composes as union → single sort per key →
+  * last-non-null carry-forward — one shuffle + one sort, the same cost
+  * shape a native as-of exec would have, and it scales because the sort
+  * is per-partition after hash-partitioning on the key (no broadcast,
+  * no range join explosion). The DuckDB oracle uses its NATIVE
+  * `ASOF LEFT JOIN`, so the composition is verified against a real
+  * as-of implementation, not against itself.
+  */
+object AdvancedOps {
+
+  /** For each event: the most recent 'purchase' by the same user at or
+    * before its timestamp (inclusive).
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    // build side rows: kind=0 so they sort before probe rows at equal ts
+    val build = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        col("event_id"), col("ts").as("pts"))
+    val probe = ev.select(col("user_id"), col("ts"), lit(1).as("kind"),
+      col("event_id"), lit(null).cast(TimestampType).as("pts"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(asc("ts"), asc("kind"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    build.unionByName(probe)
+      .withColumn("last_purchase_ts", last(col("pts"), ignoreNulls = true).over(w))
+      .where(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_purchase_ts"),
+        (unix_millis(col("ts")) - unix_millis(col("last_purchase_ts"))).as("ms_since"))
+      .orderBy("event_id")
+  }
+
+  private val qAsofSql =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts FROM events WHERE event_type = 'purchase')
+      |SELECT e.event_id, e.user_id, e.ts, p.pts AS last_purchase_ts,
+      |  epoch_ms(e.ts) - epoch_ms(p.pts) AS ms_since
+      |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.pts
+      |ORDER BY event_id""".stripMargin
+
+  /** Sessionization with Spark's built-in session_window (30-minute
+    * gap); the oracle rebuilds sessions with the lag/running-sum
+    * technique — two independent constructions that must agree.
+    */
+  def qSessionize(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  private val qSessionizeSql =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |marked AS (SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |         THEN 1 ELSE 0 END AS boundary
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (SELECT user_id, ts,
+      |    SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** Exact interpolated percentiles per group (transcendental-free, but
+    * interpolation arithmetic is rounded at 6 to absorb last-ulp
+    * differences between engines).
+    */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("price_p95"))
+      .orderBy("l_returnflag")
+
+  private val qPercentilesSql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+      |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+      |  round(quantile_cont(l_extendedprice, 0.95), 6) AS price_p95
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  private val Priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Pivot: order revenue per year × priority (decimal-exact sums). */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")).cast(LongType))
+      .groupBy("o_year")
+      .pivot("o_orderpriority", Priorities)
+      .agg(sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType))
+      .orderBy("o_year")
+
+  private val qPivotSql = {
+    val cells = Priorities.map(p =>
+      s"""CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "$p"""")
+      .mkString(",\n  ")
+    s"""SELECT year(o_orderdate) AS o_year,
+       |  $cells
+       |FROM orders GROUP BY year(o_orderdate) ORDER BY o_year""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (qAsofJoin(_, _)),
+    "q_sessionize" -> (qSessionize(_, _)),
+    "q_percentiles" -> (qPercentiles(_, _)),
+    "q_pivot" -> (qPivot(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_asof_join" -> qAsofSql,
+    "q_sessionize" -> qSessionizeSql,
+    "q_percentiles" -> qPercentilesSql,
+    "q_pivot" -> qPivotSql)
+}
