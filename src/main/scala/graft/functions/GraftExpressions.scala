@@ -1,0 +1,270 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Custom Catalyst expressions — the tier below built-ins, above UDFs
+  * (SURVEY.md §4: custom work enters only for §7 extension operators).
+  *
+  *  - [[DotProductF]] / [[L2NormSqF]]: codegen'd float-vector kernels.
+  *    Same left-to-right float→double accumulation as the
+  *    `aggregate(zip_with(...))` HOF fold they replace (bit-identical
+  *    results, DuckDB oracle unchanged) but without per-row ArrayData
+  *    lambda dispatch — the hot loop is a plain `for` over the unsafe
+  *    array in generated code.
+  *  - [[KmvDistinct]]: a mergeable K-Minimum-Values distinct sketch as
+  *    a TypedImperativeAggregate — partial sketches merge
+  *    associatively, so it map-side combines and scales like any
+  *    built-in aggregate (the custom-sketch pattern for when HLL++
+  *    isn't the estimator you want).
+  */
+object GraftExpressions {
+
+  // ---------------------------------------------------------------------
+  // Vector kernels
+  // ---------------------------------------------------------------------
+
+  private def requireFloatArray(e: Expression, name: String) =
+    e.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$name expects array<float>, got $other")
+    }
+
+  case class DotProductF(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val l = requireFloatArray(left, prettyName)
+      if (l.isSuccess) requireFloatArray(right, prettyName) else l
+    }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot_f"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  case class L2NormSqF(child: Expression)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      requireFloatArray(child, prettyName)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_norm_sq_f"
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      var acc = 0.0
+      var i = 0
+      while (i < x.numElements()) {
+        val v = x.getFloat(i).toDouble; acc += v * v; i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val v = ctx.freshName("v")
+        val acc = ctx.freshName("acc")
+        s"""
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  double $v = (double)$a.getFloat($i);
+           |  $acc += $v * $v;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Optimizer micro-rule: `dot_f(x, x)` → `norm_sq_f(x)` (one array
+    * access per element instead of two). Mostly a demonstration of
+    * `injectOptimizerRule` with a genuinely safe rewrite.
+    */
+  object RewriteSelfDot extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      plan.transformAllExpressions {
+        case DotProductF(a, b) if a.semanticEquals(b) => L2NormSqF(a)
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // KMV distinct sketch
+  // ---------------------------------------------------------------------
+
+  /** splitmix64 finalizer over an FNV-1a pass: deterministic 64-bit
+    * hash for Long/String inputs (public-domain constructions).
+    */
+  private[functions] def hashAny(v: Any): Long = {
+    val base = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: UTF8String =>
+        var h = 0xcbf29ce484222325L
+        val bytes = s.getBytes
+        var i = 0
+        while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+        h
+      case other => other.hashCode().toLong
+    }
+    var z = base + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  case class KmvDistinct(
+      child: Expression,
+      k: Int = 256,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_kmv_distinct"
+
+    override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long]()
+
+    private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+      buf.add(h)
+      if (buf.size() > k) buf.pollLast()
+    }
+
+    override def update(
+        buf: java.util.TreeSet[java.lang.Long], input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) insert(buf, hashAny(v) >>> 1) // keep non-negative
+      buf
+    }
+
+    override def merge(
+        buf: java.util.TreeSet[java.lang.Long],
+        other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+      val it = other.iterator()
+      while (it.hasNext) insert(buf, it.next())
+      buf
+    }
+
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+      val n = buf.size()
+      if (n < k) n.toLong
+      else {
+        // k-th minimum of n uniform draws over [0, 2^63):
+        // E[distinct] ≈ (k-1) * 2^63 / h_k
+        val hk = buf.last().longValue().toDouble
+        math.round((k - 1).toDouble * 9.223372036854776e18 / hk)
+      }
+    }
+
+    override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + buf.size() * 8)
+      bb.putInt(buf.size())
+      val it = buf.iterator()
+      while (it.hasNext) bb.putLong(it.next().longValue())
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i < n) { buf.add(bb.getLong); i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinct =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren.head)
+  }
+
+  // ---------------------------------------------------------------------
+  // Registration
+  // ---------------------------------------------------------------------
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot_f" -> (es => DotProductF(es(0), es(1))),
+    "graft_norm_sq_f" -> (es => L2NormSqF(es.head)),
+    "graft_kmv_distinct" -> { es =>
+      val k = es.lift(1).map(_.eval(null).toString.toInt).getOrElse(256)
+      KmvDistinct(es.head, k).toAggregateExpression()
+    })
+
+  /** Runtime registration on a live session (what the driver-facing
+    * queries use — the driver builds its own plain session).
+    */
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+  }
+}
+
+/** Proper deployment path: `SparkSession.builder().withExtensions(new
+  * GraftExtensions)` (or `spark.sql.extensions=graft.functions
+  * .GraftExtensions`) injects the functions at session build time plus
+  * the self-dot optimizer rule.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_dot_f"),
+      new ExpressionInfo(classOf[GraftExpressions.DotProductF].getName, "graft_dot_f"),
+      (es: Seq[Expression]) => GraftExpressions.DotProductF(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("graft_norm_sq_f"),
+      new ExpressionInfo(classOf[GraftExpressions.L2NormSqF].getName, "graft_norm_sq_f"),
+      (es: Seq[Expression]) => GraftExpressions.L2NormSqF(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_kmv_distinct"),
+      new ExpressionInfo(classOf[GraftExpressions.KmvDistinct].getName, "graft_kmv_distinct"),
+      (es: Seq[Expression]) => GraftExpressions.KmvDistinct(es.head).toAggregateExpression()))
+    e.injectOptimizerRule(_ => GraftExpressions.RewriteSelfDot)
+  }
+}

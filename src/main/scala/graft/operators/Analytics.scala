@@ -73,8 +73,23 @@ object Analytics {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Approximate distinct via the custom KMV TypedImperativeAggregate
+    * (mergeable sketch → map-side combine, one tiny shuffle). Exact
+    * column alongside for error visibility; no SQL oracle (sketch
+    * output), driver records rows-only. The test suite asserts the
+    * estimate lands within 20% of exact.
+    */
+  def qApproxDistinctKmv(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(s)
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("graft_kmv_distinct(l_partkey)").as("kmv_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+  }
+
   /** Distinct-count family: exact distinct (shuffle on key) — the
-    * scale-path approximate variant lives in DedupOps (HLL sketch).
+    * scale-path approximate variant is qApproxDistinctKmv (KMV sketch).
     */
   def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "lineitem")
@@ -494,6 +509,7 @@ object Analytics {
     "q3_shipping_priority" -> (q3ShippingPriority(_, _)),
     "q5_region_revenue" -> (q5RegionRevenue(_, _)),
     "q_distinct_agg" -> (qDistinctAgg(_, _)),
+    "q_approx_distinct_kmv" -> (qApproxDistinctKmv(_, _)),
     "q_rollup" -> (qRollup(_, _)),
     "q_cube" -> (qCube(_, _)),
     "q_grouping_sets" -> (qGroupingSets(_, _)),

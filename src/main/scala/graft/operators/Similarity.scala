@@ -32,20 +32,29 @@ object Similarity {
   private val QueryId = 0
   private val NProbe = 2
 
-  import DedupOps.{dot, norm}
+  /** Cosine kernels run on the custom codegen'd expressions
+    * (GraftExpressions.DotProductF / L2NormSqF) — identical
+    * accumulation order to the HOF fold they replaced, so the DuckDB
+    * oracles are unchanged; the hot loop is a plain generated `for`
+    * over the unsafe float array.
+    */
+  private def withNorm(s: SparkSession, df: DataFrame): DataFrame = {
+    graft.functions.GraftExpressions.register(s)
+    df.select(col("vec_id"), col("embedding"),
+      sqrt(expr("graft_norm_sq_f(embedding)")).as("nrm"))
+  }
 
-  private def withNorm(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+  private def dotE(a: String, b: String): Column = expr(s"graft_dot_f($a, $b)")
 
   /** Brute-force exact cosine top-k for query vector `QueryId`. */
   def annBrute(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables(s, dir, "embeddings"))
+    val e = withNorm(s, Tables(s, dir, "embeddings"))
     val q = e.where(col("vec_id") === QueryId)
       .select(col("embedding").as("qe"), col("nrm").as("qn"))
     e.where(col("vec_id") =!= QueryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        (dot(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("cosine"))
+        (dotE("embedding", "qe") / (col("nrm") * col("qn"))).as("cosine"))
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(K)
   }
@@ -69,7 +78,7 @@ object Similarity {
     val byVec = Window.partitionBy("vec_id").orderBy(desc("cos_c"), asc("cid"))
     e.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
-        (dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("cos_c"))
+        (dotE("embedding", "ce") / (col("nrm") * col("cn"))).as("cos_c"))
       .withColumn("rk", row_number().over(byVec))
       .where(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
@@ -77,21 +86,21 @@ object Similarity {
 
   /** IVF probe: search only the NProbe cells nearest the query. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables(s, dir, "embeddings"))
+    val e = withNorm(s, Tables(s, dir, "embeddings"))
     val centroids = e.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
     val cells = assignCells(e, centroids)
     val q = cells.where(col("vec_id") === QueryId)
       .select(col("embedding").as("qe"), col("nrm").as("qn"))
     val probeCells = centroids.crossJoin(broadcast(q))
-      .select(col("cid"), (dot(col("ce"), col("qe")) / (col("cn") * col("qn"))).as("cos_q"))
+      .select(col("cid"), (dotE("ce", "qe") / (col("cn") * col("qn"))).as("cos_q"))
       .orderBy(desc("cos_q"), asc("cid")).limit(NProbe)
       .select("cid")
     cells.join(broadcast(probeCells), cells("cell") === probeCells("cid"), "left_semi")
       .where(col("vec_id") =!= QueryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cell"),
-        (dot(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("cosine"))
+        (dotE("embedding", "qe") / (col("nrm") * col("qn"))).as("cosine"))
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(K)
   }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.functions.{GraftExpressions, GraftExtensions}
+import graft.operators.DedupOps
+import graft.sources.Tables
+
+class GraftExpressionsSpec extends SparkSuite {
+
+  test("codegen dot product is bit-identical to the HOF fold") {
+    GraftExpressions.register(sc)
+    val e = Tables(spark, sfDir, "embeddings").limit(50)
+    val hof = e.select(col("vec_id"),
+      aggregate(zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gen = e.select(col("vec_id"), expr("graft_dot_f(embedding, embedding)").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hof == gen) // exact double equality, not approximate
+  }
+
+  test("norm_sq equals self-dot exactly") {
+    GraftExpressions.register(sc)
+    val e = Tables(spark, sfDir, "embeddings").limit(50)
+    val rows = e.select(
+      expr("graft_dot_f(embedding, embedding)").as("d"),
+      expr("graft_norm_sq_f(embedding)").as("n")).collect()
+    assert(rows.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("KMV sketch estimates distinct within 20%") {
+    GraftExpressions.register(sc)
+    val rows = graft.operators.Analytics
+      .queries("q_approx_distinct_kmv")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val kmv = r.getAs[Long]("kmv_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(kmv - exact) / exact < 0.2, s"kmv=$kmv exact=$exact")
+    }
+  }
+
+  test("KMV sketch merge path: estimate is stable across partitioning") {
+    GraftExpressions.register(sc)
+    val li = Tables(spark, sfDir, "lineitem")
+    val one = li.coalesce(1)
+      .agg(expr("graft_kmv_distinct(l_partkey)")).collect()(0).getLong(0)
+    val many = li.repartition(13)
+      .agg(expr("graft_kmv_distinct(l_partkey)")).collect()(0).getLong(0)
+    assert(one == many) // KMV merge is exact: same k minima regardless of split
+  }
+
+  test("self-dot optimizer rule rewrites dot_f(x,x) -> norm_sq_f(x)") {
+    // the deployment path is withExtensions(new GraftExtensions); in the
+    // shared test JVM we use the public per-session hook instead (a
+    // second getOrCreate would ignore withExtensions)
+    new GraftExtensions() // instantiable
+    GraftExpressions.register(sc)
+    spark.experimental.extraOptimizations =
+      Seq(GraftExpressions.RewriteSelfDot)
+    try {
+      // parquet-backed input so ConvertToLocalRelation can't fold the
+      // whole query away before the rewrite is observable
+      Tables(spark, sfDir, "embeddings").createOrReplaceTempView("emb_vt")
+      val q = spark.sql(
+        "SELECT graft_dot_f(embedding, embedding) AS d FROM emb_vt WHERE vec_id = 1")
+      val viaNorm = spark.sql(
+        "SELECT graft_norm_sq_f(embedding) AS d FROM emb_vt WHERE vec_id = 1")
+      assert(q.collect()(0).getDouble(0) == viaNorm.collect()(0).getDouble(0))
+      assert(q.queryExecution.optimizedPlan.toString.contains("graft_norm_sq_f"))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+}
