@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.HfpPipeline
+import graft.sources.JdbcSink
+
+/** Scale-pattern checks: partition-pruned re-reads of the routed sink
+  * output, and streaming dedup as the streaming twin of A1.
+  */
+class ScaleSpec extends SparkSuite {
+
+  test("oday-partitioned sink output prunes partitions on re-read") {
+    val base = Files.createTempDirectory("graft-sink").toString
+    val out = HfpPipeline.full(sc, sfDir)
+    JdbcSink.writeParquet(out.where(col("target_table") === "vehicleposition")
+      .drop("target_table"), base, "vehicleposition")
+    val days = spark.read.parquet(s"$base/vehicleposition")
+      .select("oday").distinct().collect().map(_.get(0)).filter(_ != null)
+    assert(days.length > 1)
+    val one = spark.read.parquet(s"$base/vehicleposition")
+      .where(col("oday") === lit(days.head.toString))
+    val p = one.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(oday"), p.take(1500))
+    assert(one.count() > 0)
+  }
+
+  test("streaming dedup: dropDuplicates on the key stream") {
+    import graft.streaming.EventsStream
+    val events = EventsStream.readEvents(sc, sfDir, "events.parquet")
+    val deduped = events
+      .withColumn("dup_key", pmod(col("event_id"), lit(100)))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("dup_key")
+    val q = EventsStream.runToMemory(spark, deduped, "dedup_test")
+    try {
+      val n = spark.sql("SELECT count(DISTINCT dup_key) c, count(*) n FROM dedup_test")
+        .collect()(0)
+      assert(n.getLong(0) == n.getLong(1)) // exactly one row per key
+      assert(n.getLong(1) == 100L)
+    } finally q.stop()
+  }
+
+  test("salted aggregation equals the direct formulation") {
+    val salted = graft.operators.ScaleOps.queries("q_salted_agg")(sc, sfDir).collect()
+    val direct = graft.sources.Tables(sc, sfDir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+      .orderBy("event_type").collect()
+    assert(salted.toSeq == direct.toSeq)
+  }
+}
