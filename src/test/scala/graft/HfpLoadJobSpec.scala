@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.jobs.HfpLoadJob
+import graft.sources.HfpCsvSource
+
+/** End-to-end day-load: counts, routing, and the reference's central
+  * operational property — re-running a day inserts nothing.
+  */
+class HfpLoadJobSpec extends SparkSuite {
+
+  private val date = "2021-02-09"
+
+  private def row(overrides: Map[String, String]): String =
+    HfpCsvSource.columns.map(c => overrides.getOrElse(c, "x")).mkString(",")
+
+  private def writeArchive(): String = {
+    val root = Files.createTempDirectory("hfparchive").toString
+    def put(group: String, name: String, lines: Seq[String]): Unit = {
+      val d = Paths.get(root, "csv", group)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve(name), lines.mkString("\n") + "\n")
+    }
+    put("StopEvent", s"$date-0.csv", Seq(
+      row(Map("uuid" -> "s1", "oday" -> date, "journey_type" -> "journey")),
+      row(Map("uuid" -> "s2", "oday" -> date, "journey_type" -> "journey")),
+      row(Map("uuid" -> "", "oday" -> date)))) // dropped by C4
+    put("OtherEvent", s"$date-0.csv", Seq(
+      row(Map("uuid" -> "o1", "oday" -> date))))
+    put("VehiclePosition", s"$date-0.csv", Seq(
+      row(Map("uuid" -> "v1", "oday" -> date, "journey_type" -> "journey")),
+      row(Map("uuid" -> "v2", "oday" -> date, "journey_type" -> "deadrun")), // -> unsigned
+      row(Map("uuid" -> "v3", "oday" -> date, "journey_type" -> "journey"))))
+    root
+  }
+
+  test("loadDay routes, filters, and is idempotent on re-run") {
+    val root = writeArchive()
+    val sink = Files.createTempDirectory("hfpsink").toString
+    val first = HfpLoadJob.loadDay(sc, root, sink, date)
+    assert(first == Map(
+      "stopevent" -> 2L, "otherevent" -> 1L,
+      "vehicleposition" -> 2L, "unsignedevent" -> 1L))
+    // the reference's core contract: a re-run of the same day is a no-op
+    val second = HfpLoadJob.loadDay(sc, root, sink, date)
+    assert(second.values.forall(_ == 0L), second.toString)
+    // partial re-run with extra data: only the new row lands (late data)
+    val d = Paths.get(root, "csv", "StopEvent")
+    Files.writeString(d.resolve(s"$date-1.csv"),
+      row(Map("uuid" -> "s3", "oday" -> date, "journey_type" -> "journey")) + "\n")
+    val third = HfpLoadJob.loadDay(sc, root, sink, date)
+    assert(third("stopevent") == 1L && third.values.sum == 1L)
+    // sink contents: correct uuids per table
+    val vp = spark.read.parquet(s"$sink/vehicleposition")
+      .select("uuid").collect().map(_.getString(0)).toSet
+    assert(vp == Set("v1", "v3"))
+    val un = spark.read.parquet(s"$sink/unsignedevent")
+      .select("uuid").collect().map(_.getString(0)).toSet
+    assert(un == Set("v2"))
+  }
+}
