@@ -62,11 +62,26 @@ object DedupOps {
     docs.select(col("doc_id"), explode(arr).as("shingle"))
   }
 
+  /** Distinct shingles carried as their 60-bit hash: joins and minhash
+    * run on a bigint key instead of a ~30-char string (half the shuffle
+    * bytes, cheap equality). Hash collisions would merge shingles —
+    * probability ~n²/2^61, and the oracle hashes identically, so even a
+    * collision stays oracle-exact.
+    */
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    // shingles are already distinct per doc (array_distinct) — hashing
+    // preserves that short of an intra-doc 60-bit collision
+    // (~100²/2^61 per doc ≈ 4e-18; the oracle's DISTINCT would merge
+    // such a pair, and the driver's compare would surface it), so no
+    // global distinct shuffle is spent here
+    shingles(docs).select(col("doc_id"),
+      PortableHash.hash64(col("shingle")).as("h"))
+
   /** DuckDB mirror: lateral generate_series is unsupported in 1.0, so a
     * bounded `range` cross join + filter plays the index source.
     */
   private val shinglesSql =
-    """SELECT DISTINCT doc_id, shingle FROM (
+    s"""SELECT DISTINCT doc_id, ${PortableHash.sql("shingle")} AS h FROM (
       |  SELECT d.doc_id, d.toks[i] || ' ' || d.toks[i+1] || ' ' || d.toks[i+2] AS shingle
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d
       |  CROSS JOIN range(1, 4001) t(i) WHERE i <= len(d.toks) - 2)""".stripMargin
@@ -75,9 +90,9 @@ object DedupOps {
   private def jaccardFor(cands: DataFrame, sh: DataFrame): DataFrame = {
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
-      .join(sh.select(col("doc_id").as("a"), col("shingle").as("sh_a")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("shingle").as("sh_b")), "b")
-      .where(col("sh_a") === col("sh_b"))
+      .join(sh.select(col("doc_id").as("a"), col("h").as("h_a")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("h").as("h_b")), "b")
+      .where(col("h_a") === col("h_b"))
       .groupBy("a", "b").agg(count(lit(1)).as("ni"))
     inter
       .join(cnt.select(col("doc_id").as("a"), col("n").as("na")), "a")
@@ -108,7 +123,7 @@ object DedupOps {
 
   /** doc_id + sig0..sig15 columns. */
   private def minhashSigs(sh: DataFrame): DataFrame = {
-    val base = PortableHash.hash64(col("shingle")) % MersenneP
+    val base = col("h") % MersenneP
     val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
       min((base * a + b) % MersenneP).as(s"sig$i")
     }
@@ -125,7 +140,7 @@ object DedupOps {
   }
 
   def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables(s, dir, "documents")).cache()
+    val sh = shingleHashes(Tables(s, dir, "documents")).cache()
     val banded = bandKeys(minhashSigs(sh))
     val cands = (0 until NumBands).map { b =>
       val l = banded.select(col("doc_id").as("a"), col(s"band$b").as("bk"))
@@ -138,7 +153,7 @@ object DedupOps {
   }
 
   private val ddMinhashSql = {
-    val baseH = s"(${PortableHash.sql("shingle")} % $MersenneP)"
+    val baseH = s"(h % $MersenneP)"
     val sigExprs = perms.zipWithIndex
       .map { case ((a, b), i) => s"min(($baseH * $a + $b) % $MersenneP) AS sig$i" }
       .mkString(",\n  ")
@@ -156,7 +171,7 @@ object DedupOps {
        |cands AS ($unions),
        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT c.a, c.b, COUNT(*) AS ni FROM cands c
-       |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle
+       |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sa.h = sb.h
        |  GROUP BY c.a, c.b)
        |SELECT i.a, i.b, CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jaccard
        |FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
@@ -171,10 +186,10 @@ object DedupOps {
   def ddNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     // intersections come straight off the shingle self-join — no
     // separate candidate pass (the oracle has the same single-pass shape)
-    val sh = shingles(Tables(s, dir, "documents")).cache()
+    val sh = shingleHashes(Tables(s, dir, "documents")).cache()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("b"), col("shingle")), "shingle")
+    val inter = sh.select(col("doc_id").as("a"), col("h"))
+      .join(sh.select(col("doc_id").as("b"), col("h")), "h")
       .where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("ni"))
     inter
@@ -190,7 +205,7 @@ object DedupOps {
     s"""WITH sh AS ($shinglesSql),
        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS ni FROM sh sa
-       |  JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+       |  JOIN sh sb ON sa.h = sb.h AND sa.doc_id < sb.doc_id
        |  GROUP BY 1, 2)
        |SELECT i.a, i.b, CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jaccard
        |FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
@@ -206,12 +221,19 @@ object DedupOps {
 
   def ddSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val tokHash = PortableHash.hash64(col("tok"))
+    // hash the (tiny) distinct-token dictionary once and broadcast it;
+    // bit votes weight by per-doc token counts — identical sums to
+    // hashing every occurrence (Σ±1 over occurrences = Σ cnt·(±1)),
+    // with the md5 count dropping from |corpus tokens| to |vocabulary|
     val exploded = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), tokHash.as("h"))
+    val tokCounts = exploded.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    val dict = exploded.select("tok").distinct()
+      .select(col("tok"), PortableHash.hash64(col("tok")).as("h"))
+    val weighted = tokCounts.join(broadcast(dict), "tok")
     val bitSums = (0 until SimBits).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j"))
-    val summed = exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s$j"))
+    val summed = weighted.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val fp = (0 until SimBits)
       .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
