@@ -60,6 +60,26 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) => writeBatch(batch, id) }
 
+  case class UserCount(user_id: Long, n: Long)
+
+  /** Custom streaming state via mapGroupsWithState: a running per-user
+    * event count that survives across micro-batches. State is bounded
+    * by key cardinality (or a configured timeout for expiring users) —
+    * the `KeyValueGroupedDataset` custom-state tier below windowed aggs.
+    */
+  def runningUserCounts(spark: SparkSession, events: DataFrame) = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          UserCount(uid, n)
+      }
+  }
+
   /** Synchronous smoke runner for tests: memory sink, drain, return. */
   def runToMemory(spark: SparkSession, agg: DataFrame, name: String): StreamingQuery = {
     val q = agg.writeStream

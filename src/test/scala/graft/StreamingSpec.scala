@@ -24,4 +24,41 @@ class StreamingSpec extends SparkSuite {
       got.foreach { case (k, n) => assert(batch(k) == n, s"window $k") }
     } finally q.stop()
   }
+
+  test("mapGroupsWithState keeps running per-user counts across batches") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val events = EventsStream.readEvents(sc, sfDir, "events.parquet")
+    val counts = EventsStream.runningUserCounts(spark, events)
+    val q = counts.writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName("usercounts_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    try {
+      // last state per user == the batch group count
+      val got = spark.sql(
+        "SELECT user_id, max(n) AS n FROM usercounts_test GROUP BY user_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = graft.sources.Tables(sc, sfDir, "events")
+        .groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("query-execution listener records durations; tumbling mean works") {
+    val l = Metrics.attach(sc)
+    try {
+      graft.sources.Tables(sc, sfDir, "events").count()
+      graft.sources.Tables(sc, sfDir, "orders").count()
+      // listener callbacks are async; poll briefly
+      val deadline = System.currentTimeMillis() + 5000
+      while (l.succeeded.get() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(l.succeeded.get() >= 2)
+      assert(l.meanSeconds > 0.0)
+    } finally Metrics.remove(spark, l)
+    assert(Metrics.tumblingMeans(Seq(1.0, 3.0, 5.0, 7.0), chunk = 2) == Seq(2.0, 6.0))
+  }
 }
