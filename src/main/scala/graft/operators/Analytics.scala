@@ -499,6 +499,65 @@ object Analytics {
       |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
+  /** Bitwise family (over key columns; exact integer ops). */
+  def qBitwiseFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").bitwiseAND(lit(255L)).as("and255"),
+        col("l_orderkey").bitwiseOR(lit(4096L)).as("or4096"),
+        col("l_orderkey").bitwiseXOR(col("l_partkey")).as("xor_part"),
+        shiftright(col("l_orderkey"), 4).as("shr4"),
+        shiftleft(col("l_linenumber").cast(LongType), 2).as("shl2"),
+        bit_count(col("l_orderkey")).cast(LongType).as("popcount"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val qBitwiseSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_orderkey & 255 AS and255,
+      |  l_orderkey | 4096 AS or4096,
+      |  xor(l_orderkey, l_partkey) AS xor_part,
+      |  l_orderkey >> 4 AS shr4,
+      |  CAST(l_linenumber AS BIGINT) << 2 AS shl2,
+      |  CAST(bit_count(l_orderkey) AS BIGINT) AS popcount
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Trig/transcendental family (rounded at 6 — libm last-ulp). */
+  def qTrigFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "supplier")
+      .select(col("s_suppkey"),
+        round(sin(col("s_acctbal") / lit(1000.0)), 6).as("sin_bal"),
+        round(cos(col("s_acctbal") / lit(1000.0)), 6).as("cos_bal"),
+        round(atan2(col("s_acctbal"), lit(100.0)), 6).as("atan2_bal"),
+        round(degrees(atan(col("s_acctbal") / lit(1000.0))), 6).as("deg_atan"),
+        round(pow(abs(col("s_acctbal")) + lit(1.0), lit(0.25)), 6).as("pow_q"))
+      .orderBy("s_suppkey")
+
+  private val qTrigSql =
+    """SELECT s_suppkey,
+      |  round(sin(s_acctbal / 1000.0), 6) AS sin_bal,
+      |  round(cos(s_acctbal / 1000.0), 6) AS cos_bal,
+      |  round(atan2(s_acctbal, 100.0), 6) AS atan2_bal,
+      |  round(degrees(atan(s_acctbal / 1000.0)), 6) AS deg_atan,
+      |  round(pow(abs(s_acctbal) + 1.0, 0.25), 6) AS pow_q
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  /** Correlated scalar subquery through the SQL frontend. */
+  def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders")
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |   FROM lineitem WHERE l_orderkey = o_orderkey) AS total_qty
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val qScalarSubquerySql =
+    """SELECT o_orderkey, o_totalprice,
+      |  (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |   FROM lineitem WHERE l_orderkey = o_orderkey) AS total_qty
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -526,6 +585,9 @@ object Analytics {
     "q_cond_funcs" -> (qCondFuncs(_, _)),
     "q_json_funcs" -> (qJsonFuncs(_, _)),
     "q_array_funcs" -> (qArrayFuncs(_, _)),
+    "q_bitwise_funcs" -> (qBitwiseFuncs(_, _)),
+    "q_trig_funcs" -> (qTrigFuncs(_, _)),
+    "q_scalar_subquery" -> (qScalarSubquery(_, _)),
     "q_tumbling_window" -> (qTumblingWindow(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -550,5 +612,8 @@ object Analytics {
     "q_cond_funcs" -> qCondSql,
     "q_json_funcs" -> qJsonSql,
     "q_array_funcs" -> qArraySql,
+    "q_bitwise_funcs" -> qBitwiseSql,
+    "q_trig_funcs" -> qTrigSql,
+    "q_scalar_subquery" -> qScalarSubquerySql,
     "q_tumbling_window" -> qTumblingSql)
 }

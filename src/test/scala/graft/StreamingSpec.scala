@@ -47,6 +47,21 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch sink routes micro-batches through the batch writer") {
+    val outDir = java.nio.file.Files.createTempDirectory("fb-sink").toString
+    val events = EventsStream.readEvents(sc, sfDir, "events.parquet")
+    val agg = EventsStream.hourlyCounts(events)
+    val q = EventsStream.sinkTo(agg, (batch, _) =>
+      if (!batch.isEmpty) batch.write.mode("append").parquet(s"$outDir/hourly"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val written = spark.read.parquet(s"$outDir/hourly")
+    assert(written.count() > 0)
+    assert(written.columns.toSet ==
+      Set("hour_start", "event_type", "n", "sum_value"))
+  }
+
   test("query-execution listener records durations; tumbling mean works") {
     val l = Metrics.attach(sc)
     try {
