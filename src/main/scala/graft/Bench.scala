@@ -17,10 +17,15 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$n.parquet").schema
       catch { case _: Throwable => () }
     }
+    // min of two runs per query: first run may pay codegen JIT; min is
+    // the steady-state figure and is robust to background-load noise
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -124,13 +124,34 @@ object AdvancedOps {
        |FROM orders GROUP BY year(o_orderdate) ORDER BY o_year""".stripMargin
   }
 
+  /** Grouped top-k through the custom physical operator
+    * (graft.plans.GroupedTopK): per-group bounded heaps instead of the
+    * full window sort. Oracle is the window formulation in DuckDB —
+    * two entirely different algorithms that must agree row-for-row.
+    */
+  def qGroupedTopK(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(s, dir, "orders")
+    graft.plans.GroupedTopK(ord, s,
+      Seq(col("o_custkey")), col("o_totalprice"), col("o_orderkey"), 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy(asc("o_custkey"), desc("o_totalprice"), asc("o_orderkey"))
+  }
+
+  private val qGroupedTopKSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3
+      |ORDER BY o_custkey ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouped_topk" -> (qGroupedTopK(_, _)),
     "q_asof_join" -> (qAsofJoin(_, _)),
     "q_sessionize" -> (qSessionize(_, _)),
     "q_percentiles" -> (qPercentiles(_, _)),
     "q_pivot" -> (qPivot(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_grouped_topk" -> qGroupedTopKSql,
     "q_asof_join" -> qAsofSql,
     "q_sessionize" -> qSessionizeSql,
     "q_percentiles" -> qPercentilesSql,
