@@ -308,6 +308,33 @@ object Analytics {
       |FROM customer
       |ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC""".stripMargin
 
+  /** Distribution window family: percent_rank / cume_dist / ntile /
+    * nth_value (full-frame).
+    */
+  def qWindowDist(s: SparkSession, dir: String): DataFrame = {
+    val byBal = Window.partitionBy("c_mktsegment").orderBy(desc("c_acctbal"))
+    val byBalKey = Window.partitionBy("c_mktsegment")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    val fullFrame = byBalKey.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        percent_rank().over(byBal).as("pct_rank"),
+        cume_dist().over(byBal).as("cume"),
+        ntile(4).over(byBalKey).cast(LongType).as("quartile"),
+        nth_value(col("c_custkey"), 2).over(fullFrame).as("second_richest"))
+      .orderBy(asc("c_mktsegment"), desc("c_acctbal"), asc("c_custkey"))
+  }
+
+  private val qWindowDistSql =
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+      |  percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS pct_rank,
+      |  cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS cume,
+      |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS quartile,
+      |  nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_richest
+      |FROM customer
+      |ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC""".stripMargin
+
   /** lag/lead analytics over each customer's order history. */
   def qWindowLag(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(asc("o_orderdate"), asc("o_orderkey"))
@@ -577,6 +604,7 @@ object Analytics {
     "q_set_intersect" -> (qSetIntersect(_, _)),
     "q_set_except" -> (qSetExcept(_, _)),
     "q_window_rank" -> (qWindowRank(_, _)),
+    "q_window_dist" -> (qWindowDist(_, _)),
     "q_window_lag" -> (qWindowLag(_, _)),
     "q_window_frame" -> (qWindowFrame(_, _)),
     "q_string_funcs" -> (qStringFuncs(_, _)),
@@ -604,6 +632,7 @@ object Analytics {
     "q_set_intersect" -> qIntersectSql,
     "q_set_except" -> qExceptSql,
     "q_window_rank" -> qWindowRankSql,
+    "q_window_dist" -> qWindowDistSql,
     "q_window_lag" -> qWindowLagSql,
     "q_window_frame" -> qWindowFrameSql,
     "q_string_funcs" -> qStringSql,

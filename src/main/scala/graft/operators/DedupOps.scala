@@ -139,20 +139,27 @@ object DedupOps {
     sigs.select(col("doc_id") +: bands: _*)
   }
 
-  def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(Tables(s, dir, "documents")).cache()
+  /** LSH candidate pairs (a < b) — shared by the Jaccard verify and the
+    * edit-distance verify.
+    */
+  private[operators] def lshCandidates(sh: DataFrame): DataFrame = {
     val banded = bandKeys(minhashSigs(sh))
-    val cands = (0 until NumBands).map { b =>
+    (0 until NumBands).map { b =>
       val l = banded.select(col("doc_id").as("a"), col(s"band$b").as("bk"))
       val r = banded.select(col("doc_id").as("b"), col(s"band$b").as("bk"))
       l.join(r, "bk").where(col("a") < col("b")).select("a", "b")
     }.reduce(_ union _).distinct()
-    jaccardFor(cands, sh)
+  }
+
+  def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(Tables(s, dir, "documents")).cache()
+    jaccardFor(lshCandidates(sh), sh)
       .where(col("jaccard") >= JaccardThreshold)
       .orderBy("a", "b")
   }
 
-  private val ddMinhashSql = {
+  /** The WITH-chain producing `cands` in DuckDB (shared). */
+  private val candsSqlChain = {
     val baseH = s"(h % $MersenneP)"
     val sigExprs = perms.zipWithIndex
       .map { case ((a, b), i) => s"min(($baseH * $a + $b) % $MersenneP) AS sig$i" }
@@ -165,10 +172,14 @@ object DedupOps {
     val unions = (0 until NumBands).map(b =>
       s"SELECT x.doc_id AS a, y.doc_id AS b FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id")
       .mkString("\n  UNION\n  ")
-    s"""WITH sh AS ($shinglesSql),
+    s"""sh AS ($shinglesSql),
        |sigs AS (SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id),
        |banded AS (SELECT doc_id, $bandExprs FROM sigs),
-       |cands AS ($unions),
+       |cands AS ($unions)""".stripMargin
+  }
+
+  private val ddMinhashSql = {
+    s"""WITH $candsSqlChain,
        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT c.a, c.b, COUNT(*) AS ni FROM cands c
        |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sa.h = sb.h
@@ -178,6 +189,37 @@ object DedupOps {
        |WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= $JaccardThreshold
        |ORDER BY a, b""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // Edit distance over LSH candidates
+  // ---------------------------------------------------------------------
+
+  /** Character-level verification tier: exact Levenshtein distance on
+    * the LSH candidate pairs (never all-pairs — the O(len²) kernel only
+    * runs on the tiny candidate set, the composition that scales).
+    */
+  def ddEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val sh = shingleHashes(docs).cache()
+    lshCandidates(sh)
+      .join(docs.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+      .select(col("a"), col("b"),
+        levenshtein(col("ta"), col("tb")).cast(LongType).as("edit_dist"),
+        (lit(1.0) - levenshtein(col("ta"), col("tb")).cast(DoubleType) /
+          greatest(length(col("ta")), length(col("tb")))).as("similarity"))
+      .orderBy("a", "b")
+  }
+
+  private val ddEditDistanceSql =
+    s"""WITH $candsSqlChain
+       |SELECT c.a, c.b,
+       |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+       |  1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+       |      / greatest(length(da.text), length(db.text)) AS similarity
+       |FROM cands c JOIN documents da ON da.doc_id = c.a
+       |JOIN documents db ON db.doc_id = c.b
+       |ORDER BY a, b""".stripMargin
 
   // ---------------------------------------------------------------------
   // n-gram Jaccard (all candidate pairs sharing any shingle)
@@ -330,6 +372,7 @@ object DedupOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact(_, _)),
     "dd_minhash_lsh" -> (ddMinhashLsh(_, _)),
+    "dd_edit_distance" -> (ddEditDistance(_, _)),
     "dd_ngram_jaccard" -> (ddNgramJaccard(_, _)),
     "dd_simhash" -> (ddSimhash(_, _)),
     "dd_embed_cosine" -> (ddEmbedCosine(_, _)))
@@ -337,6 +380,7 @@ object DedupOps {
   def oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_minhash_lsh" -> ddMinhashSql,
+    "dd_edit_distance" -> ddEditDistanceSql,
     "dd_ngram_jaccard" -> ddNgramSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_embed_cosine" -> ddEmbedSql)
