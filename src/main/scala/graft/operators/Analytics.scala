@@ -526,6 +526,21 @@ object Analytics {
       |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
+  /** Lateral/generator family: posexplode of the embedding arrays
+    * (1-based positions to match SQL convention).
+    */
+  def qExplode(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .where(col("vec_id") < 20)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("pos"), col("col").as("val"))
+      .orderBy("vec_id", "pos")
+
+  private val qExplodeSql =
+    """SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+      |  unnest(embedding) AS val
+      |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id, pos""".stripMargin
+
   /** Bitwise family (over key columns; exact integer ops). */
   def qBitwiseFuncs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "lineitem")
@@ -613,6 +628,7 @@ object Analytics {
     "q_cond_funcs" -> (qCondFuncs(_, _)),
     "q_json_funcs" -> (qJsonFuncs(_, _)),
     "q_array_funcs" -> (qArrayFuncs(_, _)),
+    "q_explode" -> (qExplode(_, _)),
     "q_bitwise_funcs" -> (qBitwiseFuncs(_, _)),
     "q_trig_funcs" -> (qTrigFuncs(_, _)),
     "q_scalar_subquery" -> (qScalarSubquery(_, _)),
@@ -641,6 +657,7 @@ object Analytics {
     "q_cond_funcs" -> qCondSql,
     "q_json_funcs" -> qJsonSql,
     "q_array_funcs" -> qArraySql,
+    "q_explode" -> qExplodeSql,
     "q_bitwise_funcs" -> qBitwiseSql,
     "q_trig_funcs" -> qTrigSql,
     "q_scalar_subquery" -> qScalarSubquerySql,
