@@ -17,12 +17,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     HfpPipeline.queries ++ Analytics.queries ++ TextAnalysis.queries ++
       DedupOps.queries ++ Similarity.queries ++ Multimodal.queries ++
-      AdvancedOps.queries ++ ScaleOps.queries
+      AdvancedOps.queries ++ ScaleOps.queries ++ KMeansIvf.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     HfpPipeline.oracles ++ Analytics.oracles ++ TextAnalysis.oracles ++
       DedupOps.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      AdvancedOps.oracles ++ ScaleOps.oracles
+      AdvancedOps.oracles ++ ScaleOps.oracles ++ KMeansIvf.oracles
 }

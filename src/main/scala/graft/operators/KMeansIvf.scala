@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Distributed Lloyd's k-means over the embedding table — the trainer
+  * that upgrades Similarity's IVF from sampled centroids to trained
+  * cells — built so that EVERY arithmetic step is engine-portable and
+  * the whole training run has an exact DuckDB oracle:
+  *
+  *  - cluster assignment minimizes `-2·v·c + |c|²` (the |v|² term is
+  *    constant per vector and dropped), with dot products computed as
+  *    sequential left-to-right folds — deterministic and identical in
+  *    both engines;
+  *  - centroid updates quantize coordinates by an EXACT power-of-two
+  *    scale (`floor(v·2^48)` — multiplying a double by 2^48 only
+  *    shifts the exponent, so it is exact in both engines; decimal
+  *    casts are NOT portable for arbitrary doubles) and sum the
+  *    resulting integers exactly — summation-order-independent, so the
+  *    new centroids are bit-identical regardless of partitioning;
+  *  - ties in assignment break to the lowest centroid id.
+  *
+  * Scale shape per iteration: one broadcast of the k centroid arrays,
+  * one narrow assignment pass, one shuffle on (cell, dim) for the
+  * update — the canonical distributed k-means. Iterations are a fixed
+  * small constant (2) here; a production trainer loops to convergence
+  * with the same two stages.
+  */
+object KMeansIvf {
+
+  private val Iterations = 2
+  private val SeedMod = 200 // centroid seeds: vec_id % 200 == 0
+  private val Pow2_48 = 281474976710656.0 // exact power-of-two quantizer
+
+  private def dotFold(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def normSqD(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
+  /** One Lloyd iteration: assign to argmin cell, then decimal-exact
+    * per-dimension means. `cents`: (cid: Long, ce: Array[Double]).
+    */
+  private def iterate(e: DataFrame, ve: DataFrame, cents: DataFrame): DataFrame = {
+    val byVec = Window.partitionBy("vec_id").orderBy(asc("score"), asc("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        col("cid"),
+        (lit(-2.0) * dotFold(col("embedding"), col("ce")) + normSqD(col("ce"))).as("score"))
+      .withColumn("rk", row_number().over(byVec))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    ve.join(assigned, "vec_id")
+      .groupBy(col("cell").as("cid"), col("pos"))
+      .agg((sum(floor(col("v") * lit(Pow2_48))).cast(DoubleType) /
+        count(lit(1)) / lit(Pow2_48)).as("v"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("ce"))
+  }
+
+  /** The trained centroids after `Iterations` Lloyd steps, exploded to
+    * (cid, pos, v) rows for the oracle compare.
+    */
+  def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    val ve = e.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").cast(DoubleType).as("v"))
+    val cent0 = e.where(col("vec_id") % SeedMod === 0)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("ce"))
+    val trained = (1 to Iterations).foldLeft(cent0)((c, _) => iterate(e, ve, c))
+    // no rounding: centroid values are bit-identical across engines by
+    // construction (decimal-exact sums, single double division), and
+    // round() itself has engine-divergent tie behavior
+    trained.select(col("cid"), posexplode(col("ce")))
+      .select(col("cid"), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").as("v"))
+      .orderBy("cid", "pos")
+  }
+
+  // ---- DuckDB oracle ----------------------------------------------------
+
+  private def dotSql(a: String, b: String) =
+    s"list_aggregate(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * s[2]), 'sum')"
+  private def normSqSql(a: String) =
+    s"list_aggregate(list_transform($a, x -> x * x), 'sum')"
+
+  private def iterSql(cent: String, assign: String, next: String): String =
+    s"""$assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        (-2.0 * ${dotSql("e.embedding", "c.ce")} + ${normSqSql("c.ce")}) ASC,
+       |        c.cid ASC) AS rk
+       |    FROM embeddings e CROSS JOIN $cent c) WHERE rk = 1),
+       |$next AS (
+       |  SELECT cid, list(v ORDER BY pos) AS ce FROM (
+       |    SELECT a.cell AS cid, ve.pos,
+       |      CAST(SUM(CAST(floor(ve.v * 281474976710656.0) AS BIGINT)) AS DOUBLE)
+       |        / COUNT(*) / 281474976710656.0 AS v
+       |    FROM ve JOIN $assign a ON ve.vec_id = a.vec_id
+       |    GROUP BY a.cell, ve.pos)
+       |  GROUP BY cid)""".stripMargin
+
+  private val kmeansTrainSql = {
+    val iters = (1 to Iterations)
+      .map(i => iterSql(s"cent${i - 1}", s"assign$i", s"cent$i"))
+      .mkString(",\n")
+    s"""WITH ve AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+       |  FROM embeddings WHERE vec_id % $SeedMod = 0),
+       |$iters
+       |SELECT cid, CAST(generate_subscripts(ce, 1) AS BIGINT) AS pos,
+       |  unnest(ce) AS v
+       |FROM cent$Iterations ORDER BY cid, pos""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmeans_train" -> (kmeansTrain(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "kmeans_train" -> kmeansTrainSql)
+}
