@@ -42,18 +42,23 @@ object KMeansIvf {
   private def normSqD(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x * x)
 
-  /** One Lloyd iteration: assign to argmin cell, then decimal-exact
-    * per-dimension means. `cents`: (cid: Long, ce: Array[Double]).
-    */
-  private def iterate(e: DataFrame, ve: DataFrame, cents: DataFrame): DataFrame = {
+  /** Argmin-cell assignment of every vector under `cents`. */
+  private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
     val byVec = Window.partitionBy("vec_id").orderBy(asc("score"), asc("cid"))
-    val assigned = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .select(col("vec_id"),
         col("cid"),
         (lit(-2.0) * dotFold(col("embedding"), col("ce")) + normSqD(col("ce"))).as("score"))
       .withColumn("rk", row_number().over(byVec))
       .where(col("rk") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
+  }
+
+  /** One Lloyd iteration: assign to argmin cell, then exact-quantized
+    * per-dimension means. `cents`: (cid: Long, ce: Array[Double]).
+    */
+  private def iterate(e: DataFrame, ve: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = assign(e, cents)
     ve.join(assigned, "vec_id")
       .groupBy(col("cell").as("cid"), col("pos"))
       .agg((sum(floor(col("v") * lit(Pow2_48))).cast(DoubleType) /
@@ -63,18 +68,22 @@ object KMeansIvf {
         s => s.getField("v")).as("ce"))
   }
 
-  /** The trained centroids after `Iterations` Lloyd steps, exploded to
-    * (cid, pos, v) rows for the oracle compare.
-    */
-  def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+  private def trainedCentroids(e: DataFrame): DataFrame = {
     val ve = e.select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("pos"),
         col("col").cast(DoubleType).as("v"))
     val cent0 = e.where(col("vec_id") % SeedMod === 0)
       .select(col("vec_id").as("cid"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("ce"))
-    val trained = (1 to Iterations).foldLeft(cent0)((c, _) => iterate(e, ve, c))
+    (1 to Iterations).foldLeft(cent0)((c, _) => iterate(e, ve, c))
+  }
+
+  /** The trained centroids after `Iterations` Lloyd steps, exploded to
+    * (cid, pos, v) rows for the oracle compare.
+    */
+  def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    val trained = trainedCentroids(e)
     // no rounding: centroid values are bit-identical across engines by
     // construction (decimal-exact sums, single double division), and
     // round() itself has engine-divergent tie behavior
@@ -84,6 +93,31 @@ object KMeansIvf {
       .orderBy("cid", "pos")
   }
 
+  /** End-to-end trained IVF probe: train → assign all vectors to the
+    * trained cells → pick the 2 cells nearest the query (same score) →
+    * exact cosine top-10 within the probed cells. The oracle replays
+    * the full chain in SQL.
+    */
+  def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    val cents = trainedCentroids(e)
+    val cells = assign(e, cents)
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val probe = cents.crossJoin(broadcast(q))
+      .select(col("cid"),
+        (lit(-2.0) * dotFold(col("ce"), col("qe")) + normSqD(col("ce"))).as("score"))
+      .orderBy(asc("score"), asc("cid")).limit(2).select("cid")
+    val qn = q.select(DedupOps.norm(col("qe")).as("qnrm"), col("qe"))
+    e.join(cells, "vec_id")
+      .join(broadcast(probe), col("cell") === col("cid"), "left_semi")
+      .where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qn))
+      .select(col("vec_id"), col("cell"),
+        (DedupOps.dot(col("embedding"), col("qe")) /
+          (DedupOps.norm(col("embedding")) * col("qnrm"))).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id")).limit(10)
+  }
+
   // ---- DuckDB oracle ----------------------------------------------------
 
   private def dotSql(a: String, b: String) =
@@ -91,14 +125,17 @@ object KMeansIvf {
   private def normSqSql(a: String) =
     s"list_aggregate(list_transform($a, x -> x * x), 'sum')"
 
-  private def iterSql(cent: String, assign: String, next: String): String =
-    s"""$assign AS (
+  private def assignSql(cent: String, name: String): String =
+    s"""$name AS (
        |  SELECT vec_id, cid AS cell FROM (
        |    SELECT e.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        (-2.0 * ${dotSql("e.embedding", "c.ce")} + ${normSqSql("c.ce")}) ASC,
        |        c.cid ASC) AS rk
-       |    FROM embeddings e CROSS JOIN $cent c) WHERE rk = 1),
+       |    FROM embeddings e CROSS JOIN $cent c) WHERE rk = 1)""".stripMargin
+
+  private def iterSql(cent: String, assign: String, next: String): String =
+    s"""${assignSql(cent, assign)},
        |$next AS (
        |  SELECT cid, list(v ORDER BY pos) AS ce FROM (
        |    SELECT a.cell AS cid, ve.pos,
@@ -125,9 +162,40 @@ object KMeansIvf {
        |FROM cent$Iterations ORDER BY cid, pos""".stripMargin
   }
 
+  private val annIvfTrainedSql = {
+    val iters = (1 to Iterations)
+      .map(i => iterSql(s"cent${i - 1}", s"assign$i", s"cent$i"))
+      .mkString(",\n")
+    val ffDot =
+      "list_aggregate(list_transform(list_zip(e.embedding, q.qe), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
+    def ffNorm(a: String) =
+      s"sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    s"""WITH ve AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+       |  FROM embeddings WHERE vec_id % $SeedMod = 0),
+       |$iters,
+       |${assignSql(s"cent$Iterations", "assignF")},
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid, row_number() OVER (ORDER BY
+       |      (-2.0 * ${dotSql("c.ce", "q.qe")} + ${normSqSql("c.ce")}) ASC, c.cid ASC) AS rk
+       |    FROM cent$Iterations c, q) WHERE rk <= 2)
+       |SELECT e.vec_id, a.cell, $ffDot / (${ffNorm("e.embedding")} * ${ffNorm("q.qe")}) AS cosine
+       |FROM embeddings e JOIN assignF a ON a.vec_id = e.vec_id, q
+       |WHERE a.cell IN (SELECT cid FROM probe) AND e.vec_id <> 0
+       |ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "kmeans_train" -> (kmeansTrain(_, _)))
+    "kmeans_train" -> (kmeansTrain(_, _)),
+    "ann_ivf_trained" -> (annIvfTrained(_, _)))
 
   def oracles: Map[String, String] = Map(
-    "kmeans_train" -> kmeansTrainSql)
+    "kmeans_train" -> kmeansTrainSql,
+    "ann_ivf_trained" -> annIvfTrainedSql)
 }
