@@ -47,6 +47,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases to later errors per user") {
+    import org.apache.spark.sql.functions.expr
+    val purchases = EventsStream.readEvents(sc, sfDir, "events.parquet")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val errors = EventsStream.readEvents(sc, sfDir, "events.parquet")
+      .where(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val joined = purchases.join(errors,
+      expr("p_user = e_user AND e_ts > p_ts AND e_ts <= p_ts + interval 30 minutes"))
+    val q = EventsStream.runToMemory(spark, joined, "ssjoin_test")
+    try {
+      val got = spark.sql("SELECT count(*) FROM ssjoin_test").collect()(0).getLong(0)
+      // batch truth for the same interval join
+      val ev = graft.sources.Tables(sc, sfDir, "events")
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val er = ev.where(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      val want = p.join(er,
+        expr("p_user = e_user AND e_ts > p_ts AND e_ts <= p_ts + interval 30 minutes")).count()
+      assert(got == want, s"stream=$got batch=$want")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink routes micro-batches through the batch writer") {
     val outDir = java.nio.file.Files.createTempDirectory("fb-sink").toString
     val events = EventsStream.readEvents(sc, sfDir, "events.parquet")
