@@ -88,9 +88,23 @@ object Multimodal {
     "mm_binary_stats" -> (mmBinaryStats(_, _)),
     "mm_decode_features" -> (mmDecodeFeatures(_, _)))
 
-  /** mm_decode_features intentionally has no oracle (mapPartitions
-    * codec stage); driver records the weaker rows-only check.
+  /** Even the mapPartitions codec stage gets an exact oracle: the stub
+    * features are deterministic arithmetic over the payload bytes, and
+    * the corpus is ASCII, so `ord()` sums in DuckDB reproduce the byte
+    * sums of the JVM loop exactly.
     */
+  private val mmDecodeSql =
+    """WITH s AS (SELECT doc_id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    CAST(list_aggregate(list_transform(regexp_split_to_array(text, ''), c -> ord(c)), 'sum') AS BIGINT) AS checksum
+      |  FROM documents)
+      |SELECT doc_id, n_bytes, checksum,
+      |  CAST(16 + checksum % 16 AS INT) AS width,
+      |  CAST(16 + (checksum // 16) % 16 AS INT) AS height,
+      |  CAST(checksum AS DOUBLE) / greatest(n_bytes, 1) AS mean_intensity
+      |FROM s ORDER BY doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "mm_binary_stats" -> mmBinaryStatsSql)
+    "mm_binary_stats" -> mmBinaryStatsSql,
+    "mm_decode_features" -> mmDecodeSql)
 }

@@ -21,7 +21,12 @@ import graft.functions.HfpCasts._
   * parallelizes across executors; schema is fixed (no inference pass);
   * a `csv/<group>/<date>*` path layout gives partition pruning by
   * prefix exactly like the reference's blob-list scan (S1,
-  * hfpStorage.ts:26).
+  * hfpStorage.ts:26). Against the real archive the same reader runs
+  * over `abfss://container@account.dfs.core.windows.net/csv/...`
+  * (hadoop-azure on the classpath + account credentials in the Hadoop
+  * conf) — the path string is the only change; snapshot isolation on
+  * reads (azureStorage.ts:38-45) is unnecessary for immutable archive
+  * blobs and is dropped (SURVEY.md §4).
   */
 object HfpCsvSource {
 
