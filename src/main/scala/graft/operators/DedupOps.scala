@@ -315,11 +315,11 @@ object DedupOps {
   /** Sequential-fold dot product in double — identical accumulation
     * order in Spark (`aggregate`) and DuckDB (`list_aggregate 'sum'`).
     */
-  private[operators] def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
 
-  private[operators] def norm(a: Column): Column =
+  private[graft] def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x))
 

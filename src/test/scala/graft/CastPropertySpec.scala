@@ -51,6 +51,20 @@ class CastPropertySpec extends SparkSuite {
     assert(got == ss.map(modelBool))
   }
 
+  // model of parseFloat×(||null): leading decimal/exponent literal; 0 -> null
+  private def modelFloat(s: String): Option[Double] = {
+    val m = """^([+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)""".r
+      .findFirstMatchIn(s).map(_.group(1))
+    m.map(_.toDouble).filter(_ != 0.0)
+  }
+
+  test("castFloat matches the JS parseFloat model") {
+    val ss = samples(500) ++ Seq("3.5e2oops", ".5", "-.25", "1e", "1e5x", "0.0", "-0")
+    val got = ss.toDF("c").select(castFloat(col("c")).as("r"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got == ss.map(modelFloat))
+  }
+
   test("castString matches the empty->NULL model") {
     val ss = samples(500)
     val got = ss.toDF("c").select(castString(col("c")).as("r"))

@@ -55,6 +55,37 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("cosine kernel is bit-identical to the declarative HOF formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    val e = graft.sources.Tables(sc, sfDir, "embeddings").limit(60)
+      .select(col("vec_id"), col("embedding"), DedupOps.norm(col("embedding")).as("nrm"))
+    val l = e.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val r = e.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val declarative = l.crossJoin(r).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (DedupOps.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    // kernel path with threshold -1 keeps every pair
+    val kernel = {
+      import spark.implicits._
+      val ds = e.as[(Long, Array[Float], Double)]
+      val side = spark.sparkContext.broadcast(ds.orderBy("vec_id").collect())
+      ds.mapPartitions { it =>
+        val all = side.value
+        it.flatMap { case (a, ea, na) =>
+          all.iterator.filter(_._1 > a).map { case (b, eb, nb) =>
+            var acc = 0.0; var i = 0
+            while (i < ea.length) { acc += ea(i).toDouble * eb(i).toDouble; i += 1 }
+            (a, b, acc / (na * nb))
+          }
+        }
+      }.collect().map(x => (x._1, x._2) -> x._3).toMap
+    }
+    assert(declarative.keySet == kernel.keySet)
+    declarative.foreach { case (k, v) => assert(kernel(k) == v, s"pair $k") } // exact ==
+  }
+
   test("simhash: hamming bounded and symmetric-free (a<b)") {
     val rows = DedupOps.ddSimhash(sc, sfDir).collect()
     assert(rows.forall { r =>
