@@ -105,6 +105,51 @@ object Analytics {
       |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Argmin/argmax + ordered string aggregation. Deterministic: the
+    * min_by/max_by ordering key (o_orderkey) is unique per group, and
+    * the string_agg pins an explicit ORDER BY.
+    */
+  def qAggMisc(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        max_by(col("o_orderpriority"), col("o_orderkey")).as("latest_priority"),
+        min_by(col("o_orderpriority"), col("o_orderkey")).as("first_priority"),
+        max(col("o_orderkey")).as("max_key"),
+        concat_ws(",", sort_array(collect_list(col("o_orderstatus")))).as("statuses"))
+      .orderBy("o_custkey")
+
+  private val qAggMiscSql =
+    """SELECT o_custkey,
+      |  max_by(o_orderpriority, o_orderkey) AS latest_priority,
+      |  min_by(o_orderpriority, o_orderkey) AS first_priority,
+      |  max(o_orderkey) AS max_key,
+      |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Statistical aggregates. Both engines accumulate these in running
+    * double state (order-sensitive in the last ulps), so outputs are
+    * rounded at 6 — absorbing ~1e-13 relative noise, far inside the
+    * rounding grid.
+    */
+  def qStatsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"))
+      .orderBy("l_returnflag")
+
+  private val qStatsAggSql =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+      |  round(var_samp(l_quantity), 6) AS var_qty,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** ROLLUP: hierarchical subtotals (year ⊃ priority ⊃ grand total). */
   def qRollup(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "orders")
@@ -610,6 +655,8 @@ object Analytics {
     "q3_shipping_priority" -> (q3ShippingPriority(_, _)),
     "q5_region_revenue" -> (q5RegionRevenue(_, _)),
     "q_distinct_agg" -> (qDistinctAgg(_, _)),
+    "q_agg_misc" -> (qAggMisc(_, _)),
+    "q_stats_agg" -> (qStatsAgg(_, _)),
     "q_approx_distinct_kmv" -> (qApproxDistinctKmv(_, _)),
     "q_rollup" -> (qRollup(_, _)),
     "q_cube" -> (qCube(_, _)),
@@ -640,6 +687,8 @@ object Analytics {
     "q3_shipping_priority" -> q3Sql,
     "q5_region_revenue" -> q5Sql,
     "q_distinct_agg" -> qDistinctSql,
+    "q_agg_misc" -> qAggMiscSql,
+    "q_stats_agg" -> qStatsAggSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
