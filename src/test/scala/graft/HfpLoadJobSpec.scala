@@ -58,4 +58,26 @@ class HfpLoadJobSpec extends SparkSuite {
       .select("uuid").collect().map(_.getString(0)).toSet
     assert(un == Set("v2"))
   }
+
+  test("dedup scans are scoped per operating day (oday partition isolation)") {
+    val root = Files.createTempDirectory("hfparchive2").toString
+    val sink = Files.createTempDirectory("hfpsink2").toString
+    val day2 = "2021-02-10"
+    def put(name: String, lines: Seq[String]): Unit = {
+      val d = Paths.get(root, "csv", "StopEvent")
+      Files.createDirectories(d)
+      Files.writeString(d.resolve(name), lines.mkString("\n") + "\n")
+    }
+    put(s"$date-0.csv", Seq(row(Map("uuid" -> "k1", "oday" -> date))))
+    // SAME uuid on the next operating day: a different logical event in
+    // the reference's model (dedup scans filter on oday, getEvents.ts:13)
+    put(s"$day2-0.csv", Seq(row(Map("uuid" -> "k1", "oday" -> day2))))
+    assert(HfpLoadJob.loadDay(sc, root, sink, date) == Map("stopevent" -> 1L))
+    assert(HfpLoadJob.loadDay(sc, root, sink, day2) == Map("stopevent" -> 1L))
+    // both days' rows present; re-running either day is still a no-op
+    val rows = spark.read.parquet(s"$sink/stopevent")
+      .select("uuid", "oday").collect()
+    assert(rows.length == 2)
+    assert(HfpLoadJob.loadDay(sc, root, sink, date) == Map("stopevent" -> 0L))
+  }
 }
