@@ -130,12 +130,15 @@ object HfpPipeline {
     """SELECT md5(CAST(event_id AS VARCHAR)) AS uuid FROM events
       |WHERE event_id % 10 < 3 AND event_id % 97 <> 0""".stripMargin
 
-  /** A1: dedup anti-join. Broadcast while small (the reference's Set
-    * probe), shuffled beyond the threshold (what the reference cannot
-    * do). `broadcast` hint is intentional at this build-side size.
+  /** A1: dedup anti-join. No hint: Catalyst broadcasts while the key
+    * side is under the threshold (the reference's Set probe) and plans
+    * a shuffled hash/sort-merge anti-join beyond it — what the
+    * reference's driver-heap-bound Set cannot do. PlanSpec pins the
+    * broadcast at test scale; ScaleSpec proves the shuffled plan
+    * produces identical rows.
     */
   def dedupAgainst(df: DataFrame, existing: DataFrame): DataFrame =
-    df.join(broadcast(existing), Seq("uuid"), "left_anti")
+    df.join(existing, Seq("uuid"), "left_anti")
 
   /** Full chain, flagship. */
   def full(spark: SparkSession, dir: String): DataFrame = {

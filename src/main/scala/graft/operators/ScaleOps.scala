@@ -42,6 +42,26 @@ object ScaleOps {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Join-side salting: when one join key is hot and BOTH sides are too
+    * large to broadcast, replicate the build side across `buckets`
+    * salt values and join on (key, salt) — the hot key's probe rows
+    * spread over `buckets` reducers instead of one. Result is
+    * row-identical to the unsalted join (tested); AQE's skew-join
+    * split is the automatic variant, this is the explicit one for
+    * engines/plans where AQE can't see the skew.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      buckets: Int = SaltBuckets): DataFrame = {
+    // the salt must vary PER ROW (a key-derived salt would land the hot
+    // key in one bucket again); the join result is invariant to which
+    // salt each row draws, so a per-row id works
+    val salted = left.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+    val replicated = right.withColumn("__salt",
+      explode(array((0 until buckets).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_agg" -> (qSaltedAgg(_, _)))
 

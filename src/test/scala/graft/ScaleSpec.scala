@@ -41,6 +41,37 @@ class ScaleSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("salted join equals the plain join under a forced shuffle plan") {
+    import graft.operators.ScaleOps
+    val ev = graft.sources.Tables(sc, sfDir, "events")
+      .select(col("event_id"), col("user_id"))
+    val users = graft.sources.Tables(sc, sfDir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = ev.join(users, "user_id")
+        .orderBy("event_id").collect().toSeq
+      val salted = ScaleOps.saltedJoin(ev, users, "user_id")
+        .select("user_id", "event_id", "n_events")
+        .orderBy("event_id").collect().toSeq
+      assert(salted == plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("dedup anti-join degrades to a shuffled join with identical results") {
+    import graft.operators.HfpPipeline
+    val broadcastPlan = SparkEntry.queries("hfp_dedup_anti")(sc, sfDir)
+    val broadcastRows = broadcastPlan.collect().toSeq
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = SparkEntry.queries("hfp_dedup_anti")(sc, sfDir)
+      val p = shuffled.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), p.take(800))
+      assert(p.contains("LeftAnti"), p.take(800))
+      assert(shuffled.collect().toSeq == broadcastRows)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("salted aggregation equals the direct formulation") {
     val salted = graft.operators.ScaleOps.queries("q_salted_agg")(sc, sfDir).collect()
     val direct = graft.sources.Tables(sc, sfDir, "events")
