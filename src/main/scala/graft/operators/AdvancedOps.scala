@@ -50,6 +50,36 @@ object AdvancedOps {
       |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.pts
       |ORDER BY event_id""".stripMargin
 
+  /** Range (interval) join: each purchase joined to the same user's
+    * errors in the following 30 minutes. Scale note: Spark plans the
+    * equi-part (user_id) as the join key and the range as a post-join
+    * filter, so this shuffles on user — bounded and parallel; a pure
+    * range join with no equi-key would need banding (join on coarse
+    * time buckets, filter inside).
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val e = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("e_id"), col("ts").as("e_ts"))
+    p.join(e, Seq("user_id"))
+      .where(col("e_ts") > col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr("interval 30 minutes"))
+      .select("user_id", "p_id", "e_id", "p_ts", "e_ts")
+      .orderBy("user_id", "p_id", "e_id")
+  }
+
+  private val qRangeJoinSql =
+    """WITH p AS (SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS p_ts
+      |           FROM events WHERE event_type = 'purchase'),
+      |e AS (SELECT user_id, event_id AS e_id, CAST(ts AS TIMESTAMP) AS e_ts
+      |      FROM events WHERE event_type = 'error')
+      |SELECT p.user_id, p_id, e_id, p_ts, e_ts
+      |FROM p JOIN e ON p.user_id = e.user_id
+      |  AND e_ts > p_ts AND e_ts <= p_ts + INTERVAL 30 MINUTE
+      |ORDER BY p.user_id, p_id, e_id""".stripMargin
+
   /** Sessionization with Spark's built-in session_window (30-minute
     * gap); the oracle rebuilds sessions with the lag/running-sum
     * technique — two independent constructions that must agree.
@@ -146,6 +176,7 @@ object AdvancedOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouped_topk" -> (qGroupedTopK(_, _)),
     "q_asof_join" -> (qAsofJoin(_, _)),
+    "q_range_join" -> (qRangeJoin(_, _)),
     "q_sessionize" -> (qSessionize(_, _)),
     "q_percentiles" -> (qPercentiles(_, _)),
     "q_pivot" -> (qPivot(_, _)))
@@ -153,6 +184,7 @@ object AdvancedOps {
   def oracles: Map[String, String] = Map(
     "q_grouped_topk" -> qGroupedTopKSql,
     "q_asof_join" -> qAsofSql,
+    "q_range_join" -> qRangeJoinSql,
     "q_sessionize" -> qSessionizeSql,
     "q_percentiles" -> qPercentilesSql,
     "q_pivot" -> qPivotSql)
