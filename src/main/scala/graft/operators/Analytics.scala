@@ -401,8 +401,12 @@ object Analytics {
     * window ops, decimal-exact then cast for the oracle.
     */
   def qWindowFrame(s: SparkSession, dir: String): DataFrame = {
+    // l_quantity tiebreak: the synthetic lineitem contains duplicate
+    // (suppkey, shipdate, orderkey, linenumber) combinations, and rows
+    // still tied after quantity are output-identical, so this makes the
+    // frame order total up to indistinguishable rows
     val ord = Window.partitionBy("l_suppkey")
-      .orderBy(asc("l_shipdate"), asc("l_orderkey"), asc("l_linenumber"))
+      .orderBy(asc("l_shipdate"), asc("l_orderkey"), asc("l_linenumber"), asc("l_quantity"))
     val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sliding = ord.rowsBetween(-49, Window.currentRow)
     Tables(s, dir, "lineitem")
@@ -411,7 +415,7 @@ object Analytics {
         sum(dec2(col("l_quantity"))).over(run).cast(DoubleType).as("running_qty"),
         (sum(dec2(col("l_quantity"))).over(sliding).cast(DoubleType) /
           count(lit(1)).over(sliding)).as("sliding_mean_qty"))
-      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
       .drop("l_shipdate")
   }
 
@@ -422,9 +426,9 @@ object Analytics {
       |    / COUNT(*) OVER w_slide AS sliding_mean_qty
       |FROM lineitem
       |WINDOW
-      |  w_run AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-      |  w_slide AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
-      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+      |  w_run AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  w_slide AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity""".stripMargin
 
   // ---------------------------------------------------------------------
   // Scalar function families
@@ -492,7 +496,9 @@ object Analytics {
         round(log(col("l_extendedprice") + lit(1.0)), 6).as("ln_price"),
         round(exp(col("l_discount")), 6).as("exp_disc"),
         (col("l_partkey") % 7).as("mod7"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (orderkey, linenumber) is NOT unique in the synthetic lineitem —
+      // value-column tiebreaks make the order total up to identical rows
+      .orderBy("l_orderkey", "l_linenumber", "sqrt_price", "mod7", "disc_amt")
 
   private val qMathSql =
     """SELECT l_orderkey, l_linenumber,
@@ -504,7 +510,7 @@ object Analytics {
       |  round(ln(l_extendedprice + 1.0), 6) AS ln_price,
       |  round(exp(l_discount), 6) AS exp_disc,
       |  l_partkey % 7 AS mod7
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, sqrt_price, mod7, disc_amt""".stripMargin
 
   def qCondFuncs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "supplier")
@@ -596,7 +602,9 @@ object Analytics {
         shiftright(col("l_orderkey"), 4).as("shr4"),
         shiftleft(col("l_linenumber").cast(LongType), 2).as("shl2"),
         bit_count(col("l_orderkey")).cast(LongType).as("popcount"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // non-unique (orderkey, linenumber): xor_part adds the partkey
+      // dimension, making the order total up to identical rows
+      .orderBy("l_orderkey", "l_linenumber", "xor_part")
 
   private val qBitwiseSql =
     """SELECT l_orderkey, l_linenumber,
@@ -606,7 +614,7 @@ object Analytics {
       |  l_orderkey >> 4 AS shr4,
       |  CAST(l_linenumber AS BIGINT) << 2 AS shl2,
       |  CAST(bit_count(l_orderkey) AS BIGINT) AS popcount
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, xor_part""".stripMargin
 
   /** Trig/transcendental family (rounded at 6 — libm last-ulp). */
   def qTrigFuncs(s: SparkSession, dir: String): DataFrame =
