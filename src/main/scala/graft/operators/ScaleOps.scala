@@ -62,9 +62,52 @@ object ScaleOps {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Deterministic hash sampling: the reproducible alternative to
+    * `df.sample()` for training pipelines — membership depends only on
+    * the key, so re-runs, retries, and different partitionings all pick
+    * the same rows, and joins between sampled tables stay consistent.
+    */
+  def qHashSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.functions.PortableHash.hash64(col("doc_id").cast(StringType)) % 100
+    Tables(s, dir, "documents")
+      .where(bucket < 10)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val qHashSampleSql = {
+    val bucket = s"${graft.functions.PortableHash.sql("CAST(doc_id AS VARCHAR)")} % 100"
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       |WHERE $bucket < 10 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Deterministic train/val/test split with per-split counts. */
+  def qTrainSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.functions.PortableHash.hash64(col("doc_id").cast(StringType)) % 100
+    Tables(s, dir, "documents")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("split")
+  }
+
+  private val qTrainSplitSql = {
+    val bucket = s"${graft.functions.PortableHash.sql("CAST(doc_id AS VARCHAR)")} % 100"
+    s"""SELECT CASE WHEN $bucket < 80 THEN 'train'
+       |            WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_salted_agg" -> (qSaltedAgg(_, _)))
+    "q_salted_agg" -> (qSaltedAgg(_, _)),
+    "q_hash_sample" -> (qHashSample(_, _)),
+    "q_train_split" -> (qTrainSplit(_, _)))
 
   def oracles: Map[String, String] = Map(
-    "q_salted_agg" -> qSaltedSql)
+    "q_salted_agg" -> qSaltedSql,
+    "q_hash_sample" -> qHashSampleSql,
+    "q_train_split" -> qTrainSplitSql)
 }
