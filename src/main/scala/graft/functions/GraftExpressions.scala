@@ -118,6 +118,112 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  // Generic variants: accept array<float> OR array<double> per side
+  // (the k-means trainer mixes float embeddings with double centroids).
+  // Element reads promote to double exactly like the HOF fold's
+  // `x.cast(DoubleType)` — accumulation order and values bit-identical.
+
+  private def requireNumArray(e: Expression, name: String) =
+    e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$name expects array<float|double>, got $other")
+    }
+
+  private def elemGet(arr: String, i: String, dt: DataType): String =
+    dt match {
+      case ArrayType(FloatType, _) => s"(double)$arr.getFloat($i)"
+      case _ => s"$arr.getDouble($i)"
+    }
+
+  private def elemRead(x: ArrayData, i: Int, dt: DataType): Double =
+    dt match {
+      case ArrayType(FloatType, _) => x.getFloat(i).toDouble
+      case _ => x.getDouble(i)
+    }
+
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val l = requireNumArray(left, prettyName)
+      if (l.isSuccess) requireNumArray(right, prettyName) else l
+    }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += elemRead(x, i, left.dataType) * elemRead(y, i, right.dataType)
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += ${elemGet(a, i, left.dataType)} * ${elemGet(b, i, right.dataType)};
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  case class L2NormSq(child: Expression)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      requireNumArray(child, prettyName)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_norm_sq"
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      var acc = 0.0
+      var i = 0
+      while (i < x.numElements()) {
+        val v = elemRead(x, i, child.dataType); acc += v * v; i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val v = ctx.freshName("v")
+        val acc = ctx.freshName("acc")
+        s"""
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  double $v = ${elemGet(a, i, child.dataType)};
+           |  $acc += $v * $v;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Optimizer micro-rule: `dot_f(x, x)` → `norm_sq_f(x)` (one array
     * access per element instead of two). Mostly a demonstration of
     * `injectOptimizerRule` with a genuinely safe rewrite.
@@ -127,6 +233,7 @@ object GraftExpressions {
     override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
       plan.transformAllExpressions {
         case DotProductF(a, b) if a.semanticEquals(b) => L2NormSqF(a)
+        case DotProduct(a, b) if a.semanticEquals(b) => L2NormSq(a)
       }
   }
 
@@ -234,6 +341,8 @@ object GraftExpressions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot_f" -> (es => DotProductF(es(0), es(1))),
     "graft_norm_sq_f" -> (es => L2NormSqF(es.head)),
+    "graft_dot" -> (es => DotProduct(es(0), es(1))),
+    "graft_norm_sq" -> (es => L2NormSq(es.head)),
     "graft_kmv_distinct" -> { es =>
       val k = es.lift(1).map(_.eval(null).toString.toInt).getOrElse(256)
       KmvDistinct(es.head, k).toAggregateExpression()

@@ -171,16 +171,19 @@ object Analytics2 {
     */
   def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
+    // one pass over lineitem computes BOTH the HAVING filter and the
+    // final per-order quantity (the oracle's re-aggregation over the
+    // IN-filtered join is identical because c_name/o_totalprice are
+    // functionally dependent on o_orderkey) — the fact is scanned once,
+    // the wide joins run only on the qualifying orders
     val bigOrders = li.groupBy("l_orderkey")
       .agg(sum(dec2(col("l_quantity"))).as("qty"))
       .filter(col("qty") > 150)
-      .select(col("l_orderkey").as("big_orderkey"))
-    Tables(s, dir, "customer")
-      .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-      .join(bigOrders, col("o_orderkey") === col("big_orderkey"), "left_semi")
-      .join(li, col("o_orderkey") === col("l_orderkey"))
-      .groupBy("c_name", "o_orderkey", "o_totalprice")
-      .agg(dsum(dec2(col("l_quantity"))).as("total_qty"))
+      .select(col("l_orderkey"), col("qty").cast(DoubleType).as("total_qty"))
+    bigOrders
+      .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_totalprice"), col("total_qty"))
       .orderBy(desc("o_totalprice"), asc("o_orderkey"))
       .limit(20)
   }

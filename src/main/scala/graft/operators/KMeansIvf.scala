@@ -35,24 +35,31 @@ object KMeansIvf {
   private val SeedMod = 200 // centroid seeds: vec_id % 200 == 0
   private val Pow2_48 = 281474976710656.0 // exact power-of-two quantizer
 
+  /** Codegen'd kernels (GraftExpressions.DotProduct / L2NormSq accept
+    * float AND double arrays): same left-to-right double accumulation
+    * as the HOF fold they replaced — bit-identical scores, oracle
+    * unchanged — but the hot loop is generated code, not per-element
+    * lambda dispatch over ArrayData.
+    */
   private def dotFold(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y),
-      lit(0.0), (acc, x) => acc + x)
+    expr(s"graft_dot(${a.toString}, ${b.toString})")
 
   private def normSqD(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+    expr(s"graft_norm_sq(${a.toString})")
 
-  /** Argmin-cell assignment of every vector under `cents`. */
-  private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val byVec = Window.partitionBy("vec_id").orderBy(asc("score"), asc("cid"))
+  /** Argmin-cell assignment of every vector under `cents`. The argmin
+    * is `min(struct(score, cid))` — a hash aggregate (map-side partial,
+    * one shuffle, no sort) instead of a row_number window, with the
+    * same lowest-score-then-lowest-cid tie order the oracle uses.
+    */
+  private def assign(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"),
         col("cid"),
         (lit(-2.0) * dotFold(col("embedding"), col("ce")) + normSqD(col("ce"))).as("score"))
-      .withColumn("rk", row_number().over(byVec))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
-  }
+      .groupBy("vec_id")
+      .agg(min(struct(col("score"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
 
   /** One Lloyd iteration: assign to argmin cell, then exact-quantized
     * per-dimension means. `cents`: (cid: Long, ce: Array[Double]).
@@ -82,6 +89,7 @@ object KMeansIvf {
     * (cid, pos, v) rows for the oracle compare.
     */
   def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(s)
     val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
     val trained = trainedCentroids(e)
     // no rounding: centroid values are bit-identical across engines by
@@ -99,22 +107,26 @@ object KMeansIvf {
     * the full chain in SQL.
     */
   def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(s)
     val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
-    val cents = trainedCentroids(e)
+    // the trained-centroid subtree feeds BOTH the final assignment and
+    // the probe selection — cache it (k rows) so the two-iteration
+    // Lloyd pipeline executes once, not once per consumer
+    val cents = trainedCentroids(e).cache()
     val cells = assign(e, cents)
     val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
     val probe = cents.crossJoin(broadcast(q))
       .select(col("cid"),
         (lit(-2.0) * dotFold(col("ce"), col("qe")) + normSqD(col("ce"))).as("score"))
       .orderBy(asc("score"), asc("cid")).limit(2).select("cid")
-    val qn = q.select(DedupOps.norm(col("qe")).as("qnrm"), col("qe"))
+    val qn = q.select(sqrt(normSqD(col("qe"))).as("qnrm"), col("qe"))
     e.join(cells, "vec_id")
       .join(broadcast(probe), col("cell") === col("cid"), "left_semi")
       .where(col("vec_id") =!= 0)
       .crossJoin(broadcast(qn))
       .select(col("vec_id"), col("cell"),
-        (DedupOps.dot(col("embedding"), col("qe")) /
-          (DedupOps.norm(col("embedding")) * col("qnrm"))).as("cosine"))
+        (dotFold(col("embedding"), col("qe")) /
+          (sqrt(normSqD(col("embedding"))) * col("qnrm"))).as("cosine"))
       .orderBy(desc("cosine"), asc("vec_id")).limit(10)
   }
 
