@@ -80,6 +80,54 @@ object EventsStream {
       }
   }
 
+  /** Streaming exact dedup, built-in tier: watermark-bounded state via
+    * `dropDuplicatesWithinWatermark` — duplicates arriving within the
+    * watermark horizon are dropped, and state for keys older than the
+    * horizon is evicted automatically. This is the streaming twin of
+    * the reference's per-day in-memory key set (hfpTask.ts:105-115),
+    * with the watermark playing the day boundary: bounded state on an
+    * unbounded key space.
+    */
+  def dedupWithinWatermark(events: DataFrame, horizon: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming exact dedup, custom-state tier: flatMapGroupsWithState
+    * with a sliding event-time TTL. First occurrence of a key emits;
+    * repeats drop; a key's state is removed once the watermark passes
+    * its NEWEST sighting + ttl — each duplicate renews the clock, which
+    * watermark dedup cannot express (dropDuplicatesWithinWatermark
+    * anchors expiry to the FIRST sighting). Event-time (not
+    * processing-time) timeouts matter operationally: pending
+    * processing-time timeouts keep scheduling micro-batches forever
+    * under Trigger.AvailableNow — event-time timeouts are data-bounded.
+    */
+  def dedupWithTtl(spark: SparkSession, events: DataFrame,
+      ttlMs: Long = 10 * 60 * 1000L): org.apache.spark.sql.Dataset[Long] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("ts")).as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (id: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seenBefore = state.exists
+            state.update(true)
+            val newest = rows.map(_._2.getTime).max
+            // the timeout must sit above the current watermark; late
+            // keys (watermark already past newest+ttl) expire next tick
+            val target = math.max(newest + ttlMs, state.getCurrentWatermarkMs() + 1000L)
+            state.setTimeoutTimestamp(target)
+            if (seenBefore) Iterator.empty
+            else Iterator.single(id) // first sighting wins; batch-mates drop
+          }
+      }
+  }
+
   /** Synchronous smoke runner for tests: memory sink, drain, return. */
   def runToMemory(spark: SparkSession, agg: DataFrame, name: String): StreamingQuery = {
     val q = agg.writeStream

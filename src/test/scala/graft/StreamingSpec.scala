@@ -89,6 +89,44 @@ class StreamingSpec extends SparkSuite {
       Set("hour_start", "event_type", "n", "sum_value"))
   }
 
+  test("streaming dedup (watermark + custom TTL) drops duplicate event_ids") {
+    // duplicate the whole events file: same rows arrive twice
+    val inDir = java.nio.file.Files.createTempDirectory("dedup-in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      inDir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      inDir.resolve("b.parquet"))
+    val nDistinct = graft.sources.Tables(sc, sfDir, "events")
+      .select("event_id").distinct().count()
+
+    // built-in tier: dropDuplicatesWithinWatermark
+    val wmDedup = EventsStream.dedupWithinWatermark(
+      EventsStream.readEvents(sc, inDir.toString))
+    val q1 = EventsStream.runToMemory(spark, wmDedup, "wm_dedup_test")
+    try {
+      val got = spark.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM wm_dedup_test").collect()(0)
+      assert(got.getLong(0) == nDistinct, "every id survives exactly the dedup")
+      assert(got.getLong(1) == nDistinct, s"duplicates leaked: ${got.getLong(1)} rows")
+    } finally q1.stop()
+
+    // custom tier: flatMapGroupsWithState with sliding TTL
+    val ttlDedup = EventsStream.dedupWithTtl(spark,
+      EventsStream.readEvents(sc, inDir.toString))
+    val q2 = ttlDedup.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("ttl_dedup_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.processAllAvailable()
+    try {
+      val got = spark.sql("SELECT count(DISTINCT value) c, count(*) n FROM ttl_dedup_test").collect()(0)
+      assert(got.getLong(0) == nDistinct)
+      assert(got.getLong(1) == nDistinct)
+    } finally q2.stop()
+  }
+
   test("query-execution listener records durations; tumbling mean works") {
     val l = Metrics.attach(sc)
     try {
