@@ -204,7 +204,37 @@ object Analytics4 {
       |ON s_suppkey = b.l_suppkey
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Q2 shape: correlated MIN — for each part, the supplier(s) whose
+    * line price equals that part's global minimum (the testdata's
+    * stand-in for min-supplycost). The decorrelated Spark form computes
+    * the per-part min once and joins back on (partkey, price equality);
+    * the oracle keeps the correlated subquery.
+    */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val minPrice = li.groupBy(col("l_partkey").as("mp_key"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    li.join(minPrice, col("l_partkey") === col("mp_key") &&
+        col("l_extendedprice") === col("min_price"))
+      .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("min_price"))
+      .distinct()
+      .orderBy(asc("p_partkey"), asc("s_name"))
+      .limit(100)
+  }
+
+  private val q2Sql =
+    """SELECT DISTINCT p_partkey, p_name, s_name, l_extendedprice AS min_price
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_extendedprice = (SELECT min(l_extendedprice) FROM lineitem l2
+      |                         WHERE l2.l_partkey = lineitem.l_partkey)
+      |ORDER BY p_partkey ASC, s_name ASC LIMIT 100""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> (q2MinCostSupplier(_, _)),
     "q8_market_share" -> (q8MarketShare(_, _)),
     "q9_product_profit" -> (q9ProductProfit(_, _)),
     "q10_returned_items" -> (q10ReturnedItems(_, _)),
@@ -213,6 +243,7 @@ object Analytics4 {
     "q20_promo_suppliers" -> (q20PromoSuppliers(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q2_min_cost_supplier" -> q2Sql,
     "q8_market_share" -> q8Sql,
     "q9_product_profit" -> q9Sql,
     "q10_returned_items" -> q10Sql,

@@ -210,13 +210,91 @@ object Pipelines {
       |WHERE frame_idx < least(n_chars, 240)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Training-sequence packing and context chunking
+  // ---------------------------------------------------------------------
+
+  private val PackShards = 8
+  private val CtxTokens = 1024L
+
+  /** Greedy sequence packing: assign documents to fixed-token training
+    * contexts. Docs are sharded by a portable key hash, then packed
+    * within each shard by running token count — bin = prefix/1024.
+    * The shard step IS the scale story: packing is inherently
+    * sequential (a running sum), so at 100 TB you partition first and
+    * pack each shard independently — one window per shard, never one
+    * global ordering. Deterministic: shard and order derive only from
+    * doc_id.
+    */
+  def qDocPacking(s: SparkSession, dir: String): DataFrame = {
+    val shard = PortableHash.hash64(col("doc_id").cast(StringType), 11) % PackShards
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), shard.as("shard"),
+        size(toks).cast(LongType).as("n_tokens"))
+      .withColumn("prefix", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin", floor(col("prefix") / CtxTokens).cast(LongType))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard", "bin")
+  }
+
+  private val qDocPackingSql = {
+    val shard = s"${PortableHash.sql("CAST(doc_id AS VARCHAR)", 11)} % $PackShards"
+    s"""WITH d AS (SELECT doc_id, $shard AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+       |p AS (SELECT doc_id, shard, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prefix
+       |  FROM d)
+       |SELECT shard, CAST(floor(prefix / $CtxTokens) AS BIGINT) AS bin,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM p GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+  }
+
+  /** RAG-style context chunking: split each document into fixed-width
+    * character chunks with overlap (width 200, stride 150). One row
+    * fans out to ⌈len/stride⌉ rows via sequence+explode — fully
+    * pipelined, no shuffle before the presentation sort, and chunk
+    * boundaries depend only on the document itself (stable ids for
+    * incremental re-embedding).
+    */
+  def qContextChunks(s: SparkSession, dir: String): DataFrame = {
+    val starts = sequence(lit(0L), greatest(col("n_chars") - 1, lit(0L)), lit(150L))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        explode(starts).as("chunk_start"))
+      .select(col("doc_id"), col("chunk_start"),
+        col("text").substr(col("chunk_start").cast(IntegerType) + 1, lit(200)).as("chunk"),
+        length(col("text").substr(col("chunk_start").cast(IntegerType) + 1, lit(200)))
+          .cast(LongType).as("chunk_len"))
+      .orderBy("doc_id", "chunk_start")
+  }
+
+  private val qContextChunksSql =
+    """SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+      |  substr(text, CAST(chunk_start AS INT) + 1, 200) AS chunk,
+      |  CAST(length(substr(text, CAST(chunk_start AS INT) + 1, 200)) AS BIGINT) AS chunk_len
+      |FROM documents CROSS JOIN range(0, 4000, 150) AS r(chunk_start)
+      |WHERE chunk_start < n_chars
+      |ORDER BY doc_id, chunk_start""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_packing" -> (qDocPacking(_, _)),
+    "q_context_chunks" -> (qContextChunks(_, _)),
     "ta_pipeline" -> (taPipeline(_, _)),
     "q_stratified_sample" -> (qStratifiedSample(_, _)),
     "dd_cosine_lsh" -> (ddCosineLsh(_, _)),
     "mm_frame_sample" -> (mmFrameSample(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_doc_packing" -> qDocPackingSql,
+    "q_context_chunks" -> qContextChunksSql,
     "ta_pipeline" -> taPipelineSql,
     "q_stratified_sample" -> qStratifiedSampleSql,
     "dd_cosine_lsh" -> ddCosineLshSql,
