@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Production session factory: one place that encodes the engine's
+  * scale posture so every deployment (driver harness, notebook, spark-
+  * submit) gets the same physical behavior.
+  *
+  *  - AQE on, with partition coalescing and skew-join splitting — the
+  *    runtime re-planner that handles what static tuning can't (skewed
+  *    keys, misestimated build sides) at 100 TB.
+  *  - `shufflePartitions` sized by the caller: rule of thumb 2-3× total
+  *    executor cores on a cluster (the local default here is 32 for
+  *    local[32]).
+  *  - 128 MiB scan splits (`maxPartitionBytes`) — large enough to
+  *    amortize task startup against 100 TB of parquet, small enough to
+  *    keep a partition's working set in executor memory.
+  *  - UTC session timezone (the engine's determinism contract assumes
+  *    it), nanos-as-long for the driver's TIMESTAMP(NANOS) parquet.
+  *  - [[graft.functions.GraftExtensions]] injected: the custom kernels
+  *    (graft_dot/graft_norm_sq/graft_kmv_distinct) and the self-dot
+  *    optimizer rule are available to SQL without runtime registration.
+  */
+object GraftSession {
+
+  def build(
+      appName: String = "graft",
+      master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+      shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark
+  }
+}
