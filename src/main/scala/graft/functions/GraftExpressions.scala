@@ -335,6 +335,118 @@ object GraftExpressions {
   }
 
   // ---------------------------------------------------------------------
+  // Misra-Gries heavy-hitters sketch
+  // ---------------------------------------------------------------------
+
+  /** Misra-Gries frequent-items sketch over strings: one pass, k
+    * counters, mergeable (merge = counter-wise add, then decrement all
+    * by the (k+1)-th largest and drop non-positives — the standard
+    * mergeable-summaries construction). GUARANTEE: any item with true
+    * frequency > n/(k+1) survives in the sketch. Counts are
+    * approximate (within n/(k+1) under), so the intended use is
+    * sketch-for-candidates + exact-count verify — the same
+    * prune-then-verify shape as LSH dedup. Returns the surviving
+    * candidate items (sorted, for determinism).
+    */
+  case class MisraGries(
+      child: Expression,
+      k: Int = 64,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.HashMap[String, java.lang.Long]] {
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_heavy_hitters"
+
+    override def createAggregationBuffer(): java.util.HashMap[String, java.lang.Long] =
+      new java.util.HashMap[String, java.lang.Long]()
+
+    private def bump(buf: java.util.HashMap[String, java.lang.Long],
+        key: String, by: Long): Unit = {
+      val cur = buf.get(key)
+      buf.put(key, java.lang.Long.valueOf(if (cur == null) by else cur.longValue + by))
+    }
+
+    private def shrink(buf: java.util.HashMap[String, java.lang.Long]): Unit =
+      if (buf.size() > k) {
+        // decrement everything by the smallest surviving count bucket:
+        // classic MG step — decrement all by 1 repeatedly is O(n²);
+        // decrement by the (k+1)-th largest count in one step instead
+        val counts = new java.util.ArrayList[java.lang.Long](buf.values())
+        java.util.Collections.sort(counts)
+        val dec = counts.get(counts.size() - k - 1).longValue
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.longValue <= dec) it.remove()
+          else e.setValue(java.lang.Long.valueOf(e.getValue.longValue - dec))
+        }
+      }
+
+    override def update(
+        buf: java.util.HashMap[String, java.lang.Long], input: InternalRow): java.util.HashMap[String, java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        bump(buf, v.toString, 1L)
+        shrink(buf)
+      }
+      buf
+    }
+
+    override def merge(
+        buf: java.util.HashMap[String, java.lang.Long],
+        other: java.util.HashMap[String, java.lang.Long]): java.util.HashMap[String, java.lang.Long] = {
+      val it = other.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        bump(buf, e.getKey, e.getValue.longValue)
+      }
+      shrink(buf)
+      buf
+    }
+
+    override def eval(buf: java.util.HashMap[String, java.lang.Long]): Any = {
+      val keys = new java.util.ArrayList[String](buf.keySet())
+      java.util.Collections.sort(keys)
+      val arr = new Array[Any](keys.size())
+      var i = 0
+      while (i < keys.size()) { arr(i) = UTF8String.fromString(keys.get(i)); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    }
+
+    override def serialize(buf: java.util.HashMap[String, java.lang.Long]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(buf.size())
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        out.writeUTF(e.getKey); out.writeLong(e.getValue.longValue)
+      }
+      bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, java.lang.Long] = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val n = in.readInt()
+      val buf = new java.util.HashMap[String, java.lang.Long]()
+      var i = 0
+      while (i < n) { buf.put(in.readUTF(), java.lang.Long.valueOf(in.readLong())); i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): MisraGries =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren.head)
+  }
+
+  // ---------------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------------
 
@@ -346,6 +458,10 @@ object GraftExpressions {
     "graft_kmv_distinct" -> { es =>
       val k = es.lift(1).map(_.eval(null).toString.toInt).getOrElse(256)
       KmvDistinct(es.head, k).toAggregateExpression()
+    },
+    "graft_heavy_hitters" -> { es =>
+      val k = es.lift(1).map(_.eval(null).toString.toInt).getOrElse(64)
+      MisraGries(es.head, k).toAggregateExpression()
     })
 
   /** Runtime registration on a live session (what the driver-facing

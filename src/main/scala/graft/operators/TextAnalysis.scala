@@ -157,13 +157,46 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Heavy hitters via the Misra-Gries sketch, prune-then-verify: the
+    * mergeable sketch (one pass, k=64 counters, map-side combine)
+    * nominates candidate tokens — guaranteed to include everything with
+    * frequency > n/65 — then an exact count over just the candidates
+    * applies the real threshold (count·32 ≥ n, strictly inside the
+    * guarantee). At 100 TB the exact pass groups a candidate set of ≤64
+    * tokens instead of the full vocabulary; output is exact, so the
+    * oracle is a plain GROUP BY/HAVING.
+    */
+  def taHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(s)
+    val t = Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val cands = t.agg(expr("graft_heavy_hitters(tok, 64)").as("cs"))
+      .select(explode(col("cs")).as("cand"))
+    val total = t.agg(count(lit(1)).as("total"))
+    t.join(broadcast(cands), col("tok") === col("cand"), "left_semi")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(total))
+      .filter(col("cnt") * 32 >= col("total"))
+      .select(col("tok"), col("cnt"))
+      .orderBy(desc("cnt"), asc("tok"))
+  }
+
+  private val taHeavyHittersSql =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok
+      |HAVING COUNT(*) * 32 >= (SELECT COUNT(*) FROM t)
+      |ORDER BY cnt DESC, tok ASC""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_heavy_hitters" -> (taHeavyHitters(_, _)),
     "ta_tokens" -> (taTokens(_, _)),
     "ta_quality" -> (taQuality(_, _)),
     "ta_langid" -> (taLangid(_, _)),
     "ta_fingerprint" -> (taFingerprint(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "ta_heavy_hitters" -> taHeavyHittersSql,
     "ta_tokens" -> taTokensSql,
     "ta_quality" -> taQualitySql,
     "ta_langid" -> taLangidSql,

@@ -73,4 +73,24 @@ class GraftExpressionsSpec extends SparkSuite {
       assert(q.queryExecution.optimizedPlan.toString.contains("graft_norm_sq_f"))
     } finally spark.experimental.extraOptimizations = Nil
   }
+
+  test("Misra-Gries sketch keeps every guaranteed-frequent item under any partitioning") {
+    GraftExpressions.register(sc)
+    import spark.implicits._
+    // skewed stream: token i appears weight(i) times; n = sum of weights
+    val weights = Map("hot" -> 500, "warm" -> 120, "mild" -> 40) ++
+      (1 to 200).map(i => s"rare$i" -> 1).toMap
+    val rows = weights.toSeq.flatMap { case (t, w) => Seq.fill(w)(t) }
+    val n = rows.size
+    val k = 16
+    for (parts <- Seq(1, 3, 8)) {
+      val cands = spark.createDataset(rows).repartition(parts).toDF("tok")
+        .agg(org.apache.spark.sql.functions.expr(s"graft_heavy_hitters(tok, $k)").as("c"))
+        .collect()(0).getSeq[String](0).toSet
+      assert(cands.size <= k, s"sketch overflowed: ${cands.size} > $k")
+      // the MG guarantee: freq > n/(k+1) always survives
+      weights.collect { case (t, w) if w > n / (k + 1) => t }
+        .foreach(t => assert(cands.contains(t), s"lost guaranteed item $t at parts=$parts"))
+    }
+  }
 }
