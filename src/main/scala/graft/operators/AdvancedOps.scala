@@ -173,9 +173,32 @@ object AdvancedOps {
       |  ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3
       |ORDER BY o_custkey ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin
 
+  /** The same as-of semantics through the NATIVE custom operator
+    * (graft.plans.AsOfJoin: one exchange + one sort per side, single
+    * forward merge, O(1) state) — verified against DuckDB's native
+    * ASOF LEFT JOIN, i.e. two independent as-of implementations that
+    * must agree row-for-row. The window composition above remains as
+    * the built-ins-only formulation.
+    */
+  def qAsofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val probe = ev.select(col("event_id"), col("user_id"), col("ts"))
+    val build = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"),
+        col("event_id").as("p_id"))
+    graft.plans.AsOfJoin(probe, build, s,
+        col("user_id"), unix_micros(col("ts")),
+        col("p_user"), unix_micros(col("pts")), col("p_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("pts").as("last_purchase_ts"),
+        (unix_millis(col("ts")) - unix_millis(col("pts"))).as("ms_since"))
+      .orderBy("event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouped_topk" -> (qGroupedTopK(_, _)),
     "q_asof_join" -> (qAsofJoin(_, _)),
+    "q_asof_native" -> (qAsofNative(_, _)),
     "q_range_join" -> (qRangeJoin(_, _)),
     "q_sessionize" -> (qSessionize(_, _)),
     "q_percentiles" -> (qPercentiles(_, _)),
@@ -184,6 +207,7 @@ object AdvancedOps {
   def oracles: Map[String, String] = Map(
     "q_grouped_topk" -> qGroupedTopKSql,
     "q_asof_join" -> qAsofSql,
+    "q_asof_native" -> qAsofSql,
     "q_range_join" -> qRangeJoinSql,
     "q_sessionize" -> qSessionizeSql,
     "q_percentiles" -> qPercentilesSql,
