@@ -277,6 +277,37 @@ object Analytics3 {
       |  CAST(length(base64(encode(text))) AS BIGINT) AS b64_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Extended math: log bases, cube root, inverse trig, factorial,
+    * sign, binary/hex rendering. Transcendentals rounded at 6 per the
+    * portability recipe; integer ops exact.
+    */
+  def qMathExtended(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part")
+      .select(col("p_partkey"),
+        round(log2(col("p_retailprice")), 6).as("lg2"),
+        round(log10(col("p_retailprice")), 6).as("lg10"),
+        round(cbrt(col("p_retailprice")), 6).as("cuberoot"),
+        round(asin(col("p_size") / 50.0), 6).as("asin_sz"),
+        round(acos(col("p_size") / 50.0), 6).as("acos_sz"),
+        factorial(col("p_size") % 10).as("fact_sz"),
+        signum(col("p_retailprice") - 1000.0).cast(LongType).as("sign_dev"),
+        bin(col("p_partkey")).as("bin_key"),
+        hex(col("p_partkey")).as("hex_key"))
+      .orderBy("p_partkey")
+
+  private val qMathExtendedSql =
+    """SELECT p_partkey,
+      |  round(log2(p_retailprice), 6) AS lg2,
+      |  round(log10(p_retailprice), 6) AS lg10,
+      |  round(cbrt(p_retailprice), 6) AS cuberoot,
+      |  round(asin(p_size / 50.0), 6) AS asin_sz,
+      |  round(acos(p_size / 50.0), 6) AS acos_sz,
+      |  CAST(factorial(p_size % 10) AS BIGINT) AS fact_sz,
+      |  CAST(sign(p_retailprice - 1000.0) AS BIGINT) AS sign_dev,
+      |  bin(p_partkey) AS bin_key,
+      |  hex(p_partkey) AS hex_key
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -290,7 +321,8 @@ object Analytics3 {
     "q_array_advanced" -> (qArrayAdvanced(_, _)),
     "q_string_advanced" -> (qStringAdvanced(_, _)),
     "q_interval_arith" -> (qIntervalArith(_, _)),
-    "q_encode_funcs" -> (qEncodeFuncs(_, _)))
+    "q_encode_funcs" -> (qEncodeFuncs(_, _)),
+    "q_math_extended" -> (qMathExtended(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q13_order_dist" -> q13Sql,
@@ -301,5 +333,6 @@ object Analytics3 {
     "q_array_advanced" -> qArrayAdvancedSql,
     "q_string_advanced" -> qStringAdvancedSql,
     "q_interval_arith" -> qIntervalArithSql,
-    "q_encode_funcs" -> qEncodeSql)
+    "q_encode_funcs" -> qEncodeSql,
+    "q_math_extended" -> qMathExtendedSql)
 }
