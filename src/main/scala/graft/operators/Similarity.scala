@@ -38,7 +38,7 @@ object Similarity {
     * oracles are unchanged; the hot loop is a plain generated `for`
     * over the unsafe float array.
     */
-  private def withNorm(s: SparkSession, df: DataFrame): DataFrame = {
+  private[operators] def withNorm(s: SparkSession, df: DataFrame): DataFrame = {
     graft.functions.GraftExpressions.register(s)
     df.select(col("vec_id"), col("embedding"),
       sqrt(expr("graft_norm_sq_f(embedding)")).as("nrm"))
@@ -74,7 +74,7 @@ object Similarity {
   /** IVF cell assignment: nearest centroid by cosine (ties → lowest
     * centroid id). Returns vec_id, embedding, nrm, cell.
     */
-  private def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
+  private[operators] def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
     val byVec = Window.partitionBy("vec_id").orderBy(desc("cos_c"), asc("cid"))
     e.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
