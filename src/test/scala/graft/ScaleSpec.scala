@@ -72,6 +72,31 @@ class ScaleSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("bucketed tables co-locate the join: zero exchanges in the plan") {
+    // The 100 TB fact-fact join path: both sides bucketed on the join
+    // key → SortMergeJoin reads bucket i against bucket i directly, no
+    // shuffle stage at all. Broadcast is disabled so the test proves
+    // bucketing (not the broadcast threshold) removed the exchanges.
+    val s = sc
+    graft.sources.Tables(s, sfDir, "orders").write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_bkt")
+    graft.sources.Tables(s, sfDir, "customer").write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("customer_bkt")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(2000))
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
+
   test("salted aggregation equals the direct formulation") {
     val salted = graft.operators.ScaleOps.queries("q_salted_agg")(sc, sfDir).collect()
     val direct = graft.sources.Tables(sc, sfDir, "events")
