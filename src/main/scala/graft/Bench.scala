@@ -25,13 +25,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev-only subset filter (driver sets no env → full run).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // sorted: Map iteration order would otherwise change whenever a
+    // query is added, silently moving which queries hit warm caches and
+    // making per-query numbers incomparable across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t1 = time(fn)
       name -> (if (t1 < 5.0) math.min(t1, time(fn)) else t1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -18,7 +18,7 @@ object SparkEntry {
     HfpPipeline.queries ++ Analytics.queries ++ Analytics2.queries ++ Analytics3.queries ++ Analytics4.queries ++ Analytics5.queries ++
       TextAnalysis.queries ++ TextAnalysis2.queries ++ DedupOps.queries ++ Similarity.queries ++ Similarity2.queries ++
       Multimodal.queries ++ AdvancedOps.queries ++ ScaleOps.queries ++
-      KMeansIvf.queries ++ Pipelines.queries ++ TypedOps.queries
+      KMeansIvf.queries ++ Pipelines.queries ++ TypedOps.queries ++ GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +26,5 @@ object SparkEntry {
     HfpPipeline.oracles ++ Analytics.oracles ++ Analytics2.oracles ++ Analytics3.oracles ++ Analytics4.oracles ++ Analytics5.oracles ++
       TextAnalysis.oracles ++ TextAnalysis2.oracles ++ DedupOps.oracles ++ Similarity.oracles ++ Similarity2.oracles ++
       Multimodal.oracles ++ AdvancedOps.oracles ++ ScaleOps.oracles ++
-      KMeansIvf.oracles ++ Pipelines.oracles ++ TypedOps.oracles
+      KMeansIvf.oracles ++ Pipelines.oracles ++ TypedOps.oracles ++ GraphOps.oracles
 }

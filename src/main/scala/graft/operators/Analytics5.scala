@@ -86,13 +86,55 @@ object Analytics5 {
       |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
       |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
 
+  /** Snapshot diff (CDC classify): full-outer-join two day snapshots of
+    * the events table on the key, classify each row added / removed /
+    * changed, return the non-identical rows. The join shuffles on the
+    * key both sides — at 100 TB both snapshots bucket by the key and
+    * the diff is co-located (see ScaleSpec's bucketed-join proof).
+    */
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val old = ev.where(col("event_id") % 10 < 8)
+      .select(col("event_id").as("o_id"), col("value").as("value_old"))
+    val neu = ev.where(col("event_id") % 10 >= 1)
+      .select(col("event_id").as("n_id"),
+        when(col("event_id") % 7 === 0, col("value") + 1.5)
+          .otherwise(col("value")).as("value_new"))
+    old.join(neu, col("o_id") === col("n_id"), "full_outer")
+      .withColumn("change",
+        when(col("o_id").isNull, "added")
+          .when(col("n_id").isNull, "removed")
+          .when(col("value_old") =!= col("value_new"), "changed"))
+      .where(col("change").isNotNull)
+      .select(coalesce(col("o_id"), col("n_id")).as("event_id"),
+        col("change"), col("value_old"), col("value_new"))
+      .orderBy("event_id")
+  }
+
+  private val qSnapshotDiffSql =
+    """WITH old AS (SELECT event_id AS o_id, value AS value_old FROM events WHERE event_id % 10 < 8),
+      |neu AS (SELECT event_id AS n_id,
+      |          CASE WHEN event_id % 7 = 0 THEN value + 1.5 ELSE value END AS value_new
+      |        FROM events WHERE event_id % 10 >= 1),
+      |d AS (
+      |  SELECT coalesce(o_id, n_id) AS event_id,
+      |    CASE WHEN o_id IS NULL THEN 'added'
+      |         WHEN n_id IS NULL THEN 'removed'
+      |         WHEN value_old <> value_new THEN 'changed' END AS change,
+      |    value_old, value_new
+      |  FROM old FULL OUTER JOIN neu ON o_id = n_id)
+      |SELECT event_id, change, value_old, value_new
+      |FROM d WHERE change IS NOT NULL ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gap_fill" -> (qGapFill(_, _)),
     "q_posexplode" -> (qPosexplode(_, _)),
-    "q_lateral_topn" -> (qLateralTopn(_, _)))
+    "q_lateral_topn" -> (qLateralTopn(_, _)),
+    "q_snapshot_diff" -> (qSnapshotDiff(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_gap_fill" -> qGapFillSql,
     "q_posexplode" -> qPosexplodeSql,
-    "q_lateral_topn" -> qLateralSql)
+    "q_lateral_topn" -> qLateralSql,
+    "q_snapshot_diff" -> qSnapshotDiffSql)
 }

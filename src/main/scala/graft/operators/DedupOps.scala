@@ -86,13 +86,16 @@ object DedupOps {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d
       |  CROSS JOIN range(1, 4001) t(i) WHERE i <= len(d.toks) - 2)""".stripMargin
 
-  /** Exact Jaccard for a set of candidate pairs (columns a, b). */
+  /** Exact Jaccard for a set of candidate pairs (columns a, b). The
+    * intersection joins on (doc, shingle) both times, so a pair costs
+    * |A|+|A∩B| probe rows — never the |A|·|B| cross blowup of joining
+    * on the doc id alone and post-filtering shingle equality.
+    */
   private def jaccardFor(cands: DataFrame, sh: DataFrame): DataFrame = {
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
-      .join(sh.select(col("doc_id").as("a"), col("h").as("h_a")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("h").as("h_b")), "b")
-      .where(col("h_a") === col("h_b"))
+      .join(sh.select(col("doc_id").as("a"), col("h")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
       .groupBy("a", "b").agg(count(lit(1)).as("ni"))
     inter
       .join(cnt.select(col("doc_id").as("a"), col("n").as("na")), "a")
@@ -158,6 +161,16 @@ object DedupOps {
       .orderBy("a", "b")
   }
 
+  /** Verified near-duplicate pairs (a < b) — LSH candidates passing the
+    * exact-Jaccard check. The edge list for [[GraphOps]] components.
+    */
+  private[operators] def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(Tables(s, dir, "documents")).cache()
+    jaccardFor(lshCandidates(sh), sh)
+      .where(col("jaccard") >= JaccardThreshold)
+      .select("a", "b")
+  }
+
   /** The WITH-chain producing `cands` in DuckDB (shared). */
   private val candsSqlChain = {
     val baseH = s"(h % $MersenneP)"
@@ -177,6 +190,19 @@ object DedupOps {
        |banded AS (SELECT doc_id, $bandExprs FROM sigs),
        |cands AS ($unions)""".stripMargin
   }
+
+  /** WITH-chain ending in `pairs(a, b)` — the verified near-dup edge
+    * list, CTE-composable (used by the components oracle).
+    */
+  private[operators] val pairsSqlChain: String =
+    s"""$candsSqlChain,
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.a, c.b, COUNT(*) AS ni FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sa.h = sb.h
+       |  GROUP BY c.a, c.b),
+       |pairs AS (SELECT i.a, i.b
+       |  FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+       |  WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= $JaccardThreshold)""".stripMargin
 
   private val ddMinhashSql = {
     s"""WITH $candsSqlChain,
@@ -227,7 +253,14 @@ object DedupOps {
 
   def ddNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     // intersections come straight off the shingle self-join — no
-    // separate candidate pass (the oracle has the same single-pass shape)
+    // separate candidate pass (the oracle has the same single-pass
+    // shape). Prefix filtering (Bayardo et al., WWW'07) was measured
+    // here and LOST: this corpus's document frequencies are flat
+    // (df̄≈9.6, max 25 at sf0.1), so Σdf² is only ~11× the shingle
+    // count and the naive join never explodes, while the prefix pass
+    // adds two windows and a candidate distinct. On a corpus with
+    // skewed df (real text at 100 TB), switch candidates to
+    // dd_minhash_lsh — already the indexed scale path.
     val sh = shingleHashes(Tables(s, dir, "documents")).cache()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("a"), col("h"))

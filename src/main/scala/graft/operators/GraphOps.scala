@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-shaped dedup: connected components over the verified near-dup
+  * pair graph (the transitive-closure step every production dedup
+  * pipeline runs after pairwise detection — "A≈B and B≈C" must collapse
+  * A, B, C to ONE representative even when A≉C directly).
+  *
+  * The Spark side is iterative min-label propagation: each round every
+  * node takes the min of its own label and its neighbors' labels; the
+  * loop stops at a fixpoint (≤ graph-diameter rounds — near-dup
+  * components are shallow in practice). Per round: one shuffle join +
+  * one aggregate over the EDGE list only — corpus-scale rows never
+  * enter the loop. At extreme component sizes the same loop upgrades to
+  * the large-star/small-star variant (Kiveris et al., "Connected
+  * Components in MapReduce", SOCC'14) without changing this contract.
+  *
+  * Oracle: DuckDB recursive CTE computing reachability min-label over
+  * the identical pair chain — exact, since both sides see the same
+  * deterministic edge list.
+  */
+object GraphOps {
+
+  private val MaxIters = 20
+
+  def ddComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.verifiedPairs(s, dir).cache()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < MaxIters) {
+      val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id")).agg(min("lbl").as("nlbl"))
+      // every node in the graph has ≥1 edge, so the inner join is total
+      val next = labels.join(nbrMin, "doc_id")
+        .select(col("doc_id"), least(col("lbl"), col("nlbl")).as("lbl"))
+        .cache()
+      next.count()
+      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
+        .where(col("lbl") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("lbl").as("component")).orderBy("doc_id")
+  }
+
+  /** The RECURSIVE keyword is scoped to a NESTED subquery: DuckDB 1.0
+    * silently changes UNION dedup semantics for every CTE in a
+    * `WITH RECURSIVE` list (repro: `WITH RECURSIVE t AS (SELECT 1
+    * UNION SELECT 1 UNION SELECT 1)` has 2 rows, plain WITH has 1),
+    * which doubled the band-union candidate rows upstream and zeroed
+    * the Jaccard denominator for exact-duplicate docs.
+    */
+  private val ddComponentsSql =
+    s"""WITH ${DedupOps.pairsSqlChain},
+       |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs)
+       |SELECT doc AS doc_id, least(doc, min(peer)) AS component FROM (
+       |  WITH RECURSIVE reach AS (
+       |    SELECT a AS doc, b AS peer FROM edges
+       |    UNION
+       |    SELECT r.doc, e.b FROM reach r JOIN edges e ON r.peer = e.a AND e.b <> r.doc)
+       |  SELECT doc, peer FROM reach)
+       |GROUP BY doc ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_components" -> (ddComponents(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "dd_components" -> ddComponentsSql)
+}

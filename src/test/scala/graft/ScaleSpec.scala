@@ -97,6 +97,33 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // At 100 TB a selective dim filter should reach the fact scan as a
+    // runtime bloom filter (row-level semi-join pushdown). Thresholds
+    // are lowered so the tiny test tables qualify for injection.
+    val s = sc
+    val set = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = set.map { case (k, _) => k -> spark.conf.getOption(k) }
+    set.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = graft.sources.Tables(s, sfDir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+      val j = graft.sources.Tables(s, sfDir, "lineitem")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"), opt.take(2000))
+      assert(j.collect().head.getLong(1) > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation equals the direct formulation") {
     val salted = graft.operators.ScaleOps.queries("q_salted_agg")(sc, sfDir).collect()
     val direct = graft.sources.Tables(sc, sfDir, "events")
