@@ -126,13 +126,49 @@ object Analytics5 {
       |SELECT event_id, change, value_old, value_new
       |FROM d WHERE change IS NOT NULL ORDER BY event_id""".stripMargin
 
+  /** URL parsing family: Spark's parse_url (PROTOCOL/HOST/PATH/QUERY +
+    * keyed query param) over synthesized order URLs; DuckDB mirrors
+    * with anchored regexp_extract groups. The host/domain extract is
+    * the first step of URL-level dedup in a crawl pipeline.
+    */
+  def qUrlFuncs(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://api.example.com/v2/orders/"), col("o_orderkey"),
+      lit("?priority="), regexp_replace(col("o_orderpriority"), " ", "%20"),
+      lit("&status="), col("o_orderstatus"))
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), url.as("url"))
+      .select(col("o_orderkey"),
+        parse_url(col("url"), lit("PROTOCOL")).as("protocol"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("status")).as("status_param"))
+      .orderBy("o_orderkey")
+  }
+
+  private val qUrlFuncsSql =
+    """WITH u AS (SELECT o_orderkey,
+      |  'https://api.example.com/v2/orders/' || o_orderkey
+      |    || '?priority=' || replace(o_orderpriority, ' ', '%20')
+      |    || '&status=' || o_orderstatus AS url
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |  regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+      |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+      |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+      |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+      |  regexp_extract(url, '[?&]status=([^&#]*)', 1) AS status_param
+      |FROM u ORDER BY o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_url_funcs" -> (qUrlFuncs(_, _)),
     "q_gap_fill" -> (qGapFill(_, _)),
     "q_posexplode" -> (qPosexplode(_, _)),
     "q_lateral_topn" -> (qLateralTopn(_, _)),
     "q_snapshot_diff" -> (qSnapshotDiff(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_url_funcs" -> qUrlFuncsSql,
     "q_gap_fill" -> qGapFillSql,
     "q_posexplode" -> qPosexplodeSql,
     "q_lateral_topn" -> qLateralSql,

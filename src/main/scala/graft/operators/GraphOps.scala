@@ -26,13 +26,22 @@ object GraphOps {
   private val MaxIters = 20
 
   def ddComponents(s: SparkSession, dir: String): DataFrame = {
-    val pairs = DedupOps.verifiedPairs(s, dir).cache()
+    val pairs = DedupOps.verifiedPairs(s, dir)
+    // localCheckpoint (not cache): each round's plan would otherwise
+    // embed the whole previous round's lineage — after k rounds the
+    // plan tree is exponential in k. Checkpointing truncates lineage to
+    // the materialized partitions; a cluster deployment would use
+    // reliable checkpoint() against the cluster FS instead.
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
-      .cache()
+      .localCheckpoint()
+    // labels only ever decrease, so Σlbl is strictly monotone until the
+    // fixpoint — an unchanged sum IS convergence (one cheap aggregate
+    // per round instead of a join + count against the previous state)
+    var prevSum = labels.agg(sum("lbl")).head().getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < MaxIters) {
@@ -41,13 +50,11 @@ object GraphOps {
       // every node in the graph has ≥1 edge, so the inner join is total
       val next = labels.join(nbrMin, "doc_id")
         .select(col("doc_id"), least(col("lbl"), col("nlbl")).as("lbl"))
-        .cache()
-      next.count()
-      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
-        .where(col("lbl") =!= col("prev")).count()
-      labels.unpersist()
+        .localCheckpoint()
+      val s = next.agg(sum("lbl")).head().getLong(0)
       labels = next
-      converged = changed == 0
+      converged = s == prevSum
+      prevSum = s
       iter += 1
     }
     labels.select(col("doc_id"), col("lbl").as("component")).orderBy("doc_id")

@@ -49,6 +49,18 @@ object EventsStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding-window aggregation (1 h window, 15 min slide): each event
+    * contributes to 4 overlapping windows — trend smoothing over the
+    * stream. State per key is bounded by the same watermark contract as
+    * the tumbling twin.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
   /** foreachBatch sink wiring: each micro-batch flows through the same
     * batch write path (JDBC in production, parquet in the harness) —
     * the streaming equivalent of the reference's insert queue, with

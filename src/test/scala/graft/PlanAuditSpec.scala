@@ -1,0 +1,35 @@
+package graft
+
+/** Plan-shape gates for the round-3 additions (PlanSpec covers the
+  * earlier waves): broadcasts where intended, lineage truncation where
+  * required. Failures here mean a physical regression even if results
+  * still match.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private def plan(n: String): String =
+    SparkEntry.queries(n)(sc, sfDir).queryExecution.executedPlan.toString
+
+  test("ann_sq8 broadcasts stats, query coords, and query vector") {
+    assert("BroadcastHashJoin".r.findAllIn(plan("ann_sq8")).length >= 2)
+  }
+
+  test("ta_tfidf broadcasts the corpus-count scalar") {
+    assert(plan("ta_tfidf").contains("BroadcastNestedLoopJoin") ||
+      plan("ta_tfidf").contains("BroadcastHashJoin"))
+  }
+
+  test("dd_components truncates the iterative lineage") {
+    // localCheckpoint per round: the final plan must be a scan of the
+    // checkpointed labels, not the k-round join tree (which would grow
+    // exponentially with rounds)
+    val p = plan("dd_components")
+    assert(!p.contains("Join"), p.take(1200))
+    assert(p.contains("Scan ExistingRDD"), p.take(1200))
+  }
+
+  test("q_gap_fill joins the spine without shuffling it") {
+    assert("BroadcastHashJoin".r.findAllIn(plan("q_gap_fill")).length +
+      "BroadcastNestedLoopJoin".r.findAllIn(plan("q_gap_fill")).length >= 1)
+  }
+}

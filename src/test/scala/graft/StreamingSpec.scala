@@ -25,6 +25,25 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sliding windows (1h/15min) agree with the batch formulation") {
+    val events = EventsStream.readEvents(sc, sfDir, "events.parquet")
+    val q = EventsStream.runToMemory(spark, EventsStream.slidingCounts(events), "sliding_test")
+    try {
+      val got = spark.sql("SELECT * FROM sliding_test").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("win_start"), r.getAs[String]("event_type")) -> r.getAs[Long]("n")).toMap
+      val batch = graft.sources.Tables(sc, sfDir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+        .collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("win_start"), r.getAs[String]("event_type")) -> r.getAs[Long]("n")).toMap
+      assert(got.nonEmpty)
+      got.foreach { case (k, n) => assert(batch(k) == n, s"window $k") }
+      // each event lands in exactly 4 overlapping windows
+      assert(got.values.sum <= 4 * graft.sources.Tables(sc, sfDir, "events").count())
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user counts across batches") {
     import org.apache.spark.sql.streaming.OutputMode
     val events = EventsStream.readEvents(sc, sfDir, "events.parquet")
