@@ -101,13 +101,114 @@ object ScaleOps {
        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
   }
 
+  /** Incremental aggregation (materialized-view maintenance): fold a
+    * new day's delta into yesterday's aggregate STATE instead of
+    * recomputing from all history — count/sum are algebraic, so
+    * state ⊎ delta-partials re-aggregated equals the full recompute
+    * (which is exactly what the oracle runs). At 100 TB this turns a
+    * daily full-history scan into a delta-sized one.
+    */
+  def qIncrAgg(s: SparkSession, dir: String): DataFrame = {
+    val dec = col("value").cast(DecimalType(12, 2))
+    val ev = Tables(s, dir, "events")
+    val split = "2024-01-25"
+    val state = ev.where(to_date(col("ts")) < lit(split))
+      .groupBy("event_type").agg(count(lit(1)).as("pn"), sum(dec).as("psum"))
+    val delta = ev.where(to_date(col("ts")) >= lit(split))
+      .groupBy("event_type").agg(count(lit(1)).as("pn"), sum(dec).as("psum"))
+    state.union(delta)
+      .groupBy("event_type")
+      .agg(sum("pn").as("n"), sum("psum").cast(DoubleType).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val qIncrAggSql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Column profiling (the data-quality pass before any pipeline run):
+    * per-column row/null/distinct counts, numeric min/max. One narrow
+    * scan, one aggregate row exploded to a row per column.
+    */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val numeric = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val varchar = Seq("o_orderstatus", "o_orderpriority")
+    val rows = numeric.map { c =>
+      o.agg(lit(c).as("col_name"), count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1).otherwise(0)).cast(LongType).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast(DoubleType).as("min_d"),
+        max(col(c)).cast(DoubleType).as("max_d"))
+    } ++ varchar.map { c =>
+      o.agg(lit(c).as("col_name"), count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1).otherwise(0)).cast(LongType).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        lit(null).cast(DoubleType).as("min_d"),
+        lit(null).cast(DoubleType).as("max_d"))
+    }
+    rows.reduce(_ union _).orderBy("col_name")
+  }
+
+  private val qProfileSql = {
+    val numeric = Seq("o_orderkey", "o_custkey", "o_totalprice").map { c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS DOUBLE) AS min_d, CAST(MAX($c) AS DOUBLE) AS max_d
+         |FROM orders""".stripMargin
+    }
+    val varchar = Seq("o_orderstatus", "o_orderpriority").map { c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_d, CAST(NULL AS DOUBLE) AS max_d
+         |FROM orders""".stripMargin
+    }
+    (numeric ++ varchar).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  /** Z-order (Morton) layout key: interleave the low 10 bits of two
+    * dimensions so rows close in BOTH dimensions sort near each other —
+    * the multi-dimensional clustering that makes min/max data skipping
+    * work on two filter columns at once. The sort itself is the
+    * operator; at scale it feeds `write.sortBy`/repartitionByRange.
+    */
+  def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val x = col("event_id") % 1024
+    val y = col("user_id") % 1024
+    val z = (0 until 10).map { i =>
+      (shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), z.as("zcode"))
+      .orderBy("zcode", "event_id")
+      .limit(1000)
+  }
+
+  private val qZorderSql = {
+    val terms = (0 until 10).map { i =>
+      s"(((event_id % 1024) >> $i) & 1) * ${1L << (2 * i)} + (((user_id % 1024) >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    s"""SELECT event_id, user_id, CAST($terms AS BIGINT) AS zcode
+       |FROM events ORDER BY zcode, event_id LIMIT 1000""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_agg" -> (qSaltedAgg(_, _)),
     "q_hash_sample" -> (qHashSample(_, _)),
-    "q_train_split" -> (qTrainSplit(_, _)))
+    "q_train_split" -> (qTrainSplit(_, _)),
+    "q_incr_agg" -> (qIncrAgg(_, _)),
+    "q_profile" -> (qProfile(_, _)),
+    "q_zorder" -> (qZorder(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_salted_agg" -> qSaltedSql,
     "q_hash_sample" -> qHashSampleSql,
-    "q_train_split" -> qTrainSplitSql)
+    "q_train_split" -> qTrainSplitSql,
+    "q_incr_agg" -> qIncrAggSql,
+    "q_profile" -> qProfileSql,
+    "q_zorder" -> qZorderSql)
 }
