@@ -160,7 +160,59 @@ object Analytics5 {
       |  regexp_extract(url, '[?&]status=([^&#]*)', 1) AS status_param
       |FROM u ORDER BY o_orderkey""".stripMargin
 
+  /** SCD2 build from a change log: compress consecutive same-value rows
+    * per key, then each surviving change opens an interval closed by
+    * the next one (lead) — the dimension-table maintenance pattern.
+    * Two windows over the same (key, time) partitioning → one shuffle.
+    */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .where(col("prev_type").isNull || col("event_type") =!= col("prev_type"))
+    changes
+      .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+        lead("ts", 1).over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+          .as("valid_to"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  private val qScd2Sql =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |changes AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, event_id, ts, event_type,
+      |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |    FROM e)
+      |  WHERE prev_type IS NULL OR event_type <> prev_type)
+      |SELECT user_id, event_type, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |FROM changes ORDER BY user_id, valid_from""".stripMargin
+
+  /** Keep-latest dedup (CDC compaction): one surviving row per key, the
+    * one with the greatest (ts, id). The argmax-by-struct form plans as
+    * a single aggregate — no window sort over the full table.
+    */
+  def qDedupKeepLatest(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"))
+      .select(col("user_id"), col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"))
+      .orderBy("user_id")
+
+  private val qDedupKeepLatestSql =
+    """SELECT user_id, ts AS last_ts, event_id AS last_event_id, event_type AS last_type FROM (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+      |  FROM events) WHERE rk = 1 ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2" -> (qScd2(_, _)),
+    "q_dedup_keep_latest" -> (qDedupKeepLatest(_, _)),
     "q_url_funcs" -> (qUrlFuncs(_, _)),
     "q_gap_fill" -> (qGapFill(_, _)),
     "q_posexplode" -> (qPosexplode(_, _)),
@@ -168,6 +220,8 @@ object Analytics5 {
     "q_snapshot_diff" -> (qSnapshotDiff(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_scd2" -> qScd2Sql,
+    "q_dedup_keep_latest" -> qDedupKeepLatestSql,
     "q_url_funcs" -> qUrlFuncsSql,
     "q_gap_fill" -> qGapFillSql,
     "q_posexplode" -> qPosexplodeSql,
