@@ -29,6 +29,54 @@ import org.apache.spark.sql.SparkSessionExtensions
 object GraftExpressions {
 
   // ---------------------------------------------------------------------
+  // Portable 60-bit hash (md5 prefix) — codegen'd
+  // ---------------------------------------------------------------------
+
+  /** The PortableHash seam as ONE expression: value-identical to
+    * `conv(substr(md5(s),1,15),16,10)::long` (the first 15 hex digits =
+    * the first 60 bits = big-endian first-8-bytes >>> 4) but computed
+    * straight from the digest bytes — no 32-char hex string, no
+    * substring, no base-16 string parse per row. Every sketch operator
+    * (MinHash, SimHash, fingerprints, hash sampling) runs this per
+    * token/shingle, so the string round-trip was the hottest
+    * allocation in the dedup family.
+    */
+  case class Hash64Prefix(child: Expression) extends UnaryExpression {
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects string, got $other")
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_hash64"
+
+    override def nullSafeEval(input: Any): Any =
+      Hash64Prefix.hash(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.GraftExpressions.Hash64Prefix.hash($s);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object Hash64Prefix {
+    /** Static hot-path helper shared by eval and generated code. */
+    def hash(s: UTF8String): Long = {
+      val d = org.apache.commons.codec.digest.DigestUtils.md5(s.getBytes)
+      var l = 0L
+      var i = 0
+      while (i < 8) { l = (l << 8) | (d(i) & 0xffL); i += 1 }
+      l >>> 4
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // Vector kernels
   // ---------------------------------------------------------------------
 
@@ -453,6 +501,7 @@ object GraftExpressions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot_f" -> (es => DotProductF(es(0), es(1))),
     "graft_norm_sq_f" -> (es => L2NormSqF(es.head)),
+    "graft_hash64" -> (es => Hash64Prefix(es.head)),
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "graft_norm_sq" -> (es => L2NormSq(es.head)),
     "graft_kmv_distinct" -> { es =>

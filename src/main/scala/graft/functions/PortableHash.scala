@@ -18,8 +18,19 @@ import org.apache.spark.sql.types.LongType
   */
 object PortableHash {
 
-  /** hash64(s): 60-bit positive hash of a string column. */
+  /** hash64(s): 60-bit positive hash of a string column. Runs on the
+    * codegen'd [[GraftExpressions.Hash64Prefix]] (value-identical to
+    * `conv(substr(md5(s),1,15),16,10)::long`, equality property-tested
+    * in GraftExpressionsSpec) — resolved via the function registry,
+    * which [[graft.sources.Tables]] populates on every session.
+    */
   def hash64(c: Column): Column =
+    call_function("graft_hash64", c)
+
+  /** The built-in-only formulation (what hash64 computes, spelled in
+    * portable Spark built-ins — kept as the equality-test reference).
+    */
+  def hash64Builtin(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /** Seeded variant: independent hash family member `seed`. */

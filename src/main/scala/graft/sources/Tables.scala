@@ -24,6 +24,10 @@ object Tables {
     // DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, so oracle
     // comparisons stay exact.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // every query path enters through here, so the session always has
+    // the graft function registry (PortableHash resolves graft_hash64
+    // by name); idempotent and cheap
+    graft.functions.GraftExpressions.register(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // integral `div` — a double division would lose precision at 1e18 ns
     if (name == "events")

@@ -9,6 +9,21 @@ import graft.sources.Tables
 
 class GraftExpressionsSpec extends SparkSuite {
 
+  test("graft_hash64 equals the md5/conv built-in formulation") {
+    GraftExpressions.register(sc)
+    import graft.functions.PortableHash
+    val weird = Seq("", " ", "a", "ünïcødé ✓ 漢字", "x" * 1000, "line\nbreak",
+      "0", "null", "\"quoted\"", "trailing space ")
+    val docs = Tables(spark, sfDir, "documents").select(col("text"))
+      .union(spark.createDataFrame(weird.map(Tuple1(_))).toDF("text"))
+    val rows = docs.select(PortableHash.hash64(col("text")).as("fast"),
+      PortableHash.hash64Builtin(col("text")).as("ref")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+    // 60-bit: always non-negative, below 2^60
+    rows.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 60)))
+  }
+
   test("codegen dot product is bit-identical to the HOF fold") {
     GraftExpressions.register(sc)
     val e = Tables(spark, sfDir, "embeddings").limit(50)
