@@ -152,6 +152,11 @@ object DedupOps {
       val r = banded.select(col("doc_id").as("b"), col(s"band$b").as("bk"))
       l.join(r, "bk").where(col("a") < col("b")).select("a", "b")
     }.reduce(_ union _).distinct()
+      // three queries (minhash verify, edit-distance verify, components)
+      // probe the same candidate set; identical plan → one cache entry,
+      // sig/band computation runs once per session instead of 3×.
+      // Size is bounded by the LSH collision count, not the corpus.
+      .cache()
   }
 
   def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {

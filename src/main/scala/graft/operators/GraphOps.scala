@@ -48,8 +48,15 @@ object GraphOps {
       val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id")).agg(min("lbl").as("nlbl"))
       // every node in the graph has ≥1 edge, so the inner join is total
-      val next = labels.join(nbrMin, "doc_id")
-        .select(col("doc_id"), least(col("lbl"), col("nlbl")).as("lbl"))
+      val oneHop = labels.join(nbrMin, "doc_id")
+        .select(col("doc_id"), least(col("lbl"), col("nlbl")).as("lbl1"))
+      // pointer jumping: also adopt the label OF the current label
+      // (lbl1 is always a node of the same component, so this is safe
+      // and cuts rounds from O(diameter) to O(log diameter))
+      val next = oneHop
+        .join(labels.select(col("doc_id").as("p"), col("lbl").as("plbl")),
+          col("lbl1") === col("p"))
+        .select(col("doc_id"), least(col("lbl1"), col("plbl")).as("lbl"))
         .localCheckpoint()
       val s = next.agg(sum("lbl")).head().getLong(0)
       labels = next
