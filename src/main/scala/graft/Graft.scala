@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The library façade — the entry points a user calls directly, grouped
+  * by area. Everything is a plain `DataFrame => DataFrame` (or a
+  * catalog read), composable with any other Spark code; the driver
+  * registry in [[SparkEntry]] exercises the same functions.
+  *
+  * {{{
+  * val spark = GraftSession.build()          // AQE + skew + extensions
+  * val docs  = Graft.table(spark, dir, "documents")
+  * val clean = Graft.text.qualityScores(spark, dir)
+  * val dups  = Graft.dedup.minhashPairs(spark, dir)
+  * }}}
+  */
+object Graft {
+
+  /** Catalog read (vectorized parquet scan; handles the events table's
+    * TIMESTAMP(NANOS) quirk; registers graft expressions).
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    sources.Tables(spark, dir, name)
+
+  /** The reference pipeline (SURVEY.md §2): cast → filter → route →
+    * dedup, plus the idempotent day-load job and streaming twin.
+    */
+  object pipeline {
+    def load(spark: SparkSession, dir: String): DataFrame =
+      operators.HfpPipeline.full(spark, dir)
+    def loadJob: jobs.HfpLoadJob.type = jobs.HfpLoadJob
+    def streamLoader: streaming.HfpStreamLoader.type = streaming.HfpStreamLoader
+  }
+
+  /** Text-analysis / corpus-filter operators over a documents table. */
+  object text {
+    def tokenStats(s: SparkSession, dir: String): DataFrame = operators.TextAnalysis.taTokens(s, dir)
+    def qualityScores(s: SparkSession, dir: String): DataFrame = operators.TextAnalysis.taQuality(s, dir)
+    def languageId(s: SparkSession, dir: String): DataFrame = operators.TextAnalysis.taLangid(s, dir)
+    def fingerprints(s: SparkSession, dir: String): DataFrame = operators.TextAnalysis.taFingerprint(s, dir)
+    def heavyHitters(s: SparkSession, dir: String): DataFrame = operators.TextAnalysis.taHeavyHitters(s, dir)
+    def repetitionSignals(s: SparkSession, dir: String): DataFrame = operators.TextAnalysis2.taRepetition(s, dir)
+    def piiScrub(s: SparkSession, dir: String): DataFrame = operators.TextAnalysis2.taPiiScrub(s, dir)
+    def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = operators.TextAnalysis2.taTfidf(s, dir)
+    def bm25(s: SparkSession, dir: String): DataFrame = operators.TextAnalysis2.taBm25(s, dir)
+    def ngramLmScores(s: SparkSession, dir: String): DataFrame = operators.TextAnalysis2.taNgramLm(s, dir)
+  }
+
+  /** Deduplication tiers: exact → sketch-candidates → verified pairs →
+    * transitive components.
+    */
+  object dedup {
+    def exact(s: SparkSession, dir: String): DataFrame = operators.DedupOps.queries("dd_exact")(s, dir)
+    def minhashPairs(s: SparkSession, dir: String): DataFrame = operators.DedupOps.ddMinhashLsh(s, dir)
+    def simhashPairs(s: SparkSession, dir: String): DataFrame = operators.DedupOps.queries("dd_simhash")(s, dir)
+    def editDistancePairs(s: SparkSession, dir: String): DataFrame = operators.DedupOps.queries("dd_edit_distance")(s, dir)
+    def semantic(s: SparkSession, dir: String): DataFrame = operators.Similarity2.ddSemantic(s, dir)
+    def components(s: SparkSession, dir: String): DataFrame = operators.GraphOps.ddComponents(s, dir)
+  }
+
+  /** Similarity search over an embeddings table. */
+  object ann {
+    def bruteForce(s: SparkSession, dir: String): DataFrame = operators.Similarity.annBrute(s, dir)
+    def ivf(s: SparkSession, dir: String): DataFrame = operators.Similarity.annIvf(s, dir)
+    def ivfTrained(s: SparkSession, dir: String): DataFrame = operators.KMeansIvf.annIvfTrained(s, dir)
+    def sq8(s: SparkSession, dir: String): DataFrame = operators.Similarity2.annSq8(s, dir)
+    def kmeansTrain(s: SparkSession, dir: String): DataFrame = operators.KMeansIvf.kmeansTrain(s, dir)
+  }
+
+  /** Training-set mechanics: deterministic sampling, splits, packing. */
+  object training {
+    def hashSample(s: SparkSession, dir: String): DataFrame = operators.ScaleOps.qHashSample(s, dir)
+    def trainValTestSplit(s: SparkSession, dir: String): DataFrame = operators.ScaleOps.qTrainSplit(s, dir)
+    def stratifiedSample(s: SparkSession, dir: String): DataFrame = operators.Pipelines.queries("q_stratified_sample")(s, dir)
+    def packSequences(s: SparkSession, dir: String): DataFrame = operators.Pipelines.queries("q_doc_packing")(s, dir)
+    def contextChunks(s: SparkSession, dir: String): DataFrame = operators.Pipelines.queries("q_context_chunks")(s, dir)
+  }
+
+  /** Warehouse/ops utilities. */
+  object ops {
+    def profile(s: SparkSession, dir: String): DataFrame = operators.ScaleOps.qProfile(s, dir)
+    def snapshotDiff(s: SparkSession, dir: String): DataFrame = operators.Analytics5.qSnapshotDiff(s, dir)
+    def scd2(s: SparkSession, dir: String): DataFrame = operators.Analytics5.qScd2(s, dir)
+    def keepLatest(s: SparkSession, dir: String): DataFrame = operators.Analytics5.qDedupKeepLatest(s, dir)
+    def incrementalAgg(s: SparkSession, dir: String): DataFrame = operators.ScaleOps.qIncrAgg(s, dir)
+    def zorderKey(s: SparkSession, dir: String): DataFrame = operators.ScaleOps.qZorder(s, dir)
+    def gapFill(s: SparkSession, dir: String): DataFrame = operators.Analytics5.qGapFill(s, dir)
+  }
+}

@@ -195,13 +195,68 @@ object TextAnalysis2 {
        |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin
   }
 
+  /** Bigram language-model scoring with add-one smoothing: score each
+    * document by its average conditional log-probability under the
+    * corpus's own bigram statistics — the perplexity-style quality
+    * filter a pretraining pipeline runs (low avg_logp ⇒ text is
+    * improbable under the corpus LM). Counts are two hash aggregates;
+    * the per-doc sum uses the exact power-of-two quantization
+    * (NOTES.md #4b) so double summation order can't leak in.
+    */
+  def taNgramLm(s: SparkSession, dir: String): DataFrame = {
+    val Pow2_30 = 1073741824.0
+    val docs = Tables(s, dir, "documents")
+    val n = size(toks)
+    val idx = sequence(lit(1), n - 1)
+    val bgArr = when(n < 2, array().cast(ArrayType(StructType(Seq(
+        StructField("w1", StringType), StructField("w2", StringType))))))
+      .otherwise(transform(idx, i => struct(
+        element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+    val bg = docs.select(col("doc_id"), explode(bgArr).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val unic = docs.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val vocab = unic.agg(count(lit(1)).as("v"))
+    val bgc = bg.groupBy(col("w1").as("b1"), col("w2").as("b2"))
+      .agg(count(lit(1)).as("cb"))
+    bg.join(bgc, col("w1") === col("b1") && col("w2") === col("b2"))
+      .join(unic, col("w1") === col("w"))
+      .join(broadcast(vocab))
+      .withColumn("logp", round(log((col("cb") + 1.0) / (col("cw") + col("v"))), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(floor(col("logp") * Pow2_30)).cast(DoubleType) / Pow2_30 / count(lit(1)))
+          .as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  private val taNgramLmSql =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      |       FROM d CROSS JOIN range(1, 4001) t(i) WHERE i <= len(toks) - 1),
+      |unic AS (SELECT w, COUNT(*) AS cw FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w),
+      |vocab AS (SELECT COUNT(*) AS v FROM unic),
+      |bgc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+      |scored AS (
+      |  SELECT bg.doc_id,
+      |    round(ln((bgc.cb + 1.0) / (unic.cw + vocab.v)), 6) AS logp
+      |  FROM bg JOIN bgc ON bg.w1 = bgc.w1 AND bg.w2 = bgc.w2
+      |  JOIN unic ON bg.w1 = unic.w
+      |  CROSS JOIN vocab)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(CAST(floor(logp * 1073741824.0) AS BIGINT)) AS DOUBLE)
+      |    / 1073741824.0 / COUNT(*) AS avg_logp
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_ngram_lm" -> (taNgramLm(_, _)),
     "ta_repetition" -> (taRepetition(_, _)),
     "ta_pii_scrub" -> (taPiiScrub(_, _)),
     "ta_tfidf" -> (taTfidf(_, _)),
     "ta_bm25" -> (taBm25(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "ta_ngram_lm" -> taNgramLmSql,
     "ta_repetition" -> taRepetitionSql,
     "ta_pii_scrub" -> taPiiScrubSql,
     "ta_tfidf" -> taTfidfSql,

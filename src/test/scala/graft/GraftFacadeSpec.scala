@@ -1,0 +1,16 @@
+package graft
+
+/** The façade delegates to the registry-backed operators — smoke every
+  * namespace once so a rename in either layer fails loudly.
+  */
+class GraftFacadeSpec extends SparkSuite {
+  test("façade entry points return non-empty frames") {
+    assert(Graft.table(sc, sfDir, "nation").count() == 25)
+    assert(Graft.pipeline.load(sc, sfDir).count() > 0)
+    assert(Graft.text.qualityScores(sc, sfDir).count() == 500)
+    assert(Graft.dedup.minhashPairs(sc, sfDir).count() > 0)
+    assert(Graft.ann.bruteForce(sc, sfDir).count() == 10)
+    assert(Graft.training.trainValTestSplit(sc, sfDir).count() == 3)
+    assert(Graft.ops.profile(sc, sfDir).count() == 5)
+  }
+}
