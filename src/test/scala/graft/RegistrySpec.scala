@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry hygiene: the driver hashes whatever these maps say, so
+  * drift between them is a silent correctness hole.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  /** Queries intentionally shipped without a SQL oracle (driver falls
+    * back to a rows-only check); each needs a reason here.
+    */
+  private val oracleFree = Map(
+    "q_approx_distinct_kmv" -> "wrap-around 64-bit sketch hash is not SQL-expressible")
+
+  test("every query has an oracle or a documented exemption") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- oracleFree.keySet
+    assert(missing.isEmpty, s"oracle-less queries without exemption: $missing")
+  }
+
+  test("every oracle corresponds to a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("no module silently shadows another module's query name") {
+    val all = Seq(
+      operators.HfpPipeline.queries, operators.Analytics.queries,
+      operators.Analytics2.queries, operators.Analytics3.queries,
+      operators.Analytics4.queries, operators.Analytics5.queries,
+      operators.Analytics6.queries, operators.TextAnalysis.queries,
+      operators.TextAnalysis2.queries, operators.DedupOps.queries,
+      operators.Similarity.queries, operators.Similarity2.queries,
+      operators.Multimodal.queries, operators.AdvancedOps.queries,
+      operators.ScaleOps.queries, operators.KMeansIvf.queries,
+      operators.Pipelines.queries, operators.TypedOps.queries,
+      operators.GraphOps.queries)
+    val keys = all.flatMap(_.keys)
+    val dupes = keys.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate query names across modules: $dupes")
+    assert(keys.size == SparkEntry.queries.size)
+  }
+}
