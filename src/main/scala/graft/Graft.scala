@@ -64,6 +64,7 @@ object Graft {
     def ivf(s: SparkSession, dir: String): DataFrame = operators.Similarity.annIvf(s, dir)
     def ivfTrained(s: SparkSession, dir: String): DataFrame = operators.KMeansIvf.annIvfTrained(s, dir)
     def sq8(s: SparkSession, dir: String): DataFrame = operators.Similarity2.annSq8(s, dir)
+    def pq(s: SparkSession, dir: String): DataFrame = operators.Similarity2.annPq(s, dir)
     def kmeansTrain(s: SparkSession, dir: String): DataFrame = operators.KMeansIvf.kmeansTrain(s, dir)
   }
 

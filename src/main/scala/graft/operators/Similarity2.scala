@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
@@ -132,11 +133,103 @@ object Similarity2 {
        |FROM embeddings n JOIN approx ap ON n.vec_id = ap.vec_id, q
        |ORDER BY cosine DESC, n.vec_id ASC LIMIT $K""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Product quantization
+  // ---------------------------------------------------------------------
+
+  private val M = 8 // subspaces
+  private val SubDim = 8 // dims per subspace (8×8 = 64)
+  private val Pow2_30 = 1073741824.0
+
+  private def subDistSq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** PQ ANN: each vector is M codes (one per 8-dim subspace, nearest of
+    * the deterministic per-subspace codebook) — 8 bytes/vector, a 32×
+    * compression over raw floats. Query time: asymmetric distance =
+    * Σ_m ||q_m − codebook_m[code_m(v)]||², shortlist-30, exact cosine
+    * re-rank. The codebook is a tiny broadcast; the ADC pass reads only
+    * codes. Sum over the M per-subspace terms is quantized (2^30, M=8
+    * terms — far inside exact-double range) so partial-sum order can't
+    * leak in.
+    */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(s)
+    val emb = Tables(s, dir, "embeddings")
+    // (vec_id, m, sub): the m-th 8-dim subvector, as doubles
+    val sub = emb.select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("m"),
+        col("embedding"))
+      .select(col("vec_id"), col("m"),
+        transform(slice(col("embedding"), col("m") * SubDim + 1, lit(SubDim)),
+          x => x.cast(DoubleType)).as("sub"))
+    val cents = sub.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("m").as("cm"), col("sub").as("cvec"))
+    val byVecM = Window.partitionBy("vec_id", "m").orderBy(asc("dist"), asc("cid"))
+    val codes = sub.join(broadcast(cents), col("m") === col("cm"))
+      .select(col("vec_id"), col("m"), col("cid"), col("cvec"),
+        subDistSq(col("sub"), col("cvec")).as("dist"))
+      .withColumn("rk", row_number().over(byVecM))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("cvec"))
+    val qsub = sub.where(col("vec_id") === QueryId)
+      .select(col("m").as("qm"), col("sub").as("qvec"))
+    val adc = codes.join(broadcast(qsub), col("m") === col("qm"))
+      .select(col("vec_id"), subDistSq(col("qvec"), col("cvec")).as("term"))
+      .groupBy("vec_id")
+      .agg((sum(floor(col("term") * Pow2_30)).cast(DoubleType) / Pow2_30).as("adist"))
+    val shortlist = adc.where(col("vec_id") =!= QueryId)
+      .select(col("vec_id"), round(col("adist"), 6).as("approx_dist"))
+      .orderBy(asc("approx_dist"), asc("vec_id"))
+      .limit(Shortlist)
+    val q = Similarity.withNorm(s, emb).where(col("vec_id") === QueryId)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    Similarity.withNorm(s, emb)
+      .join(shortlist, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("approx_dist"),
+        round(dotE("embedding", "qe") / (col("nrm") * col("qn")), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(K)
+  }
+
+  private def subDistSqSql(a: String, b: String) =
+    s"list_aggregate(list_transform(list_zip($a, $b), s -> (s[1] - s[2]) * (s[1] - s[2])), 'sum')"
+
+  private val annPqSql = {
+    val subExpr = "list_transform(embedding[m * 8 + 1 : m * 8 + 8], x -> CAST(x AS DOUBLE))"
+    s"""WITH sub AS (
+       |  SELECT vec_id, t.m, $subExpr AS sub
+       |  FROM embeddings CROSS JOIN range(0, $M) t(m)),
+       |cents AS (SELECT vec_id AS cid, m AS cm, sub AS cvec FROM sub WHERE vec_id % 50 = 0),
+       |codes AS (
+       |  SELECT vec_id, m, cvec FROM (
+       |    SELECT sub.vec_id, sub.m, cents.cid, cents.cvec,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+       |        ORDER BY ${subDistSqSql("sub.sub", "cents.cvec")} ASC, cents.cid ASC) AS rk
+       |    FROM sub JOIN cents ON sub.m = cents.cm) WHERE rk = 1),
+       |qsub AS (SELECT m AS qm, sub AS qvec FROM sub WHERE vec_id = $QueryId),
+       |adc AS (
+       |  SELECT codes.vec_id,
+       |    CAST(SUM(CAST(floor(${subDistSqSql("qsub.qvec", "codes.cvec")} * $Pow2_30) AS BIGINT)) AS DOUBLE) / $Pow2_30 AS adist
+       |  FROM codes JOIN qsub ON codes.m = qsub.qm GROUP BY codes.vec_id),
+       |shortlist AS (
+       |  SELECT vec_id, round(adist, 6) AS approx_dist FROM adc
+       |  WHERE vec_id <> $QueryId
+       |  ORDER BY approx_dist ASC, vec_id ASC LIMIT $Shortlist),
+       |q AS (SELECT embedding AS qe, ${normSql("embedding")} AS qn FROM embeddings WHERE vec_id = $QueryId)
+       |SELECT n.vec_id, sl.approx_dist,
+       |  round(${dotSql("n.embedding", "q.qe")} / (${normSql("n.embedding")} * q.qn), 6) AS cosine
+       |FROM embeddings n JOIN shortlist sl ON n.vec_id = sl.vec_id, q
+       |ORDER BY cosine DESC, n.vec_id ASC LIMIT $K""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_semantic" -> (ddSemantic(_, _)),
-    "ann_sq8" -> (annSq8(_, _)))
+    "ann_sq8" -> (annSq8(_, _)),
+    "ann_pq" -> (annPq(_, _)))
 
   def oracles: Map[String, String] = Map(
     "dd_semantic" -> ddSemanticSql,
-    "ann_sq8" -> annSq8Sql)
+    "ann_sq8" -> annSq8Sql,
+    "ann_pq" -> annPqSql)
 }
