@@ -84,9 +84,34 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Modality routing (the C5 pattern applied to media): assign each
+    * payload a modality, route to per-modality groups, report count +
+    * byte volume per target — the fan-out step before per-modality
+    * decode fleets at 100 TB (each modality's files land in their own
+    * partition/prefix, pruned by downstream readers).
+    */
+  def mmModalityRoute(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("modality",
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video"))
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_items"),
+        sum(octet_length(to_binary(col("text"), lit("utf-8")))).cast(LongType).as("total_bytes"))
+      .orderBy("modality")
+
+  private val mmModalityRouteSql =
+    """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+      |FROM documents GROUP BY 1 ORDER BY modality""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_stats" -> (mmBinaryStats(_, _)),
-    "mm_decode_features" -> (mmDecodeFeatures(_, _)))
+    "mm_decode_features" -> (mmDecodeFeatures(_, _)),
+    "mm_modality_route" -> (mmModalityRoute(_, _)))
 
   /** Even the mapPartitions codec stage gets an exact oracle: the stub
     * features are deterministic arithmetic over the payload bytes, and
@@ -106,5 +131,6 @@ object Multimodal {
 
   def oracles: Map[String, String] = Map(
     "mm_binary_stats" -> mmBinaryStatsSql,
-    "mm_decode_features" -> mmDecodeSql)
+    "mm_decode_features" -> mmDecodeSql,
+    "mm_modality_route" -> mmModalityRouteSql)
 }

@@ -44,6 +44,23 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches the stream without state") {
+    // dimension enrichment: static side broadcasts into every
+    // micro-batch; no watermark or state store involved
+    val events = EventsStream.readEvents(sc, sfDir, "events.parquet")
+    val dim = spark.createDataFrame(
+      Seq(("view", "read"), ("click", "engage"), ("purchase", "convert"),
+        ("signup", "acquire"), ("error", "fault"))).toDF("event_type", "category")
+    val enriched = events.join(org.apache.spark.sql.functions.broadcast(dim), "event_type")
+    val q = EventsStream.runToMemory(spark, enriched, "enrich_test")
+    try {
+      val n = spark.sql("SELECT count(*) FROM enrich_test").collect()(0).getLong(0)
+      assert(n == graft.sources.Tables(sc, sfDir, "events").count())
+      val cats = spark.sql("SELECT count(DISTINCT category) FROM enrich_test").collect()(0).getLong(0)
+      assert(cats == 5L)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user counts across batches") {
     import org.apache.spark.sql.streaming.OutputMode
     val events = EventsStream.readEvents(sc, sfDir, "events.parquet")
