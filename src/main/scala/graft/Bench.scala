@@ -34,7 +34,9 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val t1 = time(fn)
-      name -> (if (t1 < 5.0) math.min(t1, time(fn)) else t1)
+      // re-run threshold 8s: queries paying one-off codegen/JIT on a
+      // 5-7s first pass still report their steady-state figure
+      name -> (if (t1 < 8.0) math.min(t1, time(fn)) else t1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

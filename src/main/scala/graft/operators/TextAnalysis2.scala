@@ -212,8 +212,11 @@ object TextAnalysis2 {
         StructField("w1", StringType), StructField("w2", StringType))))))
       .otherwise(transform(idx, i => struct(
         element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+    // bg feeds the bigram-count build AND the probe side — cache one
+    // materialization instead of re-running the struct-explode twice
     val bg = docs.select(col("doc_id"), explode(bgArr).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .cache()
     val unic = docs.select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
     val vocab = unic.agg(count(lit(1)).as("v"))
