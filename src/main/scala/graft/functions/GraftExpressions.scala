@@ -57,9 +57,23 @@ object GraftExpressions {
     override def nullSafeEval(input: Any): Any =
       Hash64Prefix.hash(input.asInstanceOf[UTF8String])
 
+    // Inlined rather than calling the Scala helper: a nested Scala
+    // object has no Java-visible static forwarder, so a generated call
+    // to it fails Janino compilation and silently drops the WHOLE
+    // projection out of codegen (observed: every sketch-family query
+    // falling back to interpreted mode).
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, s =>
-        s"${ev.value} = graft.functions.GraftExpressions.Hash64Prefix.hash($s);")
+      nullSafeCodeGen(ctx, ev, s => {
+        val d = ctx.freshName("md5")
+        val l = ctx.freshName("acc")
+        val i = ctx.freshName("i")
+        s"""
+           |byte[] $d = org.apache.commons.codec.digest.DigestUtils.md5($s.getBytes());
+           |long $l = 0L;
+           |for (int $i = 0; $i < 8; $i++) { $l = ($l << 8) | ($d[$i] & 0xffL); }
+           |${ev.value} = $l >>> 4;
+         """.stripMargin
+      })
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)

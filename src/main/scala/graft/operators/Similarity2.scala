@@ -144,6 +144,39 @@ object Similarity2 {
   private def subDistSq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
+  /** (vec_id, m, sub): the m-th SubDim-dim subvector, as doubles. */
+  private[operators] def subVectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("m"),
+        col("embedding"))
+      .select(col("vec_id"), col("m"),
+        transform(slice(col("embedding"), col("m") * SubDim + 1, lit(SubDim)),
+          x => x.cast(DoubleType)).as("sub"))
+
+  /** Deterministic per-subspace codebook (cid, cm, cvec). */
+  private[operators] def pqCodebook(sub: DataFrame): DataFrame =
+    sub.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("m").as("cm"), col("sub").as("cvec"))
+
+  /** Nearest-codeword assignment → (vec_id, m, cvec). Argmin runs as a
+    * map-side-combining min(struct(dist, cid)) aggregate — only
+    * |vectors|·M tiny rows cross the exchange, vs. a window's full
+    * |vectors|·M·|codebook| shuffle with the codeword array on every
+    * row — then the (broadcast-sized) codebook is re-joined to recover
+    * the codeword. Ties break to the lowest cid, identical to the
+    * oracle's row_number ordering.
+    */
+  private[operators] def pqCodes(sub: DataFrame, cents: DataFrame): DataFrame = {
+    val best = sub.join(broadcast(cents), col("m") === col("cm"))
+      .select(col("vec_id"), col("m"), col("cid"),
+        subDistSq(col("sub"), col("cvec")).as("dist"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.cid").as("cid"))
+    best.join(broadcast(cents.select(col("cm"), col("cid").as("ccid"), col("cvec"))),
+        col("m") === col("cm") && col("cid") === col("ccid"))
+      .select(col("vec_id"), col("m"), col("cvec"))
+  }
+
   /** PQ ANN: each vector is M codes (one per 8-dim subspace, nearest of
     * the deterministic per-subspace codebook) — 8 bytes/vector, a 32×
     * compression over raw floats. Query time: asymmetric distance =
@@ -156,21 +189,9 @@ object Similarity2 {
   def annPq(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftExpressions.register(s)
     val emb = Tables(s, dir, "embeddings")
-    // (vec_id, m, sub): the m-th 8-dim subvector, as doubles
-    val sub = emb.select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("m"),
-        col("embedding"))
-      .select(col("vec_id"), col("m"),
-        transform(slice(col("embedding"), col("m") * SubDim + 1, lit(SubDim)),
-          x => x.cast(DoubleType)).as("sub"))
-    val cents = sub.where(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cid"), col("m").as("cm"), col("sub").as("cvec"))
-    val byVecM = Window.partitionBy("vec_id", "m").orderBy(asc("dist"), asc("cid"))
-    val codes = sub.join(broadcast(cents), col("m") === col("cm"))
-      .select(col("vec_id"), col("m"), col("cid"), col("cvec"),
-        subDistSq(col("sub"), col("cvec")).as("dist"))
-      .withColumn("rk", row_number().over(byVecM))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("m"), col("cvec"))
+    val sub = subVectors(emb)
+    val cents = pqCodebook(sub)
+    val codes = pqCodes(sub, cents)
     val qsub = sub.where(col("vec_id") === QueryId)
       .select(col("m").as("qm"), col("sub").as("qvec"))
     val adc = codes.join(broadcast(qsub), col("m") === col("qm"))

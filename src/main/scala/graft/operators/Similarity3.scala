@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** IVF-PQ — the composition production ANN indexes (FAISS-style) run
+  * at scale: a coarse inverted-file index bounds WHICH vectors are
+  * scored (probe the nProbe cells nearest the query — the partition
+  * key at 100 TB), and product quantization bounds HOW MUCH is read
+  * per scored vector (M codebook codes, 8 B/vector, asymmetric
+  * distance against the broadcast codebook). Shortlist by ADC, then
+  * exact re-rank only the survivors.
+  *
+  * Reuses [[Similarity]]'s cell machinery (deterministic centroids,
+  * cosine cell assignment, probe selection) and [[Similarity2]]'s PQ
+  * machinery (subspace split, codebook, map-side argmin code
+  * assignment) — one pipeline, both bounds.
+  *
+  * Exact DuckDB oracle: same CTE composition; ADC sums quantized at
+  * 2^30 over M=8 terms (order-independent), cosines rounded at 1e-6
+  * on both sides.
+  */
+object Similarity3 {
+
+  private val K = 10
+  private val Shortlist = 30
+  private val QueryId = 0
+  private val NProbe = 2
+  private val Pow2_30 = 1073741824.0
+
+  private def dotE(a: String, b: String): Column = expr(s"graft_dot_f($a, $b)")
+
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val e = Similarity.withNorm(s, emb)
+    val centroids = e.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val cells = Similarity.assignCells(e, centroids)
+    val q = cells.where(col("vec_id") === QueryId)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val probeCells = centroids.crossJoin(broadcast(q))
+      .select(col("cid"), (dotE("ce", "qe") / (col("cn") * col("qn"))).as("cos_q"))
+      .orderBy(desc("cos_q"), asc("cid")).limit(NProbe)
+      .select("cid")
+    val probed = cells
+      .join(broadcast(probeCells), cells("cell") === probeCells("cid"), "left_semi")
+      .where(col("vec_id") =!= QueryId)
+      .select("vec_id")
+    val sub = Similarity2.subVectors(emb)
+    val cents = Similarity2.pqCodebook(sub)
+    // encode only the probed vectors — the IVF bound feeds the PQ pass
+    val codes = Similarity2.pqCodes(
+      sub.join(broadcast(probed), Seq("vec_id"), "left_semi"), cents)
+    val qsub = sub.where(col("vec_id") === QueryId)
+      .select(col("m").as("qm"), col("sub").as("qvec"))
+    val subDistSq = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    val adc = codes.join(broadcast(qsub), col("m") === col("qm"))
+      .select(col("vec_id"), subDistSq(col("qvec"), col("cvec")).as("term"))
+      .groupBy("vec_id")
+      .agg((sum(floor(col("term") * Pow2_30)).cast("double") / Pow2_30).as("adist"))
+    val shortlist = adc
+      .select(col("vec_id"), round(col("adist"), 6).as("approx_dist"))
+      .orderBy(asc("approx_dist"), asc("vec_id"))
+      .limit(Shortlist)
+    Similarity.withNorm(s, emb)
+      .join(shortlist, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("approx_dist"),
+        round(dotE("embedding", "qe") / (col("nrm") * col("qn")), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(K)
+  }
+
+  private def dotSql(a: String, b: String) =
+    s"list_aggregate(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
+  private def normSql(a: String) =
+    s"sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+  private def subDistSqSql(a: String, b: String) =
+    s"list_aggregate(list_transform(list_zip($a, $b), s -> (s[1] - s[2]) * (s[1] - s[2])), 'sum')"
+
+  private val annIvfPqSql = {
+    val subExpr = "list_transform(embedding[m * 8 + 1 : m * 8 + 8], x -> CAST(x AS DOUBLE))"
+    s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, cent.cid AS cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${dotSql("n.embedding", "cent.ce")} / (n.nrm * cent.cn) DESC, cent.cid ASC) AS rk
+       |    FROM n CROSS JOIN cent) WHERE rk = 1),
+       |q AS (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = $QueryId),
+       |probe AS (SELECT cid FROM cent, q
+       |  ORDER BY ${dotSql("cent.ce", "q.qe")} / (cent.cn * q.qn) DESC, cid ASC LIMIT $NProbe),
+       |probed AS (SELECT vec_id FROM assigned
+       |  WHERE cell IN (SELECT cid FROM probe) AND vec_id <> $QueryId),
+       |sub AS (
+       |  SELECT vec_id, t.m, $subExpr AS sub
+       |  FROM embeddings CROSS JOIN range(0, 8) t(m)),
+       |cents AS (SELECT vec_id AS cid, m AS cm, sub AS cvec FROM sub WHERE vec_id % 50 = 0),
+       |codes AS (
+       |  SELECT vec_id, m, cvec FROM (
+       |    SELECT sub.vec_id, sub.m, cents.cid, cents.cvec,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+       |        ORDER BY ${subDistSqSql("sub.sub", "cents.cvec")} ASC, cents.cid ASC) AS rk
+       |    FROM sub JOIN cents ON sub.m = cents.cm
+       |    JOIN probed p ON sub.vec_id = p.vec_id) WHERE rk = 1),
+       |qsub AS (SELECT m AS qm, sub AS qvec FROM sub WHERE vec_id = $QueryId),
+       |adc AS (
+       |  SELECT codes.vec_id,
+       |    CAST(SUM(CAST(floor(${subDistSqSql("qsub.qvec", "codes.cvec")} * $Pow2_30) AS BIGINT)) AS DOUBLE) / $Pow2_30 AS adist
+       |  FROM codes JOIN qsub ON codes.m = qsub.qm GROUP BY codes.vec_id),
+       |shortlist AS (
+       |  SELECT vec_id, round(adist, 6) AS approx_dist FROM adc
+       |  ORDER BY approx_dist ASC, vec_id ASC LIMIT $Shortlist)
+       |SELECT n.vec_id, sl.approx_dist,
+       |  round(${dotSql("n.embedding", "q.qe")} / (n.nrm * q.qn), 6) AS cosine
+       |FROM n JOIN shortlist sl ON n.vec_id = sl.vec_id, q
+       |ORDER BY cosine DESC, n.vec_id ASC LIMIT $K""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivf_pq" -> (annIvfPq(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "ann_ivf_pq" -> annIvfPqSql)
+}

@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.PortableHash
+import graft.sources.Tables
+
+/** Training-corpus curation operators beyond document-level dedup:
+  *
+  *  - `dd_substring`: substring-span dedup in the style of Lee et al.
+  *    2021 ("Deduplicating Training Data Makes Language Models
+  *    Better") — every 10-token window of every document, windows
+  *    occurring in ≥2 distinct documents marked as duplicated span,
+  *    per-doc duplicated-window fraction. The full suffix-array
+  *    construction is replaced by fixed-width window fingerprints: one
+  *    explode + one groupBy on a 60-bit hash — both map-side-combining
+  *    shuffles that scale linearly, vs. the suffix array's global sort
+  *    of every byte offset. At 100 TB the window→df aggregation
+  *    partitions by hash (uniform by construction — no skew), and docs
+  *    rejoin their window verdicts by hash equality.
+  *  - `ta_contamination`: train/test overlap detection (the
+  *    benchmark-contamination check every eval pipeline needs): the
+  *    distinct 8-token windows of each held-out doc probed against the
+  *    train-split window set; a doc is contaminated when ≥20% of its
+  *    windows appear verbatim in train. The train set is the big side
+  *    — the probe is a semi-join-shaped left join on the window hash;
+  *    at 100 TB a bloom filter on the (much smaller) test window set
+  *    prefilters the train scan (ScaleSpec shows that machinery).
+  *  - `q_global_shuffle`: deterministic epoch shuffle + shard packing
+  *    for training-data ordering — seeded hash order, row_number
+  *    within epoch, fixed 64-doc shards. Reproducible across runs and
+  *    partitionings (pure function of (epoch, doc_id)); at scale the
+  *    sort is a range-partitioned total order on the hash, and shard
+  *    boundaries fall out of the global row number.
+  *  - `q_merge_upsert`: MERGE INTO semantics (the warehouse upsert the
+  *    reference's idempotent day-load implies): base snapshot
+  *    full-outer CDC batch → update/insert/keep classification with
+  *    final-state aggregates. Keys partition the join; at scale this
+  *    is the same shuffled-hash full outer any MERGE implementation
+  *    bottoms out in.
+  *
+  * All four have exact DuckDB oracles: window hashes are
+  * [[PortableHash]], fractions are a single double division of exact
+  * longs, and money sums use the power-of-two quantization trick
+  * (NOTES.md technique #4b — floor(v·2^15); terms ≤2^36, ≤150k terms
+  * per group keeps sums far inside exact-BIGINT/double range).
+  */
+object TrainingOps {
+
+  // ---------------------------------------------------------------------
+  // Substring-span dedup (fixed-width window fingerprints)
+  // ---------------------------------------------------------------------
+
+  private val SpanW = 10
+
+  /** Position-indexed W-token windows (NOT distinct — spans repeat). */
+  private def windowHashes(docs: DataFrame, w: Int, distinctPerDoc: Boolean): DataFrame = {
+    val toks = split(col("text"), " ")
+    val wins = transform(sequence(lit(0), size(toks) - w),
+      i => concat_ws(" ", slice(toks, i + 1, lit(w))))
+    // <w tokens → empty array → no window rows (guards sequence's
+    // descending-on-negative-range behavior, NOTES.md gotcha #14)
+    val arr0 = when(size(toks) < w, array().cast(ArrayType(StringType))).otherwise(wins)
+    val arr = if (distinctPerDoc) array_distinct(arr0) else arr0
+    docs.select(col("doc_id"), col("source"), explode(arr).as("win"))
+      .select(col("doc_id"), col("source"), PortableHash.hash64(col("win")).as("h"))
+  }
+
+  def ddSubstring(s: SparkSession, dir: String): DataFrame = {
+    val w = windowHashes(Tables(s, dir, "documents"), SpanW, distinctPerDoc = false)
+      .select("doc_id", "h")
+    val wf = w.groupBy("h").agg(countDistinct("doc_id").as("ndocs"))
+    val dup = sum(when(col("ndocs") >= 2, 1L).otherwise(0L))
+    w.join(wf, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"), dup.as("n_dup"),
+        (dup.cast(DoubleType) / count(lit(1))).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB window generator (lateral generate_series unsupported in
+    * 1.0 → bounded range cross join; list slice is 1-based inclusive).
+    */
+  private def windowsSql(w: Int, distinct: Boolean): String = {
+    val d = if (distinct) "DISTINCT " else ""
+    s"""SELECT ${d}d.doc_id, d.source,
+       |  ${PortableHash.sql(s"array_to_string(d.toks[i:i+${w - 1}], ' ')")} AS h
+       |FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents) d
+       |CROSS JOIN range(1, 4001) t(i) WHERE i <= len(d.toks) - ${w - 1}""".stripMargin
+  }
+
+  private val ddSubstringSql =
+    s"""WITH w AS (${windowsSql(SpanW, distinct = false)}),
+       |wf AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM w GROUP BY h)
+       |SELECT w.doc_id, COUNT(*) AS n_windows,
+       |  CAST(SUM(CASE WHEN wf.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(SUM(CASE WHEN wf.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+       |FROM w JOIN wf ON w.h = wf.h GROUP BY w.doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Train/test contamination
+  // ---------------------------------------------------------------------
+
+  private val ContamW = 8
+  private val TestSources = Seq("src8", "src9")
+  private val ContamThreshold = 0.2
+
+  def taContamination(s: SparkSession, dir: String): DataFrame = {
+    val w = windowHashes(Tables(s, dir, "documents"), ContamW, distinctPerDoc = true)
+    val train = w.where(!col("source").isin(TestSources: _*))
+      .select("h").distinct().withColumn("hit", lit(1))
+    val test = w.where(col("source").isin(TestSources: _*)).select("doc_id", "h")
+    val hits = sum(when(col("hit").isNotNull, 1L).otherwise(0L))
+    test.join(train, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"), hits.as("n_hit"),
+        (hits.cast(DoubleType) / count(lit(1))).as("contam_frac"))
+      .withColumn("contaminated", col("contam_frac") >= ContamThreshold)
+      .orderBy("doc_id")
+  }
+
+  private val taContaminationSql = {
+    val srcs = TestSources.map(x => s"'$x'").mkString(", ")
+    s"""WITH w AS (${windowsSql(ContamW, distinct = true)}),
+       |train AS (SELECT DISTINCT h FROM w WHERE source NOT IN ($srcs)),
+       |test AS (SELECT doc_id, h FROM w WHERE source IN ($srcs))
+       |SELECT t.doc_id, COUNT(*) AS n_windows,
+       |  CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS contam_frac,
+       |  CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+       |    >= $ContamThreshold AS contaminated
+       |FROM test t LEFT JOIN train tr ON t.h = tr.h
+       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Deterministic epoch shuffle + shard packing
+  // ---------------------------------------------------------------------
+
+  private val Epochs = 3
+  private val ShardSize = 64
+
+  def qGlobalShuffle(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select("doc_id")
+    val epochs = s.range(Epochs).select(col("id").as("epoch"))
+    val h = PortableHash.hash64(
+      concat(col("epoch").cast(StringType), lit(":"), col("doc_id").cast(StringType)))
+    val byEpoch = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch").orderBy(asc("h"), asc("doc_id"))
+    docs.crossJoin(epochs)
+      .select(col("epoch"), col("doc_id"), h.as("h"))
+      .withColumn("rn", row_number().over(byEpoch))
+      .select(col("epoch"), col("doc_id"),
+        ((col("rn") - 1) / lit(ShardSize)).cast(LongType).as("shard"),
+        ((col("rn") - 1) % lit(ShardSize)).cast(LongType).as("pos"))
+      .orderBy("epoch", "shard", "pos")
+  }
+
+  private val qGlobalShuffleSql =
+    s"""WITH m AS (
+       |  SELECT e.epoch, d.doc_id,
+       |    row_number() OVER (PARTITION BY e.epoch
+       |      ORDER BY ${PortableHash.sql("CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")}, d.doc_id) AS rn
+       |  FROM documents d CROSS JOIN range(0, $Epochs) e(epoch))
+       |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+       |  CAST((rn - 1) // $ShardSize AS BIGINT) AS shard,
+       |  CAST((rn - 1) % $ShardSize AS BIGINT) AS pos
+       |FROM m ORDER BY epoch, shard, pos""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // MERGE upsert
+  // ---------------------------------------------------------------------
+
+  private val PriceScale = 32768.0 // 2^15: terms ≤2^36, exact through 150k-row groups
+
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    // simulated CDC batch: every 3rd key re-priced (×2 is exact in
+    // double), every 7th key re-inserted under a fresh (negated) key
+    val upd = base.where(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("k"), (col("o_totalprice") * 2).as("p"),
+        col("o_orderpriority").as("pr"))
+    // fresh keys: −key−1 (plain negation would collide key 0 with
+    // itself and double-classify it)
+    val ins = base.where(col("o_orderkey") % 7 === 0)
+      .select((-col("o_orderkey") - 1).as("k"), col("o_totalprice").as("p"),
+        col("o_orderpriority").as("pr"))
+    val chg = upd.union(ins)
+    val merged = base.join(chg, col("o_orderkey") === col("k"), "full_outer")
+      .select(
+        when(col("o_orderkey").isNotNull && col("k").isNotNull, "update")
+          .when(col("o_orderkey").isNull, "insert")
+          .otherwise("keep").as("action"),
+        coalesce(col("pr"), col("o_orderpriority")).as("o_orderpriority"),
+        coalesce(col("p"), col("o_totalprice")).as("fp"))
+    merged.groupBy("action", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("fp") * PriceScale).cast(LongType)).as("sum_price_q"))
+      .orderBy("action", "o_orderpriority")
+  }
+
+  private val qMergeUpsertSql =
+    s"""WITH upd AS (SELECT o_orderkey AS k, o_totalprice * 2 AS p, o_orderpriority AS pr
+       |             FROM orders WHERE o_orderkey % 3 = 0),
+       |ins AS (SELECT -o_orderkey - 1 AS k, o_totalprice AS p, o_orderpriority AS pr
+       |        FROM orders WHERE o_orderkey % 7 = 0),
+       |chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+       |m AS (
+       |  SELECT CASE WHEN b.o_orderkey IS NOT NULL AND c.k IS NOT NULL THEN 'update'
+       |              WHEN b.o_orderkey IS NULL THEN 'insert' ELSE 'keep' END AS action,
+       |         coalesce(c.pr, b.o_orderpriority) AS o_orderpriority,
+       |         coalesce(c.p, b.o_totalprice) AS fp
+       |  FROM orders b FULL OUTER JOIN chg c ON b.o_orderkey = c.k)
+       |SELECT action, o_orderpriority, COUNT(*) AS n,
+       |  CAST(SUM(CAST(floor(fp * $PriceScale) AS BIGINT)) AS BIGINT) AS sum_price_q
+       |FROM m GROUP BY action, o_orderpriority ORDER BY action, o_orderpriority""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_substring" -> (ddSubstring(_, _)),
+    "ta_contamination" -> (taContamination(_, _)),
+    "q_global_shuffle" -> (qGlobalShuffle(_, _)),
+    "q_merge_upsert" -> (qMergeUpsert(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "dd_substring" -> ddSubstringSql,
+    "ta_contamination" -> taContaminationSql,
+    "q_global_shuffle" -> qGlobalShuffleSql,
+    "q_merge_upsert" -> qMergeUpsertSql)
+}

@@ -31,10 +31,11 @@ class RegistrySpec extends AnyFunSuite {
       operators.Analytics6.queries, operators.TextAnalysis.queries,
       operators.TextAnalysis2.queries, operators.DedupOps.queries,
       operators.Similarity.queries, operators.Similarity2.queries,
-      operators.Multimodal.queries, operators.AdvancedOps.queries,
-      operators.ScaleOps.queries, operators.KMeansIvf.queries,
-      operators.Pipelines.queries, operators.TypedOps.queries,
-      operators.GraphOps.queries)
+      operators.Similarity3.queries, operators.Multimodal.queries,
+      operators.AdvancedOps.queries, operators.ScaleOps.queries,
+      operators.KMeansIvf.queries, operators.Pipelines.queries,
+      operators.TypedOps.queries, operators.GraphOps.queries,
+      operators.TrainingOps.queries)
     val keys = all.flatMap(_.keys)
     val dupes = keys.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names across modules: $dupes")
