@@ -68,14 +68,19 @@ object TrainingOps {
   }
 
   def ddSubstring(s: SparkSession, dir: String): DataFrame = {
+    // pre-aggregate to (doc, window) occurrence counts and reuse that
+    // one materialization for both the corpus-frequency side and the
+    // per-doc attribution side — the window explode + md5 runs once
     val w = windowHashes(Tables(s, dir, "documents"), SpanW, distinctPerDoc = false)
-      .select("doc_id", "h")
-    val wf = w.groupBy("h").agg(countDistinct("doc_id").as("ndocs"))
-    val dup = sum(when(col("ndocs") >= 2, 1L).otherwise(0L))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+      .cache()
+    // w is distinct per (doc, h), so doc-frequency is a plain count
+    val wf = w.groupBy("h").agg(count(lit(1)).as("ndocs"))
+    val dup = sum(when(col("ndocs") >= 2, col("c")).otherwise(0L))
     w.join(wf, "h")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"), dup.as("n_dup"),
-        (dup.cast(DoubleType) / count(lit(1))).as("dup_frac"))
+      .agg(sum("c").as("n_windows"), dup.as("n_dup"),
+        (dup.cast(DoubleType) / sum("c")).as("dup_frac"))
       .orderBy("doc_id")
   }
 
