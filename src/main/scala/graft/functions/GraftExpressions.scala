@@ -249,6 +249,57 @@ object GraftExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Σ(a_i − b_i)² with the same left-to-right sequential accumulation
+    * as the `aggregate(zip_with(...))` HOF fold it replaces (HOFs have
+    * no codegen and evaluate per-element through ArrayData — this is
+    * the PQ ADC hot loop).
+    */
+  case class DistSq(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val l = requireNumArray(left, prettyName)
+      if (l.isSuccess) requireNumArray(right, prettyName) else l
+    }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dist_sq"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = elemRead(x, i, left.dataType) - elemRead(y, i, right.dataType)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val d = ctx.freshName("d")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = ${elemGet(a, i, left.dataType)} - ${elemGet(b, i, right.dataType)};
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   case class L2NormSq(child: Expression)
       extends UnaryExpression {
 
@@ -518,6 +569,7 @@ object GraftExpressions {
     "graft_hash64" -> (es => Hash64Prefix(es.head)),
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "graft_norm_sq" -> (es => L2NormSq(es.head)),
+    "graft_dist_sq" -> (es => DistSq(es(0), es(1))),
     "graft_kmv_distinct" -> { es =>
       val k = es.lift(1).map(_.eval(null).toString.toInt).getOrElse(256)
       KmvDistinct(es.head, k).toAggregateExpression()

@@ -73,15 +73,29 @@ object Similarity {
 
   /** IVF cell assignment: nearest centroid by cosine (ties → lowest
     * centroid id). Returns vec_id, embedding, nrm, cell.
+    *
+    * Argmax runs as a map-side-combining min(struct(−cos, cid))
+    * aggregate — double negation is exact, so "min of −cos, ties to
+    * lowest cid" is the oracle's `row_number ... ORDER BY cos DESC,
+    * cid ASC` verbatim, without shuffling the |vectors|·|centroids|
+    * cross product through a window sort (the vector/norm columns ride
+    * the grouped row instead).
     */
   private[operators] def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
-    val byVec = Window.partitionBy("vec_id").orderBy(desc("cos_c"), asc("cid"))
     e.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
         (dotE("embedding", "ce") / (col("nrm") * col("cn"))).as("cos_c"))
-      .withColumn("rk", row_number().over(byVec))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+      .groupBy("vec_id")
+      // embedding/nrm are constant within the group and ride along in
+      // the struct payload (cid is unique, so comparison never reaches
+      // them) — cheaper than array-typed grouping keys or a re-join
+      .agg(min(struct(negate(col("cos_c")).as("nc"), col("cid").as("cid"),
+        col("embedding").as("embedding"), col("nrm").as("nrm"))).as("b"))
+      .select(col("vec_id"), col("b.embedding").as("embedding"),
+        col("b.nrm").as("nrm"), col("b.cid").as("cell"))
+      // ann_ivf, ann_ivf_pq and dd_semantic build this identical plan —
+      // one cache entry serves all three (size: one row per vector)
+      .cache()
   }
 
   /** IVF probe: search only the NProbe cells nearest the query. */

@@ -141,8 +141,13 @@ object Similarity2 {
   private val SubDim = 8 // dims per subspace (8×8 = 64)
   private val Pow2_30 = 1073741824.0
 
+  /** Codegen'd Σ(a−b)² kernel (GraftExpressions.DistSq) — identical
+    * accumulation order to the HOF fold it replaced, so the oracles
+    * are unchanged; the HOF version has no codegen and dominated the
+    * PQ profile.
+    */
   private def subDistSq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    call_function("graft_dist_sq", a, b)
 
   /** (vec_id, m, sub): the m-th SubDim-dim subvector, as doubles. */
   private[operators] def subVectors(emb: DataFrame): DataFrame =

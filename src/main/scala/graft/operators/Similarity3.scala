@@ -54,8 +54,7 @@ object Similarity3 {
       sub.join(broadcast(probed), Seq("vec_id"), "left_semi"), cents)
     val qsub = sub.where(col("vec_id") === QueryId)
       .select(col("m").as("qm"), col("sub").as("qvec"))
-    val subDistSq = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    val subDistSq = (a: Column, b: Column) => call_function("graft_dist_sq", a, b)
     val adc = codes.join(broadcast(qsub), col("m") === col("qm"))
       .select(col("vec_id"), subDistSq(col("qvec"), col("cvec")).as("term"))
       .groupBy("vec_id")

@@ -37,6 +37,19 @@ class GraftExpressionsSpec extends SparkSuite {
     assert(hof == gen) // exact double equality, not approximate
   }
 
+  test("codegen dist_sq is bit-identical to the HOF fold") {
+    GraftExpressions.register(sc)
+    val e = Tables(spark, sfDir, "embeddings").limit(50)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("a"),
+        transform(reverse(col("embedding")), x => x.cast(DoubleType) * 0.5).as("b"))
+    val rows = e.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v).as("hof"),
+      expr("graft_dist_sq(a, b)").as("gen")).collect()
+    assert(rows.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("norm_sq equals self-dot exactly") {
     GraftExpressions.register(sc)
     val e = Tables(spark, sfDir, "embeddings").limit(50)
