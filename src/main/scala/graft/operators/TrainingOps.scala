@@ -103,6 +103,65 @@ object TrainingOps {
        |  CAST(SUM(CASE WHEN wf.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
        |FROM w JOIN wf ON w.h = wf.h GROUP BY w.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Span REMOVAL — the cleaned corpus [[ddSubstring]] implies: every
+    * token covered by a cross-document duplicated window is dropped and
+    * the document re-assembled from the survivors. Output carries
+    * md5(cleaned_text) so the oracle proves byte-exact reconstruction
+    * without shipping the text. Reconstruction is per-document
+    * (collect_list bounded by doc length — the right unit of work at
+    * any scale); everything upstream is the same linear window/hash
+    * shuffles as dd_substring.
+    */
+  def ddSpanRemoval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val toksCol = split(col("text"), " ")
+    val winArr = when(size(toksCol) < SpanW, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(0), size(toksCol) - SpanW),
+        i => concat_ws(" ", slice(toksCol, i + 1, lit(SpanW)))))
+    val w = docs.select(col("doc_id"), posexplode(winArr).as(Seq("i0", "win")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"),
+        PortableHash.hash64(col("win")).as("h"))
+      .cache()
+    val wf = w.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= 2).select("h")
+    val cov = w.join(wf, "h")
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + SpanW - 1)).as("p"))
+      .distinct()
+    val toks = docs.select(col("doc_id"), posexplode(toksCol).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    val kept = toks.join(cov, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok"))).as("cleaned"))
+    docs.select("doc_id").join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("cleaned"), lit(""))).as("cleaned_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val ddSpanRemovalSql =
+    s"""WITH w AS (
+       |  SELECT d.doc_id, t.i,
+       |    ${PortableHash.sql(s"array_to_string(d.toks[i:i+${SpanW - 1}], ' ')")} AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d
+       |  CROSS JOIN range(1, 4001) t(i) WHERE i <= len(d.toks) - ${SpanW - 1}),
+       |wf AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+       |cov AS (SELECT DISTINCT w.doc_id, w.i + r.off AS p
+       |        FROM w JOIN wf ON w.h = wf.h CROSS JOIN range(0, $SpanW) r(off)),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |                unnest(range(1, len(string_split(text, ' ')) + 1)) AS p
+       |         FROM documents),
+       |kept AS (
+       |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS cleaned, COUNT(*) AS n_kept
+       |  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+       |  WHERE c.p IS NULL GROUP BY t.doc_id)
+       |SELECT d.doc_id, coalesce(k.n_kept, 0) AS n_kept,
+       |  md5(coalesce(k.cleaned, '')) AS cleaned_hash
+       |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Train/test contamination
   // ---------------------------------------------------------------------
@@ -224,12 +283,14 @@ object TrainingOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_substring" -> (ddSubstring(_, _)),
+    "dd_span_removal" -> (ddSpanRemoval(_, _)),
     "ta_contamination" -> (taContamination(_, _)),
     "q_global_shuffle" -> (qGlobalShuffle(_, _)),
     "q_merge_upsert" -> (qMergeUpsert(_, _)))
 
   def oracles: Map[String, String] = Map(
     "dd_substring" -> ddSubstringSql,
+    "dd_span_removal" -> ddSpanRemovalSql,
     "ta_contamination" -> taContaminationSql,
     "q_global_shuffle" -> qGlobalShuffleSql,
     "q_merge_upsert" -> qMergeUpsertSql)

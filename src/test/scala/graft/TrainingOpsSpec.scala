@@ -43,6 +43,23 @@ class TrainingOpsSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  // ---- dd_span_removal --------------------------------------------------
+
+  test("span removal is identity exactly on docs without duplicated windows") {
+    val docs = Tables(sc, sfDir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("orig_hash"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val joined = run("dd_span_removal")
+      .join(run("dd_substring").select("doc_id", "n_dup"), "doc_id")
+      .join(docs, "doc_id").cache()
+    val badClean = joined.where(col("n_dup") === 0 &&
+      (col("cleaned_hash") =!= col("orig_hash") || col("n_kept") =!= col("n_toks"))).count()
+    assert(badClean == 0, "clean doc was modified")
+    val badDup = joined.where(col("n_dup") > 0 && col("n_kept") >= col("n_toks")).count()
+    assert(badDup == 0, "doc with duplicated spans lost no tokens")
+    joined.unpersist()
+  }
+
   // ---- ta_contamination -------------------------------------------------
 
   test("ta_contamination covers exactly the held-out docs and hits recompute") {
