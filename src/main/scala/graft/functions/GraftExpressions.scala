@@ -570,6 +570,14 @@ object GraftExpressions {
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "graft_norm_sq" -> (es => L2NormSq(es.head)),
     "graft_dist_sq" -> (es => DistSq(es(0), es(1))),
+    // Spark ships these two only as internal expressions for its
+    // runtime-filter rewrite — surfacing them lets operators build
+    // explicit sketch-accelerated EXACT joins (hfp_dedup_bloom)
+    "graft_bloom_agg" -> (es =>
+      org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es(0), es(1), es(2), 0, 0).toAggregateExpression()),
+    "graft_might_contain" -> (es =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))),
     "graft_kmv_distinct" -> { es =>
       val k = es.lift(1).map(_.eval(null).toString.toInt).getOrElse(256)
       KmvDistinct(es.head, k).toAggregateExpression()

@@ -164,6 +164,37 @@ object HfpPipeline {
       dedupAgainst(keyFilter(castLayer(rawStrings(events))), existingKeys(events))
         .select("event_id", "uuid").orderBy("event_id")
     }),
+    "hfp_dedup_bloom" -> ((s, dir) => {
+      // A1 scale path: bloom-prefiltered EXACT dedup. The bloom pass
+      // classifies every incoming key with a broadcast filter —
+      // "definitely new" rows skip the join entirely; only "maybe"
+      // rows (true members + the tiny false-positive mass) pay the
+      // shuffle into the exact anti-join. Result rows are identical to
+      // hfp_dedup_anti (same oracle), which is the point: the sketch
+      // accelerates, never approximates. At 100 TB the bloom build is
+      // one tiny-output pass over the key side, vs shuffling the full
+      // incoming day into the join.
+      graft.functions.GraftExpressions.register(s)
+      val events = Tables(s, dir, "events")
+      val df = keyFilter(castLayer(rawStrings(events))).select("event_id", "uuid")
+      val existing = existingKeys(events)
+      // the sketch is bounded by construction (100 KB here) and lands
+      // in the plan as a constant — the by-hand analog of the scalar
+      // subquery Spark's own runtime-filter rewrite injects
+      // (might_contain accepts only constants/scalar subqueries)
+      val bf = existing
+        .agg(expr("graft_bloom_agg(xxhash64(uuid), 50000L, 800000L)").as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val flagged = df.withColumn("maybe",
+        call_function("graft_might_contain", lit(bf), xxhash64(col("uuid"))))
+      val keep = flagged.where(!col("maybe")).select("event_id", "uuid")
+      // USING-joins front the key column — re-select before the
+      // positional union
+      val verified = dedupAgainst(
+        flagged.where(col("maybe")).select("event_id", "uuid"), existing)
+        .select("event_id", "uuid")
+      keep.union(verified).orderBy("event_id")
+    }),
     "hfp_dedup_within" -> ((s, dir) => {
       // within-run duplicate handling (a flagged improvement over the
       // reference, which keeps same-run duplicates — SURVEY.md §2 A1):
@@ -193,6 +224,16 @@ object HfpPipeline {
          |FROM casted WHERE uuid IS NOT NULL AND uuid <> ''
          |ORDER BY event_id""".stripMargin,
     "hfp_dedup_anti" ->
+      s"""WITH raw AS ($rawSql), casted AS ($castSql),
+         |  existing AS ($existingKeysSql)
+         |SELECT event_id, uuid FROM casted
+         |WHERE uuid IS NOT NULL AND uuid <> ''
+         |  AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.uuid = casted.uuid)
+         |ORDER BY event_id""".stripMargin,
+    // identical rows to hfp_dedup_anti by construction — the bloom is
+    // an accelerator, not an approximation, so the oracle is the plain
+    // exact anti-join
+    "hfp_dedup_bloom" ->
       s"""WITH raw AS ($rawSql), casted AS ($castSql),
          |  existing AS ($existingKeysSql)
          |SELECT event_id, uuid FROM casted

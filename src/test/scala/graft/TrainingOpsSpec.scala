@@ -143,6 +143,15 @@ class TrainingOpsSpec extends SparkSuite {
     got.foreach(r => assert(r.getDouble(2) == exact(r.getLong(0)), s"vec ${r.getLong(0)}"))
   }
 
+  test("bloom-prefiltered dedup returns the exact anti-join rows and uses the sketch") {
+    val exact = run("hfp_dedup_anti").collect().toSeq
+    val bloom = run("hfp_dedup_bloom").collect().toSeq
+    assert(bloom == exact, "sketch changed the result")
+    val p = SparkEntry.queries("hfp_dedup_bloom")(sc, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), "bloom filter not in the plan")
+  }
+
   test("PQ code assignment plans as an aggregate argmin, not a window") {
     val p = SparkEntry.queries("ann_pq")(sc, sfDir)
       .queryExecution.executedPlan.toString
