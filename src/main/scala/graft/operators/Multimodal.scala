@@ -108,10 +108,34 @@ object Multimodal {
       |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
       |FROM documents GROUP BY 1 ORDER BY modality""".stripMargin
 
+  /** ViT-style patch grid fan-out: each decoded image explodes into
+    * its 8×8 patch tiles (edge tiles clipped), keyed by (row, col) in
+    * the grid — the preprocessing fan-out in front of a vision encoder.
+    * Demonstrates the scale-critical ordering: the EXPLOSION runs after
+    * the narrow decode stage, so the wire and shuffle only ever carry
+    * patch METADATA; real pixel slabs would stay columnar alongside
+    * and be sliced by the consumer.
+    */
+  def mmPatchify(s: SparkSession, dir: String): DataFrame = {
+    val P = 8
+    mmDecodeFeatures(s, dir)
+      .select(col("doc_id"), col("width"), col("height"))
+      .withColumn("prow",
+        explode(sequence(lit(0), expr(s"CAST((height + ${P - 1}) DIV $P AS INT) - 1"))))
+      .withColumn("pcol",
+        explode(sequence(lit(0), expr(s"CAST((width + ${P - 1}) DIV $P AS INT) - 1"))))
+      .select(col("doc_id"),
+        col("prow").cast(LongType).as("prow"), col("pcol").cast(LongType).as("pcol"),
+        least(lit(P), col("width") - col("pcol") * P).cast(IntegerType).as("patch_w"),
+        least(lit(P), col("height") - col("prow") * P).cast(IntegerType).as("patch_h"))
+      .orderBy("doc_id", "prow", "pcol")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_stats" -> (mmBinaryStats(_, _)),
     "mm_decode_features" -> (mmDecodeFeatures(_, _)),
-    "mm_modality_route" -> (mmModalityRoute(_, _)))
+    "mm_modality_route" -> (mmModalityRoute(_, _)),
+    "mm_patchify" -> (mmPatchify(_, _)))
 
   /** Even the mapPartitions codec stage gets an exact oracle: the stub
     * features are deterministic arithmetic over the payload bytes, and
@@ -129,8 +153,27 @@ object Multimodal {
       |  CAST(checksum AS DOUBLE) / greatest(n_bytes, 1) AS mean_intensity
       |FROM s ORDER BY doc_id""".stripMargin
 
+  private val mmPatchifySql =
+    """WITH s AS (SELECT doc_id,
+      |    CAST(list_aggregate(list_transform(regexp_split_to_array(text, ''), c -> ord(c)), 'sum') AS BIGINT) AS checksum
+      |  FROM documents),
+      |dims AS (SELECT doc_id,
+      |    CAST(16 + checksum % 16 AS INT) AS width,
+      |    CAST(16 + (checksum // 16) % 16 AS INT) AS height
+      |  FROM s)
+      |SELECT d.doc_id, r.prow, c.pcol,
+      |  CAST(least(8, d.width - c.pcol * 8) AS INT) AS patch_w,
+      |  CAST(least(8, d.height - r.prow * 8) AS INT) AS patch_h
+      |FROM dims d
+      |CROSS JOIN range(0, 4) r(prow)
+      |CROSS JOIN range(0, 4) c(pcol)
+      |WHERE r.prow <= (d.height + 7) // 8 - 1
+      |  AND c.pcol <= (d.width + 7) // 8 - 1
+      |ORDER BY doc_id, prow, pcol""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "mm_binary_stats" -> mmBinaryStatsSql,
     "mm_decode_features" -> mmDecodeSql,
-    "mm_modality_route" -> mmModalityRouteSql)
+    "mm_modality_route" -> mmModalityRouteSql,
+    "mm_patchify" -> mmPatchifySql)
 }

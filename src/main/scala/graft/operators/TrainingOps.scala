@@ -199,6 +199,61 @@ object TrainingOps {
   }
 
   // ---------------------------------------------------------------------
+  // BPE merge application (tokenizer inference)
+  // ---------------------------------------------------------------------
+
+  /** Ordered merge table — in production this is the trained tokenizer
+    * artifact (a broadcast list); semantics per rule are leftmost
+    * non-overlapping application, encoded as a piece-delimited string
+    * rewrite so a merge can never fire inside a previously-formed
+    * multi-char piece.
+    */
+  private val BpeMerges = Seq(
+    "e" -> "r", "i" -> "n", "s" -> "t", "t" -> "a",
+    "a" -> "r", "o" -> "r", "u" -> "e", "r" -> "o")
+
+  /** Apply a trained BPE merge table corpus-wide and report per-doc
+    * tokenization stats (word → pieces compression). Pure scalar
+    * rewrite chain — narrow stage, whole-stage codegen, no shuffle
+    * until the per-doc aggregate; `replace` has identical
+    * leftmost-non-overlapping semantics in both engines, so the
+    * oracle is exact.
+    */
+  def taBpe(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val enc0 = concat(lit("|"),
+      concat_ws("|", array_remove(split(col("w"), ""), "")), lit("|"))
+    val merged = BpeMerges.foldLeft(enc0) { case (acc, (x, y)) =>
+      call_function("replace", acc, lit(s"|$x|$y|"), lit(s"|$x$y|"))
+    }
+    val pieces = (length(merged) - length(call_function("replace", merged, lit("|"), lit("")))) - 1
+    words.select(col("doc_id"), pieces.cast(LongType).as("np"), length(col("w")).as("nc"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("np").as("n_pieces"),
+        sum("nc").cast(LongType).as("n_chars"),
+        (sum("np").cast(DoubleType) / count(lit(1))).as("pieces_per_word"))
+      .orderBy("doc_id")
+  }
+
+  private val taBpeSql = {
+    val enc0 = "'|' || array_to_string(regexp_split_to_array(w, ''), '|') || '|'"
+    val merged = BpeMerges.foldLeft(enc0) { case (acc, (x, y)) =>
+      s"replace($acc, '|$x|$y|', '|$x$y|')"
+    }
+    s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |enc AS (SELECT doc_id,
+       |    len($merged) - len(replace($merged, '|', '')) - 1 AS np,
+       |    len(w) AS nc
+       |  FROM words)
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(np) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+       |  CAST(SUM(np) AS DOUBLE) / COUNT(*) AS pieces_per_word
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Deterministic epoch shuffle + shard packing
   // ---------------------------------------------------------------------
 
@@ -285,6 +340,7 @@ object TrainingOps {
     "dd_substring" -> (ddSubstring(_, _)),
     "dd_span_removal" -> (ddSpanRemoval(_, _)),
     "ta_contamination" -> (taContamination(_, _)),
+    "ta_bpe" -> (taBpe(_, _)),
     "q_global_shuffle" -> (qGlobalShuffle(_, _)),
     "q_merge_upsert" -> (qMergeUpsert(_, _)))
 
@@ -292,6 +348,7 @@ object TrainingOps {
     "dd_substring" -> ddSubstringSql,
     "dd_span_removal" -> ddSpanRemovalSql,
     "ta_contamination" -> taContaminationSql,
+    "ta_bpe" -> taBpeSql,
     "q_global_shuffle" -> qGlobalShuffleSql,
     "q_merge_upsert" -> qMergeUpsertSql)
 }

@@ -84,6 +84,32 @@ class TrainingOpsSpec extends SparkSuite {
     assert(diverged == 0, "hash-based and string-based hit counts diverge")
   }
 
+  // ---- ta_bpe -----------------------------------------------------------
+
+  test("BPE piece counts match an independent list-based merge implementation") {
+    val merges = Seq("e" -> "r", "i" -> "n", "s" -> "t", "t" -> "a",
+      "a" -> "r", "o" -> "r", "u" -> "e", "r" -> "o")
+    def bpe(word: String): Long = {
+      var pieces = word.map(_.toString).toVector
+      for ((x, y) <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < pieces.length) {
+          if (i + 1 < pieces.length && pieces(i) == x && pieces(i + 1) == y) {
+            out += (x + y); i += 2
+          } else { out += pieces(i); i += 1 }
+        }
+        pieces = out.result()
+      }
+      pieces.length.toLong
+    }
+    val expect = Tables(sc, sfDir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").map(bpe).sum).toMap
+    val got = run("ta_bpe").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expect)
+  }
+
   // ---- q_global_shuffle -------------------------------------------------
 
   test("global shuffle is a per-epoch permutation with full 64-doc shards") {
