@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Metric-store shapes: fixed-width histograms and time-decayed
+  * aggregates — the two workhorse summaries of a feature/metrics
+  * pipeline over an append-only event log.
+  *
+  * Scale notes: both are single-scan map-side-combining hash
+  * aggregates (no join, no sort until the final tiny ORDER BY), so at
+  * 100 TB they reduce to one shuffle of |bins| or |users| rows. The
+  * decay weight is a power of two (0.5^age_days), which an IEEE double
+  * carries EXACTLY — multiplying by it only shifts the exponent — so
+  * the quantized-sum trick (NOTES.md #4b) gives an order-independent,
+  * engine-exact BIGINT total without a global sort.
+  */
+object Analytics7 {
+
+  private val BinWidth = 5000.0 // l_extendedprice spans ~0.9k..105k → ~21 bins
+  private val PriceScale = 64.0 // 2^6; Σ(price·2^6) ≤ 6e5·1e5·64 ≈ 2^42 « 2^53
+
+  /** Fixed-width histogram of lineitem price: bin id, count, exact
+    * quantized sum (and its double view). One narrow aggregate.
+    */
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select(floor(col("l_extendedprice") / BinWidth).cast(LongType).as("bin"),
+        floor(col("l_extendedprice") * PriceScale).cast(LongType).as("p_q"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), (sum("p_q") / PriceScale).as("sum_price"))
+      .orderBy("bin")
+
+  private val qHistogramSql =
+    s"""SELECT CAST(floor(l_extendedprice / $BinWidth) AS BIGINT) AS bin,
+       |  COUNT(*) AS n,
+       |  CAST(SUM(CAST(floor(l_extendedprice * $PriceScale) AS BIGINT)) AS DOUBLE)
+       |    / $PriceScale AS sum_price
+       |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin
+
+  private val DecayScale = 1048576.0 // 2^20
+
+  /** Per-user exponentially-decayed event value: weight 0.5^age_days
+    * anchored on the corpus max timestamp. Age in whole days from
+    * integral microsecond arithmetic (`div`), weight an exact power of
+    * two, totals quantized at 2^20 — byte-exact across engines and
+    * partitionings.
+    */
+  def qDecayAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events").select("user_id", "ts", "value")
+    val anchor = ev.agg(max("ts").as("t_max"))
+    ev.crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        expr("(unix_micros(t_max) - unix_micros(ts)) div 86400000000").as("age_d"),
+        col("value"))
+      .select(col("user_id"),
+        floor(col("value") * pow(lit(0.5), col("age_d")) * DecayScale)
+          .cast(LongType).as("term_q"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (sum("term_q") / DecayScale).as("decayed_value"))
+      .orderBy("user_id")
+  }
+
+  private val qDecayAggSql =
+    s"""WITH a AS (SELECT max(CAST(ts AS TIMESTAMP)) AS t_max FROM events),
+       |t AS (SELECT user_id,
+       |    CAST(floor(value * pow(0.5,
+       |      (epoch_us(a.t_max) - epoch_us(CAST(ts AS TIMESTAMP))) // 86400000000
+       |    ) * $DecayScale) AS BIGINT) AS term_q
+       |  FROM events, a)
+       |SELECT user_id, COUNT(*) AS n_events,
+       |  CAST(SUM(term_q) AS DOUBLE) / $DecayScale AS decayed_value
+       |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram" -> (qHistogram(_, _)),
+    "q_decay_agg" -> (qDecayAgg(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_histogram" -> qHistogramSql,
+    "q_decay_agg" -> qDecayAggSql)
+}

@@ -136,11 +136,44 @@ object Similarity {
        |WHERE a.cell IN (SELECT cid FROM probe) AND a.vec_id <> $QueryId
        |ORDER BY cosine DESC, vec_id ASC LIMIT $K""".stripMargin
 
+  private val RangeTau = 0.2
+
+  /** Range (radius) search: EVERY vector within cosine ≥ τ of the
+    * query — the retrieval mode dedup and contamination filters want
+    * (top-k truncates arbitrarily; a threshold is semantic). Unlike
+    * top-k there is no global sort/limit barrier: the scan + filter is
+    * embarrassingly parallel and the result is proportional to the
+    * true neighborhood size. At 100 TB the same IVF cell bound applies
+    * (probe cells whose centroid cosine clears τ − cell radius);
+    * brute here since the oracle must be exact.
+    */
+  def annRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, Tables(s, dir, "embeddings"))
+    val q = e.where(col("vec_id") === QueryId)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    e.where(col("vec_id") =!= QueryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dotE("embedding", "qe") / (col("nrm") * col("qn"))).as("cosine"))
+      .where(col("cosine") >= RangeTau)
+      .orderBy(desc("cosine"), asc("vec_id"))
+  }
+
+  private val annRangeSearchSql =
+    s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |q AS (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = $QueryId)
+       |SELECT n.vec_id, ${dotSql("n.embedding", "q.qe")} / (n.nrm * q.qn) AS cosine
+       |FROM n, q WHERE n.vec_id <> $QueryId
+       |  AND ${dotSql("n.embedding", "q.qe")} / (n.nrm * q.qn) >= $RangeTau
+       |ORDER BY cosine DESC, vec_id ASC""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> (annBrute(_, _)),
-    "ann_ivf" -> (annIvf(_, _)))
+    "ann_ivf" -> (annIvf(_, _)),
+    "ann_range_search" -> (annRangeSearch(_, _)))
 
   def oracles: Map[String, String] = Map(
     "ann_brute" -> annBruteSql,
-    "ann_ivf" -> annIvfSql)
+    "ann_ivf" -> annIvfSql,
+    "ann_range_search" -> annRangeSearchSql)
 }

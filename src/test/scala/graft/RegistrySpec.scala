@@ -28,7 +28,8 @@ class RegistrySpec extends AnyFunSuite {
       operators.HfpPipeline.queries, operators.Analytics.queries,
       operators.Analytics2.queries, operators.Analytics3.queries,
       operators.Analytics4.queries, operators.Analytics5.queries,
-      operators.Analytics6.queries, operators.TextAnalysis.queries,
+      operators.Analytics6.queries, operators.Analytics7.queries,
+      operators.CorpusOps.queries, operators.TextAnalysis.queries,
       operators.TextAnalysis2.queries, operators.DedupOps.queries,
       operators.Similarity.queries, operators.Similarity2.queries,
       operators.Similarity3.queries, operators.Multimodal.queries,
