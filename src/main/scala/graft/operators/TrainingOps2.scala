@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.PortableHash
+import graft.sources.Tables
+
+/** Data-selection and mixture operators — the step between a cleaned
+  * corpus and a training run: decide HOW MUCH of each domain to keep,
+  * WHICH documents fill a token budget, and how to sample when weights
+  * matter.
+  *
+  *  - `q_domain_mix`: domain rebalancing. Per-source token mass →
+  *    per-source sampling rate that flattens the mixture to a uniform
+  *    target (`rate = min(1, (T/S)/tokens_src)`), plus the expected
+  *    post-sampling token count. One narrow aggregate + a broadcast of
+  *    the S-row totals — at 100 TB this is a map-side-combined reduce
+  *    to |sources| rows, and the rates then drive `q_hash_sample`-style
+  *    deterministic filters.
+  *  - `q_token_budget`: quality-ranked greedy selection under a global
+  *    token budget (top documents by type-token ratio until the budget
+  *    is spent). The naive formulation is a GLOBAL running sum — a
+  *    single-partition window barrier at scale. Implemented instead as
+  *    the two-phase parallel prefix sum: coarse quality buckets
+  *    (monotone in the sort key) are aggregated to per-bucket token
+  *    totals, a ~20-row running offset is broadcast back, and the
+  *    within-bucket window runs partitioned by bucket — every partition
+  *    windows concurrently, same answer as the global window (the
+  *    oracle IS the global window).
+  *  - `q_weighted_sample`: weighted sampling without replacement via
+  *    exponential keys (Efraimidis–Spirakis A-ES): priority =
+  *    ln(u)/weight with u a deterministic uniform from the portable
+  *    hash; top-K priorities = a weighted sample, reproducible across
+  *    runs and partitionings. TakeOrdered top-K — per-partition heaps +
+  *    driver merge, no global sort. ln is transcendental → priority
+  *    rounded at 1e-6 on both sides with doc_id tiebreak (NOTES #3).
+  *  - `q_outlier_trim`: winsorization at exact order statistics. The
+  *    p1/p99 bounds are the k-th smallest / (n-k+1)-th largest values
+  *    fetched with orderBy+limit (TakeOrderedAndProject: per-partition
+  *    top-k, no global sort — k is 1% of n, the only rows that move),
+  *    then one clamp-and-aggregate pass. Quantized sums keep the
+  *    clamped total engine-exact.
+  */
+object TrainingOps2 {
+
+  private def nTok = size(split(col("text"), " ")).cast(LongType)
+
+  // ---------------------------------------------------------------------
+  // Domain mixture rebalancing
+  // ---------------------------------------------------------------------
+
+  def qDomainMix(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables(s, dir, "documents")
+      .select(col("source"), nTok.as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+    val totals = bySrc.agg(
+      sum("tokens").as("total_tokens"), count(lit(1)).as("n_sources"))
+    val rate = least(lit(1.0),
+      col("total_tokens").cast(DoubleType) / (col("n_sources") * col("tokens")))
+    bySrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        rate.as("sample_rate"),
+        floor(rate * col("tokens")).cast(LongType).as("expected_tokens"))
+      .orderBy("source")
+  }
+
+  private val qDomainMixSql =
+    """WITH s AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+      |             COUNT(*) AS n_sources FROM s)
+      |SELECT s.source, s.n_docs, s.tokens,
+      |  least(1.0, CAST(t.total_tokens AS DOUBLE) / (t.n_sources * s.tokens)) AS sample_rate,
+      |  CAST(floor(least(1.0, CAST(t.total_tokens AS DOUBLE) / (t.n_sources * s.tokens))
+      |    * s.tokens) AS BIGINT) AS expected_tokens
+      |FROM s, t ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Token-budget greedy selection (two-phase parallel prefix sum)
+  // ---------------------------------------------------------------------
+
+  private val Budget = 10000L
+  private val NBuckets = 20
+
+  def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables(s, dir, "documents")
+      .select(col("doc_id"), nTok.as("n_tok"),
+        (size(array_distinct(split(col("text"), " "))).cast(DoubleType) /
+          size(split(col("text"), " "))).as("ttr"))
+      // bucket is monotone nondecreasing in ttr, so ordering buckets
+      // descending then (ttr desc, doc_id) within = the global order
+      .withColumn("bkt", floor(col("ttr") * NBuckets).cast(LongType))
+    val offsets = scored.groupBy("bkt").agg(sum("n_tok").as("btok"))
+      .withColumn("offset",
+        coalesce(sum("btok").over(
+          Window.orderBy(desc("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("bkt", "offset")
+    val inBkt = Window.partitionBy("bkt").orderBy(desc("ttr"), asc("doc_id"))
+    scored.join(broadcast(offsets), "bkt")
+      .withColumn("cum_tok", col("offset") + sum("n_tok").over(inBkt))
+      .where(col("cum_tok") <= Budget)
+      .select("doc_id", "n_tok", "ttr", "cum_tok")
+      .orderBy(desc("ttr"), asc("doc_id"))
+  }
+
+  private val qTokenBudgetSql =
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS ttr
+       |  FROM documents),
+       |c AS (SELECT doc_id, n_tok, ttr,
+       |    CAST(SUM(n_tok) OVER (ORDER BY ttr DESC, doc_id ASC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+       |  FROM scored)
+       |SELECT doc_id, n_tok, ttr, cum_tok FROM c
+       |WHERE cum_tok <= $Budget ORDER BY ttr DESC, doc_id ASC""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Weighted sampling without replacement (A-ES exponential keys)
+  // ---------------------------------------------------------------------
+
+  private val SampleK = 100
+  private val UDenom = 1073741825.0 // 2^30 + 1: u ∈ (0, 1) strictly
+
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = ((PortableHash.hash64(concat(lit("ws:"), col("doc_id").cast(StringType)))
+      % 1073741824L) + 1L) / lit(UDenom)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), nTok.as("weight"),
+        round(log(u) / nTok, 6).as("priority"))
+      .orderBy(desc("priority"), asc("doc_id"))
+      .limit(SampleK)
+  }
+
+  private val qWeightedSampleSql = {
+    val h = PortableHash.sql("'ws:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+       |  round(ln(($h % 1073741824 + 1) / $UDenom)
+       |    / len(string_split(text, ' ')), 6) AS priority
+       |FROM documents
+       |ORDER BY priority DESC, doc_id ASC LIMIT $SampleK""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Outlier winsorization at exact order statistics
+  // ---------------------------------------------------------------------
+
+  private val TrimFrac = 0.01
+  private val PriceScale = 32768.0 // 2^15 (NOTES #4b: terms ≤2^36, exact)
+
+  def qOutlierTrim(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir, "orders").select(col("o_totalprice").as("v"))
+    val n = p.count()
+    val k = math.ceil(TrimFrac * n).toLong
+    // k-th smallest / k-th largest via TakeOrdered: only k rows reach
+    // the driver-side merge, never a global sort of n
+    val lo = p.orderBy(asc("v")).limit(k.toInt).agg(max("v").as("lo"))
+    val hi = p.orderBy(desc("v")).limit(k.toInt).agg(min("v").as("hi"))
+    val clamped = greatest(col("lo"), least(col("hi"), col("v")))
+    p.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .agg(count(lit(1)).as("n"),
+        min("lo").as("p_lo"), min("hi").as("p_hi"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_above"),
+        sum(floor(clamped * PriceScale).cast(LongType)).as("sum_winsor_q"))
+  }
+
+  private val qOutlierTrimSql =
+    s"""WITH p AS (SELECT o_totalprice AS v FROM orders),
+       |n AS (SELECT COUNT(*) AS n, CAST(ceil($TrimFrac * COUNT(*)) AS BIGINT) AS k FROM p),
+       |lo AS (SELECT max(v) AS lo FROM
+       |  (SELECT v FROM p, n ORDER BY v ASC LIMIT (SELECT k FROM n))),
+       |hi AS (SELECT min(v) AS hi FROM
+       |  (SELECT v FROM p, n ORDER BY v DESC LIMIT (SELECT k FROM n))),
+       |c AS (SELECT v, lo, hi, greatest(lo, least(hi, v)) AS cv FROM p, lo, hi)
+       |SELECT COUNT(*) AS n, min(lo) AS p_lo, min(hi) AS p_hi,
+       |  CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       |  CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       |  CAST(SUM(CAST(floor(cv * $PriceScale) AS BIGINT)) AS BIGINT) AS sum_winsor_q
+       |FROM c""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_domain_mix" -> (qDomainMix(_, _)),
+    "q_token_budget" -> (qTokenBudget(_, _)),
+    "q_weighted_sample" -> (qWeightedSample(_, _)),
+    "q_outlier_trim" -> (qOutlierTrim(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_domain_mix" -> qDomainMixSql,
+    "q_token_budget" -> qTokenBudgetSql,
+    "q_weighted_sample" -> qWeightedSampleSql,
+    "q_outlier_trim" -> qOutlierTrimSql)
+}
