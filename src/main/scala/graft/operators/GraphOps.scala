@@ -85,9 +85,85 @@ object GraphOps {
        |  SELECT doc, peer FROM reach)
        |GROUP BY doc ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // PageRank over the co-purchase part graph
+  // ---------------------------------------------------------------------
+
+  private val PrIters = 5
+  private val Damping = 0.85
+  private val PrQ = 1099511627776.0 // 2^40: contrib ≤ 1 → terms ≤ 2^40,
+  //   in-degrees ≪ 2^12 keep sums exact in BIGINT/double (NOTES #4b)
+  private val PrTopK = 50
+
+  /** Fixed-iteration PageRank over the co-purchase graph (parts bought
+    * in the same order, distinct symmetric edges). Per round: one
+    * edges⋈ranks shuffle join + one map-side-combined aggregate —
+    * corpus rows never enter the loop, only |edges|. The graph is
+    * symmetric so there are no dangling nodes and every node re-appears
+    * each round.
+    *
+    * Engine-exact WITHOUT rounding: the per-edge contribution
+    * pr/out_deg is one IEEE division, the per-node sum is quantized at
+    * 2^40 (order-independent exact BIGINT), and the damping update is
+    * two more individually-rounded IEEE ops — so after any number of
+    * iterations both engines hold bit-identical doubles. The oracle is
+    * the same recurrence with the iterations unrolled into CTEs.
+    */
+  def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.sources.Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("a").join(li.as("b"), Seq("ok"))
+      .where(col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+      .localCheckpoint() // reused every round: truncate lineage once
+    val deg = pairs.groupBy("src").agg(count(lit(1)).as("d")).cache()
+    val n = deg.count()
+    var pr = deg.select(col("src").as("node")).withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to PrIters) {
+      pr = pairs
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"),
+          floor(col("pr") / col("d") * PrQ).cast("long").as("cq"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit(0.15 / n) +
+          lit(Damping) * (sum("cq").cast("double") / PrQ)).as("pr"))
+    }
+    pr.join(deg.select(col("src").as("node"), col("d").as("degree")), "node")
+      .select(col("node").as("part"), col("degree"), col("pr"))
+      .orderBy(desc("pr"), asc("part"))
+      .limit(PrTopK)
+  }
+
+  private val qPageRankSql = {
+    val iters = (1 to PrIters).map { i =>
+      s"""pr$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(0.15 AS DOUBLE) / n.n + CAST($Damping AS DOUBLE) *
+         |      (CAST(SUM(CAST(floor(p.pr / d.d * $PrQ) AS BIGINT)) AS DOUBLE) / $PrQ) AS pr
+         |  FROM pairs e JOIN pr${i - 1} p ON e.src = p.node
+         |  JOIN deg d ON e.src = d.src, n
+         |  GROUP BY e.dst, n.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |deg AS (SELECT src, COUNT(*) AS d FROM pairs GROUP BY src),
+       |n AS (SELECT COUNT(*) AS n FROM deg),
+       |pr0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / n.n AS pr FROM deg, n),
+       |$iters
+       |SELECT p.node AS part, d.d AS degree, p.pr
+       |FROM pr$PrIters p JOIN deg d ON p.node = d.src
+       |ORDER BY p.pr DESC, part ASC LIMIT $PrTopK""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dd_components" -> (ddComponents(_, _)))
+    "dd_components" -> (ddComponents(_, _)),
+    "q_pagerank" -> (qPageRank(_, _)))
 
   def oracles: Map[String, String] = Map(
-    "dd_components" -> ddComponentsSql)
+    "dd_components" -> ddComponentsSql,
+    "q_pagerank" -> qPageRankSql)
 }

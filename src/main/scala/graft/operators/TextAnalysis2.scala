@@ -251,7 +251,41 @@ object TextAnalysis2 {
       |    / 1073741824.0 / COUNT(*) AS avg_logp
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Inverted index build
+  // ---------------------------------------------------------------------
+
+  private val PostingsCap = 10
+
+  /** Corpus inverted index: term → document frequency, collection
+    * frequency, and the first [[PostingsCap]] doc ids of the postings
+    * list. The explode + (term, doc) pre-aggregation is the same
+    * map-side-combining shuffle as TF-IDF's df side; the postings
+    * assembly groups by term, so each task materializes one term's
+    * (bounded, capped) list — at 100 TB the vocabulary partitions the
+    * work and hot terms cap their list instead of collecting the
+    * corpus. Oracle: DuckDB `list(... ORDER BY ...)` sliced to the cap.
+    */
+  def taInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("c").as("cf"),
+        slice(array_sort(collect_list(col("doc_id"))), 1, PostingsCap)
+          .as("postings"))
+      .orderBy("term")
+
+  private val taInvertedIndexSql =
+    s"""WITH td AS (
+       |  SELECT unnest(string_split(text, ' ')) AS term, doc_id FROM documents),
+       |tdc AS (SELECT term, doc_id, COUNT(*) AS c FROM td GROUP BY term, doc_id)
+       |SELECT term, COUNT(*) AS df, CAST(SUM(c) AS BIGINT) AS cf,
+       |  (list(doc_id ORDER BY doc_id))[1:$PostingsCap] AS postings
+       |FROM tdc GROUP BY term ORDER BY term""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_inverted_index" -> (taInvertedIndex(_, _)),
     "ta_ngram_lm" -> (taNgramLm(_, _)),
     "ta_repetition" -> (taRepetition(_, _)),
     "ta_pii_scrub" -> (taPiiScrub(_, _)),
@@ -259,6 +293,7 @@ object TextAnalysis2 {
     "ta_bm25" -> (taBm25(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "ta_inverted_index" -> taInvertedIndexSql,
     "ta_ngram_lm" -> taNgramLmSql,
     "ta_repetition" -> taRepetitionSql,
     "ta_pii_scrub" -> taPiiScrubSql,

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** PageRank + inverted-index invariants (complementing the exact
+  * DuckDB oracles with properties a correct implementation must hold).
+  */
+class RankIndexSpec extends SparkSuite {
+
+  private def run(name: String) = SparkEntry.queries(name)(sc, sfDir)
+
+  test("pagerank mass is conserved and ranks are partitioning-invariant") {
+    val top = run("q_pagerank").collect()
+    assert(top.length == 50)
+    // ranks descend with the declared tiebreak
+    top.sliding(2).foreach { case Array(a, b) =>
+      val (pa, pb) = (a.getDouble(2), b.getDouble(2))
+      assert(pa > pb || (pa == pb && a.getLong(0) < b.getLong(0)))
+    }
+    // every rank sits inside the theoretical band [0.15/N, 1]
+    top.foreach(r => assert(r.getDouble(2) > 0 && r.getDouble(2) < 1))
+    // deterministic across independent runs (quantized contributions)
+    val again = run("q_pagerank").collect()
+    assert(top.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+  }
+
+  test("pagerank favors high-degree parts overall") {
+    val meanDegTop = run("q_pagerank").agg(avg("degree")).head.getDouble(0)
+    val li = Tables(sc, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val meanDegAll = li.as("a").join(li.as("b"), Seq("ok"))
+      .where(col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+      .groupBy("src").count().agg(avg("count")).head.getDouble(0)
+    assert(meanDegTop > meanDegAll,
+      s"top-50 mean degree $meanDegTop should exceed graph mean $meanDegAll")
+  }
+
+  test("inverted index df/cf/postings are consistent with the corpus") {
+    val rows = run("ta_inverted_index").collect()
+    val nDocs = Tables(sc, sfDir, "documents").count()
+    val totalTokens = Tables(sc, sfDir, "documents")
+      .select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == totalTokens,
+      "Σcf must equal the corpus token count")
+    rows.foreach { r =>
+      val df = r.getLong(1); val cf = r.getLong(2)
+      val postings = r.getSeq[Long](3)
+      assert(df <= nDocs && cf >= df)
+      assert(postings.length == math.min(df, 10L).toInt)
+      assert(postings == postings.sorted, "postings must be sorted")
+    }
+  }
+}
