@@ -119,9 +119,63 @@ object Similarity3 {
        |ORDER BY cosine DESC, n.vec_id ASC LIMIT $K""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // MaxSim late-interaction retrieval (ColBERT-style)
+  // ---------------------------------------------------------------------
+
+  private val Pow2_30L = 1073741824.0 // 2^30 quantizer for the 8-term Σmax
+
+  /** Multi-vector late interaction: treat each embedding as 8 token-like
+    * sub-vectors (the PQ subspace split) and score each document by
+    * Σ over query sub-vectors of the MAX cosine against any document
+    * sub-vector — MaxSim, the retrieval operator multi-vector models
+    * (ColBERT) use instead of single-vector cosine. The max runs as a
+    * map-side-combining aggregate over (doc, query-sub) pairs, the
+    * 8-term score sum is quantized (order-independent → engine-exact),
+    * and the top-k is a TakeOrdered. At 100 TB the same IVF cell bound
+    * applies per sub-vector; the all-pairs inner loop here is the
+    * exact-oracle baseline.
+    */
+  def annMaxSim(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val dotD = (a: Column, b: Column) => call_function("graft_dot", a, b)
+    val sub = Similarity2.subVectors(emb)
+      .select(col("vec_id"), col("m"), col("sub"),
+        sqrt(call_function("graft_norm_sq", col("sub"))).as("nrm"))
+    val qsub = sub.where(col("vec_id") === QueryId)
+      .select(col("m").as("qm"), col("sub").as("qs"), col("nrm").as("qn"))
+    sub.where(col("vec_id") =!= QueryId)
+      .crossJoin(broadcast(qsub))
+      .select(col("vec_id"), col("qm"),
+        (dotD(col("sub"), col("qs")) / (col("nrm") * col("qn"))).as("cos"))
+      .groupBy("vec_id", "qm").agg(max("cos").as("mc"))
+      .select(col("vec_id"), floor(col("mc") * Pow2_30L).cast("long").as("mq"))
+      .groupBy("vec_id")
+      .agg((sum("mq").cast("double") / Pow2_30L).as("maxsim"))
+      .orderBy(desc("maxsim"), asc("vec_id"))
+      .limit(K)
+  }
+
+  private val annMaxSimSql = {
+    val subExpr = "list_transform(embedding[t.m * 8 + 1 : t.m * 8 + 8], x -> CAST(x AS DOUBLE))"
+    s"""WITH sub AS (
+       |  SELECT vec_id, t.m, $subExpr AS s, ${normSql(subExpr)} AS nrm
+       |  FROM embeddings CROSS JOIN range(0, 8) t(m)),
+       |q AS (SELECT m AS qm, s AS qs, nrm AS qn FROM sub WHERE vec_id = $QueryId),
+       |mx AS (
+       |  SELECT sub.vec_id, q.qm, max(${dotSql("sub.s", "q.qs")} / (sub.nrm * q.qn)) AS mc
+       |  FROM sub, q WHERE sub.vec_id <> $QueryId GROUP BY sub.vec_id, q.qm)
+       |SELECT vec_id,
+       |  CAST(SUM(CAST(floor(mc * $Pow2_30L) AS BIGINT)) AS DOUBLE) / $Pow2_30L AS maxsim
+       |FROM mx GROUP BY vec_id
+       |ORDER BY maxsim DESC, vec_id ASC LIMIT $K""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_ivf_pq" -> (annIvfPq(_, _)))
+    "ann_ivf_pq" -> (annIvfPq(_, _)),
+    "ann_maxsim" -> (annMaxSim(_, _)))
 
   def oracles: Map[String, String] = Map(
-    "ann_ivf_pq" -> annIvfPqSql)
+    "ann_ivf_pq" -> annIvfPqSql,
+    "ann_maxsim" -> annMaxSimSql)
 }

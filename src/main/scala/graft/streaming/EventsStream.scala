@@ -140,6 +140,68 @@ object EventsStream {
       }
   }
 
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  case class OpenSession(startMs: Long, lastMs: Long, n: Long, total: Double)
+
+  /** Streaming sessionization, custom-state tier: the streaming twin of
+    * `q_sessionize` (built-in `session_window`) expressed with
+    * flatMapGroupsWithState so a session EMITS exactly once — when its
+    * gap closes — rather than updating in place. Per user the state is
+    * one open session; events extend it while they arrive within
+    * `gapMs`, a larger gap inside a batch closes-and-emits
+    * intermediate sessions, and the event-time timeout fires once the
+    * watermark passes last_seen + gap, emitting the final session and
+    * freeing the state. State is O(active users), eviction is
+    * data-bounded (event-time, not processing-time — NOTES gotcha #10).
+    *
+    * Batch events within a micro-batch arrive unordered → sort the
+    * batch's rows per key before folding; cross-batch order is
+    * guaranteed by the watermark (late rows beyond it were dropped).
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L): org.apache.spark.sql.Dataset[SessionOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.lastMs), s.n, s.total))
+          } else {
+            val sorted = rows.map(r => (r._2.getTime, r._3)).toArray.sortBy(_._1)
+            var open = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { case (t, v) =>
+              open match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  open = Some(OpenSession(s.startMs, t, s.n + 1, s.total + v))
+                case Some(s) =>
+                  closed += SessionOut(uid, new java.sql.Timestamp(s.startMs),
+                    new java.sql.Timestamp(s.lastMs), s.n, s.total)
+                  open = Some(OpenSession(t, t, 1L, v))
+                case None =>
+                  open = Some(OpenSession(t, t, 1L, v))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1000L))
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Synchronous smoke runner for tests: memory sink, drain, return. */
   def runToMemory(spark: SparkSession, agg: DataFrame, name: String): StreamingQuery = {
     val q = agg.writeStream

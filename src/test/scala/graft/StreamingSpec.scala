@@ -163,6 +163,43 @@ class StreamingSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("streaming sessionization emits closed sessions matching batch session_window") {
+    val ev = EventsStream.readEvents(sc, sfDir, "events.parquet")
+    val sess = EventsStream.sessionize(spark, ev)
+    val q = sess.toDF().writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("sess_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    try {
+      val got = spark.sql("SELECT * FROM sess_test").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime) ->
+          (r.getTimestamp(2).getTime, r.getLong(3), r.getDouble(4))).toMap
+      assert(got.nonEmpty, "no sessions closed")
+      val batch = graft.sources.Tables(sc, sfDir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"), sum("value").as("s"), max("ts").as("last_ts"))
+        .collect()
+        .map(r => (r.getLong(0), r.getStruct(1).getTimestamp(0).getTime) ->
+          (r.getAs[java.sql.Timestamp]("last_ts").getTime,
+            r.getLong(2), r.getDouble(3))).toMap
+      // every emitted session matches the batch session_window exactly
+      got.foreach { case (k, (end, n, s)) =>
+        val (bEnd, bN, bS) = batch.getOrElse(k, fail(s"spurious session $k"))
+        assert(end == bEnd && n == bN, s"session $k: ($end,$n) vs ($bEnd,$bN)")
+        assert(math.abs(s - bS) < 1e-6)
+      }
+      // and every batch session that safely closed before the final
+      // watermark (max ts − 10 min watermark − 30 min gap) was emitted
+      val maxTs = graft.sources.Tables(sc, sfDir, "events")
+        .agg(max("ts")).head.getTimestamp(0).getTime
+      val safe = batch.filter { case (_, (end, _, _)) =>
+        end + 30 * 60 * 1000L < maxTs - 10 * 60 * 1000L }
+      safe.keys.foreach(k => assert(got.contains(k), s"unclosed safe session $k"))
+    } finally q.stop()
+  }
+
   test("query-execution listener records durations; tumbling mean works") {
     val l = Metrics.attach(sc)
     try {
