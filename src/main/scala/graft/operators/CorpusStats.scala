@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Corpus-statistics operators — the measurement pass a curation
+  * pipeline runs to understand a corpus before filtering it:
+  *
+  *  - `ta_collocations`: PMI-ranked bigram collocations. Bigram and
+  *    unigram counts are two map-side-combining aggregates; PMI =
+  *    ln(c_ab·N² / (B·c_a·c_b)) is computed from EXACT long counts as
+  *    one integer product each side of a single division — so the only
+  *    engine-sensitive step is the final `ln`, rounded at 1e-6 on both
+  *    sides (NOTES #3). Min-support pruning keeps the ranked set
+  *    stable; the top-k is a TakeOrdered, not a global sort.
+  *  - `q_entropy`: per-source unigram Shannon entropy (token diversity
+  *    — the collapse detector for synthetic/templated corpora), plus
+  *    vocabulary size and token count. The Σ −p·ln p runs over
+  *    quantized terms (floor at 2^30) so the per-source sum is
+  *    order-independent and engine-exact up to the quantizer, with the
+  *    same ln caveat handled by construction: both engines compute
+  *    each term from identical doubles (one division, one ln, one
+  *    multiply) before quantizing — the precedent is ta_ngram_lm's
+  *    quantized log-prob sums, exact at all three scale factors.
+  *
+  * At 100 TB both are shuffles of |vocab| / |vocab²∩observed| rows —
+  * the corpus never moves, only count pairs.
+  */
+object CorpusStats {
+
+  private val MinSupport = 5
+  private val TopK = 50
+  private val Pow2_30 = 1073741824.0
+
+  def taCollocations(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val bigrams = toks
+      .select(posexplode(expr("slice(t, 1, size(t) - 1)")).as(Seq("i", "w1")),
+        col("t"))
+      .select(col("w1"), expr("t[i + 1]").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum("c").as("n_tok")).crossJoin(
+      bigrams.agg(sum("c_ab").as("n_big")))
+    bigrams.where(col("c_ab") >= MinSupport)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_a"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_b"))), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log((col("c_ab") * col("n_tok") * col("n_tok")).cast(DoubleType) /
+          (col("n_big") * col("c_a") * col("c_b"))), 6).as("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      .limit(TopK)
+  }
+
+  private val taCollocationsSql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |big AS (
+       |  SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS c_ab
+       |  FROM toks CROSS JOIN range(1, 4001) r(i)
+       |  WHERE i <= len(t) - 1 GROUP BY 1, 2),
+       |uni AS (SELECT unnest(t) AS w FROM toks),
+       |uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+       |tot AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uc) AS n_tok,
+       |               (SELECT CAST(SUM(c_ab) AS BIGINT) FROM big) AS n_big)
+       |SELECT b.w1, b.w2, b.c_ab,
+       |  round(ln(CAST(b.c_ab * t.n_tok * t.n_tok AS DOUBLE)
+       |    / (t.n_big * a.c * c.c)), 6) AS pmi
+       |FROM big b JOIN uc a ON b.w1 = a.w JOIN uc c ON b.w2 = c.w, tot t
+       |WHERE b.c_ab >= $MinSupport
+       |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT $TopK""".stripMargin
+
+  def qEntropy(s: SparkSession, dir: String): DataFrame = {
+    val tc = Tables(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val totals = tc.groupBy("source").agg(sum("c").as("n_tok"))
+    val p = col("c").cast(DoubleType) / col("n_tok")
+    tc.join(broadcast(totals), "source")
+      .select(col("source"), col("n_tok"),
+        floor(-p * log(p) * Pow2_30).cast(LongType).as("hq"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"), min("n_tok").as("n_tok"),
+        round(sum("hq").cast(DoubleType) / Pow2_30, 6).as("entropy"))
+      .orderBy("source")
+  }
+
+  private val qEntropySql =
+    s"""WITH tc AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |cnt AS (SELECT source, w, COUNT(*) AS c FROM tc GROUP BY source, w),
+       |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tok FROM cnt GROUP BY source),
+       |terms AS (
+       |  SELECT cnt.source, tot.n_tok,
+       |    CAST(floor(-(CAST(cnt.c AS DOUBLE) / tot.n_tok)
+       |      * ln(CAST(cnt.c AS DOUBLE) / tot.n_tok) * $Pow2_30) AS BIGINT) AS hq
+       |  FROM cnt JOIN tot ON cnt.source = tot.source)
+       |SELECT source, COUNT(*) AS vocab, min(n_tok) AS n_tok,
+       |  round(CAST(SUM(hq) AS DOUBLE) / $Pow2_30, 6) AS entropy
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_collocations" -> (taCollocations(_, _)),
+    "q_entropy" -> (qEntropy(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "ta_collocations" -> taCollocationsSql,
+    "q_entropy" -> qEntropySql)
+}

@@ -74,16 +74,24 @@ object GraphOps {
     * which doubled the band-union candidate rows upstream and zeroed
     * the Jaccard denominator for exact-duplicate docs.
     */
+  /** Reusable CTE chain ending in `comp(doc_id, component)` — shared by
+    * the components oracle and downstream consumers (keep-best).
+    */
+  private[operators] val componentsSqlChain =
+    s"""${DedupOps.pairsSqlChain},
+       |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       |comp AS (
+       |  SELECT doc AS doc_id, least(doc, min(peer)) AS component FROM (
+       |    WITH RECURSIVE reach AS (
+       |      SELECT a AS doc, b AS peer FROM edges
+       |      UNION
+       |      SELECT r.doc, e.b FROM reach r JOIN edges e ON r.peer = e.a AND e.b <> r.doc)
+       |    SELECT doc, peer FROM reach)
+       |  GROUP BY doc)""".stripMargin
+
   private val ddComponentsSql =
-    s"""WITH ${DedupOps.pairsSqlChain},
-       |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs)
-       |SELECT doc AS doc_id, least(doc, min(peer)) AS component FROM (
-       |  WITH RECURSIVE reach AS (
-       |    SELECT a AS doc, b AS peer FROM edges
-       |    UNION
-       |    SELECT r.doc, e.b FROM reach r JOIN edges e ON r.peer = e.a AND e.b <> r.doc)
-       |  SELECT doc, peer FROM reach)
-       |GROUP BY doc ORDER BY doc_id""".stripMargin
+    s"""WITH $componentsSqlChain
+       |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // PageRank over the co-purchase part graph
@@ -159,11 +167,52 @@ object GraphOps {
        |ORDER BY p.pr DESC, part ASC LIMIT $PrTopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Component-representative selection (the dedup pipeline's output)
+  // ---------------------------------------------------------------------
+
+  /** The decision a dedup pipeline actually ships: within each near-dup
+    * component keep ONE representative (highest quality = longest doc,
+    * ties to the lowest id) and drop the rest. The argmax runs as a
+    * map-side-combining max(struct(quality, −doc_id)) per component —
+    * never a window over the corpus — and only docs that appear in the
+    * near-dup graph enter the join at all (everything else keeps
+    * implicitly). Output: one verdict row per in-graph doc.
+    */
+  def ddKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val comp = ddComponents(s, dir)
+    val docs = graft.sources.Tables(s, dir, "documents").select("doc_id", "n_chars")
+    val j = comp.join(docs, "doc_id")
+    val best = j.groupBy("component")
+      .agg(max(struct(col("n_chars").as("q"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("component"), (-col("b").getField("nid")).as("best_doc"))
+    j.join(best, "component")
+      .select(col("doc_id"), col("component"), col("n_chars"),
+        (col("doc_id") === col("best_doc")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val ddKeepBestSql =
+    s"""WITH $componentsSqlChain,
+       |j AS (SELECT c.doc_id, c.component, d.n_chars
+       |      FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+       |best AS (SELECT component, doc_id AS best_doc FROM (
+       |    SELECT component, doc_id,
+       |      row_number() OVER (PARTITION BY component
+       |        ORDER BY n_chars DESC, doc_id ASC) AS rk FROM j)
+       |  WHERE rk = 1)
+       |SELECT j.doc_id, j.component, j.n_chars,
+       |  j.doc_id = b.best_doc AS keep
+       |FROM j JOIN best b ON j.component = b.component
+       |ORDER BY j.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_components" -> (ddComponents(_, _)),
+    "dd_keep_best" -> (ddKeepBest(_, _)),
     "q_pagerank" -> (qPageRank(_, _)))
 
   def oracles: Map[String, String] = Map(
     "dd_components" -> ddComponentsSql,
+    "dd_keep_best" -> ddKeepBestSql,
     "q_pagerank" -> qPageRankSql)
 }

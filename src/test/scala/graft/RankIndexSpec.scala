@@ -38,6 +38,41 @@ class RankIndexSpec extends SparkSuite {
       s"top-50 mean degree $meanDegTop should exceed graph mean $meanDegAll")
   }
 
+  test("keep-best keeps exactly one representative per component, the longest") {
+    val rows = run("dd_keep_best").collect()
+    val byComp = rows.groupBy(_.getLong(1))
+    byComp.foreach { case (comp, members) =>
+      val kept = members.filter(_.getBoolean(3))
+      assert(kept.length == 1, s"component $comp kept ${kept.length}")
+      val best = kept.head
+      members.foreach { m =>
+        assert(m.getLong(2) < best.getLong(2) ||
+          (m.getLong(2) == best.getLong(2) && m.getLong(0) >= best.getLong(0)),
+          s"member ${m.getLong(0)} dominates the representative in $comp")
+      }
+    }
+    // verdict rows cover exactly the docs dd_components labels
+    assert(rows.length == run("dd_components").count())
+  }
+
+  test("collocation PMI is symmetric in formulation and bounded by counts") {
+    val rows = run("ta_collocations").collect()
+    assert(rows.length == 50)
+    rows.foreach { r => assert(r.getLong(2) >= 5, "min support violated") }
+    // descending by pmi with declared tiebreaks
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) >= b.getDouble(3))
+    }
+  }
+
+  test("entropy is bounded by ln(vocab) and positive for mixed sources") {
+    run("q_entropy").collect().foreach { r =>
+      val vocab = r.getLong(1); val h = r.getDouble(3)
+      assert(h > 0 && h <= math.log(vocab.toDouble) + 1e-9,
+        s"source ${r.getString(0)}: H=$h vocab=$vocab")
+    }
+  }
+
   test("inverted index df/cf/postings are consistent with the corpus") {
     val rows = run("ta_inverted_index").collect()
     val nDocs = Tables(sc, sfDir, "documents").count()

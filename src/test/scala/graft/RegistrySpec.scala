@@ -36,7 +36,8 @@ class RegistrySpec extends AnyFunSuite {
       operators.AdvancedOps.queries, operators.ScaleOps.queries,
       operators.KMeansIvf.queries, operators.Pipelines.queries,
       operators.TypedOps.queries, operators.GraphOps.queries,
-      operators.TrainingOps.queries, operators.TrainingOps2.queries)
+      operators.TrainingOps.queries, operators.TrainingOps2.queries,
+      operators.CorpusStats.queries)
     val keys = all.flatMap(_.keys)
     val dupes = keys.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names across modules: $dupes")
