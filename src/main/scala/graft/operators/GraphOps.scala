@@ -120,23 +120,40 @@ object GraphOps {
   def qPageRank(s: SparkSession, dir: String): DataFrame = {
     val li = graft.sources.Tables(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val pairs = li.as("a").join(li.as("b"), Seq("ok"))
-      .where(col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    // edge construction is the expensive pass — materialize it exactly
+    // ONCE (degrees, n, and every round derive from the checkpoint).
+    // Built as group-by-order + in-row pair fan-out rather than a
+    // sort-merge self-join: one narrow shuffle of (order, part) keyed
+    // by the natural unit of co-occurrence, no sorts, and the pair
+    // explosion happens inside the row where the order's part set
+    // already sits
+    val pairs = li.groupBy("ok").agg(collect_set("pk").as("ps"))
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .where(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint() // reused every round: truncate lineage once
+      .localCheckpoint()
     val deg = pairs.groupBy("src").agg(count(lit(1)).as("d")).cache()
     val n = deg.count()
     var pr = deg.select(col("src").as("node")).withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to PrIters) {
-      pr = pairs
-        .join(pr.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
-        .select(col("dst"),
+      // fold pr/deg into a |nodes|-row contribution table FIRST, then
+      // broadcast it to the edge list — the edges never re-shuffle and
+      // the only exchange per round is the map-side-combined
+      // |nodes|-row aggregate. (Beyond broadcast range this degrades
+      // to a shuffled join on src — the quantized arithmetic is
+      // partitioning-independent either way.)
+      val contrib = pr.join(deg.withColumnRenamed("src", "node"), "node")
+        .select(col("node").as("src"),
           floor(col("pr") / col("d") * PrQ).cast("long").as("cq"))
+      pr = pairs
+        .join(broadcast(contrib), "src")
         .groupBy(col("dst").as("node"))
         .agg((lit(0.15 / n) +
           lit(Damping) * (sum("cq").cast("double") / PrQ)).as("pr"))
+        // eager per-round materialization: the next round's broadcast
+        // would otherwise re-execute every prior round's chain
+        .localCheckpoint()
     }
     pr.join(deg.select(col("src").as("node"), col("d").as("degree")), "node")
       .select(col("node").as("part"), col("degree"), col("pr"))
