@@ -73,6 +73,34 @@ class RankIndexSpec extends SparkSuite {
     }
   }
 
+  test("BPE training learns applicable merges and is deterministic") {
+    val merges = run("ta_bpe_train").collect()
+    assert(merges.length == 4)
+    assert(merges.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    merges.foreach { m =>
+      assert(m.getString(1).nonEmpty && m.getString(2).nonEmpty)
+      assert(m.getLong(3) > 0)
+    }
+    // step-k merge can only pair pieces formable after steps 1..k-1:
+    // each side is either a single char or a previously-merged piece
+    val known = scala.collection.mutable.Set[String]()
+    merges.foreach { m =>
+      Seq(m.getString(1), m.getString(2)).foreach(p =>
+        assert(p.length == 1 || known.contains(p), s"piece $p unformable"))
+      known += m.getString(1) + m.getString(2)
+    }
+    val again = run("ta_bpe_train").collect()
+    assert(merges.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("feature hashing conserves token mass within the slot range") {
+    val rows = run("q_feature_hash").collect()
+    val total = Tables(sc, sfDir, "documents")
+      .select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) < 64))
+  }
+
   test("inverted index df/cf/postings are consistent with the corpus") {
     val rows = run("ta_inverted_index").collect()
     val nDocs = Tables(sc, sfDir, "documents").count()

@@ -37,7 +37,7 @@ class RegistrySpec extends AnyFunSuite {
       operators.KMeansIvf.queries, operators.Pipelines.queries,
       operators.TypedOps.queries, operators.GraphOps.queries,
       operators.TrainingOps.queries, operators.TrainingOps2.queries,
-      operators.CorpusStats.queries)
+      operators.CorpusStats.queries, operators.TokenizerOps.queries)
     val keys = all.flatMap(_.keys)
     val dupes = keys.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names across modules: $dupes")
