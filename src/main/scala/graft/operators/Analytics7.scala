@@ -75,11 +75,57 @@ object Analytics7 {
        |  CAST(SUM(term_q) AS DOUBLE) / $DecayScale AS decayed_value
        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  private val OhlcScale = 1048576.0 // 2^20
+
+  /** Time-series downsampling to hourly OHLC bars per event type —
+    * open/close are argmin/argmax-by-(ts, event_id) picks (map-side
+    * min/max of a struct, never a window over the raw stream),
+    * high/low/volume plain aggregates, total quantized. One
+    * map-side-combined shuffle of |bars| rows at any scale.
+    */
+  def qOhlc(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy("event_type", "hour")
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max("value").as("high"), min("value").as("low"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("volume"),
+        (sum(floor(col("value") * OhlcScale).cast(LongType)) / OhlcScale)
+          .as("total"))
+      .orderBy("event_type", "hour")
+
+  private val qOhlcSql =
+    s"""WITH e AS (SELECT event_type,
+       |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+       |    CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
+       |rk AS (SELECT *,
+       |    row_number() OVER (PARTITION BY event_type, hour
+       |      ORDER BY ts ASC, event_id ASC) AS ra,
+       |    row_number() OVER (PARTITION BY event_type, hour
+       |      ORDER BY ts DESC, event_id DESC) AS rd
+       |  FROM e)
+       |SELECT event_type, hour,
+       |  min(CASE WHEN ra = 1 THEN value END) AS open,
+       |  max(value) AS high, min(value) AS low,
+       |  min(CASE WHEN rd = 1 THEN value END) AS close,
+       |  COUNT(*) AS volume,
+       |  CAST(SUM(CAST(floor(value * $OhlcScale) AS BIGINT)) AS DOUBLE)
+       |    / $OhlcScale AS total
+       |FROM rk GROUP BY event_type, hour
+       |ORDER BY event_type, hour""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_histogram" -> (qHistogram(_, _)),
-    "q_decay_agg" -> (qDecayAgg(_, _)))
+    "q_decay_agg" -> (qDecayAgg(_, _)),
+    "q_ohlc" -> (qOhlc(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_histogram" -> qHistogramSql,
-    "q_decay_agg" -> qDecayAggSql)
+    "q_decay_agg" -> qDecayAggSql,
+    "q_ohlc" -> qOhlcSql)
 }

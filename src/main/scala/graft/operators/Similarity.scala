@@ -64,7 +64,7 @@ object Similarity {
   private def normSql(a: String) =
     s"sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
 
-  private val annBruteSql =
+  private[operators] val annBruteSql =
     s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
        |q AS (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = $QueryId)
        |SELECT n.vec_id, ${dotSql("n.embedding", "q.qe")} / (n.nrm * q.qn) AS cosine
@@ -119,7 +119,7 @@ object Similarity {
       .limit(K)
   }
 
-  private val annIvfSql =
+  private[operators] val annIvfSql =
     s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
        |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n WHERE vec_id % 50 = 0),
        |assigned AS (

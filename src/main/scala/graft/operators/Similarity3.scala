@@ -171,11 +171,40 @@ object Similarity3 {
        |ORDER BY maxsim DESC, vec_id ASC LIMIT $K""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // ANN recall evaluation
+  // ---------------------------------------------------------------------
+
+  /** The evaluation every ANN deployment needs: recall@K of the
+    * approximate index against the exact brute-force ground truth, on
+    * the same query. Composes the two existing operators and reduces
+    * their top-K sets to one row (hits, recall) via a semi-join — at
+    * scale this runs over a sampled query set, and the per-query shape
+    * is unchanged: two bounded top-Ks and a K-row join.
+    */
+  def annRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val truth = Similarity.annBrute(s, dir).select("vec_id")
+    val approx = Similarity.annIvf(s, dir).select("vec_id")
+    val hits = approx.join(truth, Seq("vec_id"), "left_semi")
+    hits.agg(count(lit(1)).as("hits"))
+      .select(col("hits"), lit(K.toLong).as("k"),
+        (col("hits").cast("double") / K).as("recall_at_k"))
+  }
+
+  private val annRecallEvalSql =
+    s"""WITH truth AS (SELECT vec_id FROM (${Similarity.annBruteSql})),
+       |approx AS (SELECT vec_id FROM (${Similarity.annIvfSql}))
+       |SELECT COUNT(*) AS hits, CAST($K AS BIGINT) AS k,
+       |  CAST(COUNT(*) AS DOUBLE) / $K AS recall_at_k
+       |FROM approx WHERE vec_id IN (SELECT vec_id FROM truth)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_pq" -> (annIvfPq(_, _)),
-    "ann_maxsim" -> (annMaxSim(_, _)))
+    "ann_maxsim" -> (annMaxSim(_, _)),
+    "ann_recall_eval" -> (annRecallEval(_, _)))
 
   def oracles: Map[String, String] = Map(
     "ann_ivf_pq" -> annIvfPqSql,
-    "ann_maxsim" -> annMaxSimSql)
+    "ann_maxsim" -> annMaxSimSql,
+    "ann_recall_eval" -> annRecallEvalSql)
 }
