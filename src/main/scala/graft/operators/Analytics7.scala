@@ -119,13 +119,70 @@ object Analytics7 {
        |FROM rk GROUP BY event_type, hour
        |ORDER BY event_type, hour""".stripMargin
 
+  private val Quantiles = Seq(0.5, 0.95, 0.99)
+
+  /** Approximate quantiles FROM the histogram sketch — the mergeable,
+    * one-pass quantile estimator monitoring systems run (equi-width
+    * bins + linear interpolation inside the target bin). Unlike
+    * rank-based exact quantiles there is no global sort at any scale:
+    * the sketch is a |bins|-row map-combined aggregate, and the
+    * interpolation is a window over the BOUNDED bin table (21 rows by
+    * construction — the "window" never sees data-sized input). Sketch
+    * estimates, exact oracle: the estimator is a deterministic
+    * function of the bin counts, so DuckDB computes the identical
+    * number.
+    */
+  def qHistQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables(s, dir, "lineitem")
+      .select(floor(col("l_extendedprice") / BinWidth).cast(LongType).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum("c").over(w))
+      .withColumn("cum_prev", col("cum") - col("c"))
+    val n = cum.agg(max("cum").as("n"))
+    import s.implicits._
+    val qs = Quantiles.toDF("q")
+    qs.crossJoin(broadcast(n))
+      .join(cum, col("q") * col("n") > col("cum_prev") &&
+        col("q") * col("n") <= col("cum"))
+      .select(col("q"),
+        round(col("bin") * BinWidth +
+          (col("q") * col("n") - col("cum_prev")) / col("c") * BinWidth, 6)
+          .as("est"))
+      .orderBy("q")
+  }
+
+  private val qHistQuantilesSql = {
+    val qvals = Quantiles.mkString("(", "), (", ")")
+    s"""WITH h AS (
+       |  SELECT CAST(floor(l_extendedprice / $BinWidth) AS BIGINT) AS bin,
+       |    COUNT(*) AS c
+       |  FROM lineitem GROUP BY 1),
+       |cum AS (SELECT bin, c,
+       |    CAST(SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM h),
+       |cp AS (SELECT bin, c, cum, cum - c AS cum_prev FROM cum),
+       |n AS (SELECT max(cum) AS n FROM cp),
+       |qs0(q0) AS (VALUES $qvals),
+       |qs AS (SELECT CAST(q0 AS DOUBLE) AS q FROM qs0)
+       |SELECT qs.q,
+       |  round(cp.bin * CAST($BinWidth AS DOUBLE)
+       |    + (qs.q * n.n - cp.cum_prev) / cp.c * CAST($BinWidth AS DOUBLE), 6) AS est
+       |FROM qs, n
+       |JOIN cp ON qs.q * n.n > cp.cum_prev AND qs.q * n.n <= cp.cum
+       |ORDER BY q""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_histogram" -> (qHistogram(_, _)),
     "q_decay_agg" -> (qDecayAgg(_, _)),
-    "q_ohlc" -> (qOhlc(_, _)))
+    "q_ohlc" -> (qOhlc(_, _)),
+    "q_hist_quantiles" -> (qHistQuantiles(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_histogram" -> qHistogramSql,
     "q_decay_agg" -> qDecayAggSql,
-    "q_ohlc" -> qOhlcSql)
+    "q_ohlc" -> qOhlcSql,
+    "q_hist_quantiles" -> qHistQuantilesSql)
 }

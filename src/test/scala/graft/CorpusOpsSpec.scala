@@ -44,6 +44,23 @@ class CorpusOpsSpec extends SparkSuite {
 
   // ---- q_length_buckets -------------------------------------------------
 
+  test("histogram-sketch quantiles land within one bin of the exact rank value") {
+    val est = run("q_hist_quantiles").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val exact = Tables(sc, sfDir, "lineitem")
+      .selectExpr("percentile_cont(array(0.5, 0.95, 0.99)) WITHIN GROUP (ORDER BY l_extendedprice) ps")
+      .head.getSeq[Double](0)
+    Seq(0.5, 0.95, 0.99).zip(exact).foreach { case (q, ex) =>
+      assert(math.abs(est(q) - ex) <= 5000.0,
+        s"q=$q est=${est(q)} exact=$ex off by more than one bin")
+    }
+    // OHLC sanity rides along: high >= open/close >= low on every bar
+    SparkEntry.queries("q_ohlc")(sc, sfDir).collect().foreach { r =>
+      val (o, h, l, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(h >= o && h >= c && l <= o && l <= c, s"bar violates OHLC: $r")
+    }
+  }
+
   test("length buckets partition the corpus with zero waste only at exact fits") {
     val rows = run("q_length_buckets").collect()
     val nDocs = Tables(sc, sfDir, "documents").count()
