@@ -1,0 +1,38 @@
+package graft
+
+/** Partitioning-invariance gate: a query's RESULT must not depend on
+  * how the engine partitions the work — the property that makes
+  * results reproducible across cluster sizes, AQE re-plans, and
+  * re-runs. Exercised by running the same queries under different
+  * shuffle-partition settings and comparing collected rows exactly
+  * (bit-exact doubles included — this is what the quantized-sum
+  * technique buys).
+  *
+  * The subset covers each family where order-dependence could hide:
+  * quantized float sums (decay, entropy, maxsim, pagerank), iterative
+  * loops (components, kmeans), argmax picks (ohlc, keep_best), sketch
+  * pipelines (minhash), and top-k with declared tiebreaks.
+  */
+class DeterminismSpec extends SparkSuite {
+
+  private val probes = Seq(
+    "q_decay_agg", "q_entropy", "ann_maxsim", "q_pagerank",
+    "dd_components", "kmeans_train", "q_ohlc", "dd_keep_best",
+    "dd_minhash_lsh", "q_weighted_sample", "q_token_budget",
+    "ta_bpe_train", "q_hist_quantiles")
+
+  test("results are identical under different shuffle partitionings") {
+    val conf = spark.conf
+    probes.foreach { name =>
+      conf.set("spark.sql.shuffle.partitions", "3")
+      val a = SparkEntry.queries(name)(sc, sfDir).collect().map(_.toSeq)
+      conf.set("spark.sql.shuffle.partitions", "17")
+      val b = SparkEntry.queries(name)(sc, sfDir).collect().map(_.toSeq)
+      conf.set("spark.sql.shuffle.partitions", "4")
+      assert(a.length == b.length, s"$name: row count differs")
+      a.zip(b).zipWithIndex.foreach { case ((ra, rb), i) =>
+        assert(ra == rb, s"$name row $i differs:\n  3 parts: $ra\n  17 parts: $rb")
+      }
+    }
+  }
+}

@@ -200,6 +200,41 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("checkpointed restart processes each file exactly once") {
+    val inDir = java.nio.file.Files.createTempDirectory("ckpt-in")
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ckpt-out").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), inDir.resolve("a.parquet"))
+
+    def runOnce(): Unit = {
+      val ev = EventsStream.readEvents(sc, inDir.toString)
+      val q = ev.select("event_id").writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$outDir/rows")
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    runOnce()
+    val n1 = spark.read.parquet(s"$outDir/rows").count()
+    val nFile = graft.sources.Tables(sc, sfDir, "events").count()
+    assert(n1 == nFile, s"first run wrote $n1, file has $nFile")
+
+    // restart with the SAME checkpoint and no new data: nothing re-emits
+    runOnce()
+    assert(spark.read.parquet(s"$outDir/rows").count() == nFile,
+      "restart without new data re-processed the old file")
+
+    // add a second file and restart: exactly the delta is appended
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), inDir.resolve("b.parquet"))
+    runOnce()
+    assert(spark.read.parquet(s"$outDir/rows").count() == 2 * nFile,
+      "restart with one new file must append exactly that file's rows")
+  }
+
   test("query-execution listener records durations; tumbling mean works") {
     val l = Metrics.attach(sc)
     try {
