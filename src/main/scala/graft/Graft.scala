@@ -44,6 +44,11 @@ object Graft {
     def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = operators.TextAnalysis2.taTfidf(s, dir)
     def bm25(s: SparkSession, dir: String): DataFrame = operators.TextAnalysis2.taBm25(s, dir)
     def ngramLmScores(s: SparkSession, dir: String): DataFrame = operators.TextAnalysis2.taNgramLm(s, dir)
+    def invertedIndex(s: SparkSession, dir: String): DataFrame = operators.TextAnalysis2.taInvertedIndex(s, dir)
+    def collocations(s: SparkSession, dir: String): DataFrame = operators.CorpusStats.taCollocations(s, dir)
+    def sourceEntropy(s: SparkSession, dir: String): DataFrame = operators.CorpusStats.qEntropy(s, dir)
+    def bpeTrain(s: SparkSession, dir: String): DataFrame = operators.TokenizerOps.taBpeTrain(s, dir)
+    def featureHash(s: SparkSession, dir: String): DataFrame = operators.TokenizerOps.qFeatureHash(s, dir)
   }
 
   /** Deduplication tiers: exact → sketch-candidates → verified pairs →
@@ -56,6 +61,7 @@ object Graft {
     def editDistancePairs(s: SparkSession, dir: String): DataFrame = operators.DedupOps.queries("dd_edit_distance")(s, dir)
     def semantic(s: SparkSession, dir: String): DataFrame = operators.Similarity2.ddSemantic(s, dir)
     def components(s: SparkSession, dir: String): DataFrame = operators.GraphOps.ddComponents(s, dir)
+    def keepBest(s: SparkSession, dir: String): DataFrame = operators.GraphOps.ddKeepBest(s, dir)
   }
 
   /** Similarity search over an embeddings table. */
@@ -66,6 +72,9 @@ object Graft {
     def sq8(s: SparkSession, dir: String): DataFrame = operators.Similarity2.annSq8(s, dir)
     def pq(s: SparkSession, dir: String): DataFrame = operators.Similarity2.annPq(s, dir)
     def kmeansTrain(s: SparkSession, dir: String): DataFrame = operators.KMeansIvf.kmeansTrain(s, dir)
+    def maxSim(s: SparkSession, dir: String): DataFrame = operators.Similarity3.annMaxSim(s, dir)
+    def rangeSearch(s: SparkSession, dir: String): DataFrame = operators.Similarity.annRangeSearch(s, dir)
+    def recallEval(s: SparkSession, dir: String): DataFrame = operators.Similarity3.annRecallEval(s, dir)
   }
 
   /** Training-set mechanics: deterministic sampling, splits, packing. */
@@ -75,6 +84,10 @@ object Graft {
     def stratifiedSample(s: SparkSession, dir: String): DataFrame = operators.Pipelines.queries("q_stratified_sample")(s, dir)
     def packSequences(s: SparkSession, dir: String): DataFrame = operators.Pipelines.queries("q_doc_packing")(s, dir)
     def contextChunks(s: SparkSession, dir: String): DataFrame = operators.Pipelines.queries("q_context_chunks")(s, dir)
+    def domainMix(s: SparkSession, dir: String): DataFrame = operators.TrainingOps2.qDomainMix(s, dir)
+    def tokenBudget(s: SparkSession, dir: String): DataFrame = operators.TrainingOps2.qTokenBudget(s, dir)
+    def weightedSample(s: SparkSession, dir: String): DataFrame = operators.TrainingOps2.qWeightedSample(s, dir)
+    def outlierTrim(s: SparkSession, dir: String): DataFrame = operators.TrainingOps2.qOutlierTrim(s, dir)
   }
 
   /** Warehouse/ops utilities. */
