@@ -75,6 +75,7 @@ object Graft {
     def maxSim(s: SparkSession, dir: String): DataFrame = operators.Similarity3.annMaxSim(s, dir)
     def rangeSearch(s: SparkSession, dir: String): DataFrame = operators.Similarity.annRangeSearch(s, dir)
     def recallEval(s: SparkSession, dir: String): DataFrame = operators.Similarity3.annRecallEval(s, dir)
+    def knnJoin(s: SparkSession, dir: String): DataFrame = operators.Similarity3.annKnnJoin(s, dir)
   }
 
   /** Training-set mechanics: deterministic sampling, splits, packing. */

@@ -25,7 +25,24 @@ object GraphOps {
 
   private val MaxIters = 20
 
-  def ddComponents(s: SparkSession, dir: String): DataFrame = {
+  /** Converged (doc_id, lbl) labels, memoized per (session, dir): the
+    * loop's output is a chain of localCheckpoints, so plan-identity
+    * caching (how DedupOps shares its shingle table) cannot dedup two
+    * runs — downstream consumers (keep-best) would re-run the whole
+    * iteration without this explicit memo. Checkpointed data is
+    * session-scoped, hence the session in the key.
+    */
+  private val labelsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def componentLabels(s: SparkSession, dir: String): DataFrame =
+    labelsCache.getOrElseUpdate((s, dir), computeLabels(s, dir))
+
+  def ddComponents(s: SparkSession, dir: String): DataFrame =
+    componentLabels(s, dir)
+      .select(col("doc_id"), col("lbl").as("component")).orderBy("doc_id")
+
+  private def computeLabels(s: SparkSession, dir: String): DataFrame = {
     val pairs = DedupOps.verifiedPairs(s, dir)
     // localCheckpoint (not cache): each round's plan would otherwise
     // embed the whole previous round's lineage — after k rounds the
@@ -64,7 +81,7 @@ object GraphOps {
       prevSum = s
       iter += 1
     }
-    labels.select(col("doc_id"), col("lbl").as("component")).orderBy("doc_id")
+    labels
   }
 
   /** The RECURSIVE keyword is scoped to a NESTED subquery: DuckDB 1.0

@@ -198,13 +198,63 @@ object Similarity3 {
        |  CAST(COUNT(*) AS DOUBLE) / $K AS recall_at_k
        |FROM approx WHERE vec_id IN (SELECT vec_id FROM truth)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // k-NN join (batch all-vectors neighbors)
+  // ---------------------------------------------------------------------
+
+  private val KnnK = 3
+
+  /** The batch ANN shape the single-query operators don't cover: EVERY
+    * vector gets its top-k neighbors (the input to embedding dedup,
+    * graph building, kNN classifiers). The IVF cell bounds the pair
+    * space — vectors only score against their own cell, the partition
+    * key at scale — and the per-vector top-k runs on the custom
+    * [[graft.plans.GroupedTopK]] exec: per-group bounded heaps, one
+    * declared exchange, zero sorts over the pair set. Oracle is the
+    * window formulation — two different algorithms, row-identical.
+    */
+  def annKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.withNorm(s, Tables(s, dir, "embeddings"))
+    val centroids = e.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val cells = Similarity.assignCells(e, centroids)
+    val b = cells.select(col("vec_id").as("nbr"), col("embedding").as("be"),
+      col("nrm").as("bn"), col("cell"))
+    val pairs = cells.join(b, "cell")
+      .where(col("vec_id") =!= col("nbr"))
+      .select(col("vec_id"), col("nbr"),
+        (expr("graft_dot_f(embedding, be)") / (col("nrm") * col("bn"))).as("cosine"))
+    graft.plans.GroupedTopK(pairs, s, Seq(col("vec_id")), col("cosine"), col("nbr"), KnnK)
+      .orderBy(asc("vec_id"), desc("cosine"), asc("nbr"))
+  }
+
+  private val annKnnJoinSql =
+    s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, cent.cid AS cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${dotSql("n.embedding", "cent.ce")} / (n.nrm * cent.cn) DESC, cent.cid ASC) AS rk
+       |    FROM n CROSS JOIN cent) WHERE rk = 1),
+       |pairs AS (
+       |  SELECT aa.vec_id, bb.vec_id AS nbr,
+       |    ${dotSql("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) AS cosine
+       |  FROM assigned aa JOIN assigned bb ON aa.cell = bb.cell AND aa.vec_id <> bb.vec_id
+       |  JOIN n na ON aa.vec_id = na.vec_id JOIN n nb ON bb.vec_id = nb.vec_id)
+       |SELECT vec_id, nbr, cosine FROM pairs
+       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr ASC) <= $KnnK
+       |ORDER BY vec_id ASC, cosine DESC, nbr ASC""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_pq" -> (annIvfPq(_, _)),
     "ann_maxsim" -> (annMaxSim(_, _)),
+    "ann_knn_join" -> (annKnnJoin(_, _)),
     "ann_recall_eval" -> (annRecallEval(_, _)))
 
   def oracles: Map[String, String] = Map(
     "ann_ivf_pq" -> annIvfPqSql,
     "ann_maxsim" -> annMaxSimSql,
+    "ann_knn_join" -> annKnnJoinSql,
     "ann_recall_eval" -> annRecallEvalSql)
 }
