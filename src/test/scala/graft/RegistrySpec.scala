@@ -29,6 +29,7 @@ class RegistrySpec extends AnyFunSuite {
       operators.Analytics2.queries, operators.Analytics3.queries,
       operators.Analytics4.queries, operators.Analytics5.queries,
       operators.Analytics6.queries, operators.Analytics7.queries,
+      operators.Analytics8.queries,
       operators.CorpusOps.queries, operators.TextAnalysis.queries,
       operators.TextAnalysis2.queries, operators.DedupOps.queries,
       operators.Similarity.queries, operators.Similarity2.queries,
