@@ -131,10 +131,70 @@ object Multimodal {
       .orderBy("doc_id", "prow", "pcol")
   }
 
+  private val PhashBits = 16
+
+  /** Perceptual-fingerprint near-dup over the binary payload — the
+    * image-dedup shape (pHash): split the payload into 16 equal
+    * segments, 1 bit per segment = "segment mean above payload mean",
+    * collide fingerprints into buckets. The mean comparison uses
+    * integer cross-multiplication (`sum_seg·n > sum_all·n_seg`) — no
+    * float ever enters the fingerprint, so it is exact in any engine
+    * and under any partitioning. One explode + two map-combining
+    * aggregates; the bucket join replaces the quadratic pair scan
+    * (hamming-radius probing adds the simhash-style band trick — same
+    * machinery as dd_simhash).
+    */
+  def mmPhashBuckets(s: SparkSession, dir: String): DataFrame = {
+    val chars = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(array_remove(split(col("text"), ""), "")).as(Seq("p", "ch")))
+      .select(col("doc_id"), col("p"), ascii(col("ch")).cast(LongType).as("code"))
+    val tot = chars.groupBy("doc_id")
+      .agg(sum("code").as("s_all"), count(lit(1)).as("n_all"))
+    val seg = chars.join(broadcast(tot), "doc_id")
+      .select(col("doc_id"), col("s_all"), col("n_all"),
+        floor(col("p") * PhashBits / col("n_all")).cast(LongType).as("seg"),
+        col("code"))
+      .groupBy("doc_id", "seg", "s_all", "n_all")
+      .agg(sum("code").as("s_seg"), count(lit(1)).as("n_seg"))
+    val fp = seg
+      .select(col("doc_id"),
+        when(col("s_seg") * col("n_all") > col("s_all") * col("n_seg"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(seg AS INT))")).otherwise(0L).as("b"))
+      .groupBy("doc_id").agg(sum("b").as("phash"))
+    fp.groupBy("phash")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .where(col("n_docs") > 1)
+      .orderBy(desc("n_docs"), asc("phash"))
+  }
+
+  private val mmPhashSql =
+    s"""WITH chars AS (
+       |  SELECT doc_id, i - 1 AS p, CAST(ord(substr(text, i, 1)) AS BIGINT) AS code
+       |  FROM documents CROSS JOIN range(1, 1001) t(i) WHERE i <= len(text)),
+       |tot AS (SELECT doc_id, CAST(SUM(code) AS BIGINT) AS s_all,
+       |               COUNT(*) AS n_all FROM chars GROUP BY doc_id),
+       |seg AS (
+       |  SELECT c.doc_id, t.s_all, t.n_all,
+       |    CAST(floor(c.p * $PhashBits / t.n_all) AS BIGINT) AS seg,
+       |    CAST(SUM(c.code) AS BIGINT) AS s_seg, COUNT(*) AS n_seg
+       |  FROM chars c JOIN tot t ON c.doc_id = t.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |fp AS (
+       |  SELECT doc_id, CAST(SUM(CASE WHEN s_seg * n_all > s_all * n_seg
+       |    THEN (CAST(1 AS BIGINT) << CAST(seg AS INT)) ELSE 0 END) AS BIGINT) AS phash
+       |  FROM seg GROUP BY doc_id)
+       |SELECT phash, COUNT(*) AS n_docs,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM fp GROUP BY phash HAVING COUNT(*) > 1
+       |ORDER BY n_docs DESC, phash ASC""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_stats" -> (mmBinaryStats(_, _)),
     "mm_decode_features" -> (mmDecodeFeatures(_, _)),
     "mm_modality_route" -> (mmModalityRoute(_, _)),
+    "mm_phash_buckets" -> (mmPhashBuckets(_, _)),
     "mm_patchify" -> (mmPatchify(_, _)))
 
   /** Even the mapPartitions codec stage gets an exact oracle: the stub
@@ -175,5 +235,6 @@ object Multimodal {
     "mm_binary_stats" -> mmBinaryStatsSql,
     "mm_decode_features" -> mmDecodeSql,
     "mm_modality_route" -> mmModalityRouteSql,
+    "mm_phash_buckets" -> mmPhashSql,
     "mm_patchify" -> mmPatchifySql)
 }
