@@ -62,6 +62,8 @@ object Graft {
     def semantic(s: SparkSession, dir: String): DataFrame = operators.Similarity2.ddSemantic(s, dir)
     def components(s: SparkSession, dir: String): DataFrame = operators.GraphOps.ddComponents(s, dir)
     def keepBest(s: SparkSession, dir: String): DataFrame = operators.GraphOps.ddKeepBest(s, dir)
+    def containment(s: SparkSession, dir: String): DataFrame = operators.DedupOps.ddContainment(s, dir)
+    def bagOfWords(s: SparkSession, dir: String): DataFrame = operators.DedupOps.ddBagDedup(s, dir)
   }
 
   /** Similarity search over an embeddings table. */

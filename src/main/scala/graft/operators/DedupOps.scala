@@ -407,7 +407,81 @@ object DedupOps {
        |ORDER BY a, b""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Containment on LSH candidates (near-subset duplicates)
+  // ---------------------------------------------------------------------
+
+  private val ContainmentThreshold = 0.8
+
+  /** Containment similarity |A∩B| / min(|A|,|B|) over the shared LSH
+    * candidate set — the detector for near-SUBSET duplicates (a short
+    * doc embedded in a longer one scores low Jaccard but high
+    * containment). Same shingle-intersection machinery as the Jaccard
+    * verify; at scale a containment-tuned recall pass additionally
+    * bands on the SMALLER document's signature alone (asymmetric LSH)
+    * — the verify tier shown here is unchanged by that swap.
+    */
+  def ddContainment(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(Tables(s, dir, "documents")).cache()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = lshCandidates(sh)
+      .join(sh.select(col("doc_id").as("a"), col("h")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy("a", "b").agg(count(lit(1)).as("ni"))
+    inter
+      .join(cnt.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(cnt.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"), col("ni"),
+        (col("ni").cast(DoubleType) / least(col("na"), col("nb"))).as("containment"))
+      .where(col("containment") >= ContainmentThreshold)
+      .orderBy("a", "b")
+  }
+
+  private val ddContainmentSql =
+    s"""WITH $candsSqlChain,
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.a, c.b, COUNT(*) AS ni FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sa.h = sb.h
+       |  GROUP BY c.a, c.b)
+       |SELECT i.a, i.b, i.ni,
+       |  CAST(i.ni AS DOUBLE) / least(ca.n, cb.n) AS containment
+       |FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+       |WHERE CAST(i.ni AS DOUBLE) / least(ca.n, cb.n) >= $ContainmentThreshold
+       |ORDER BY a, b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Bag-of-words dedup (order-insensitive exact duplicates)
+  // ---------------------------------------------------------------------
+
+  /** Token-multiset dedup: hash the SORTED token list, so documents
+    * that are exact duplicates up to token reordering collide —
+    * shuffled boilerplate that byte-exact dedup misses entirely. The
+    * sort is per-row (bounded by doc length, whole-stage codegen); the
+    * shuffle carries one 32-char hash per doc. `n_texts` counts the
+    * distinct raw texts inside each group — > 1 is a genuine
+    * reordering catch.
+    */
+  def ddBagDedup(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        md5(concat_ws(" ", array_sort(split(col("text"), " ")))).as("bag"))
+      .groupBy("bag")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("text").as("n_texts"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .where(col("n_docs") > 1)
+      .orderBy(desc("n_docs"), asc("bag"))
+
+  private val ddBagDedupSql =
+    """SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bag,
+      |  COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_texts,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+      |ORDER BY n_docs DESC, bag ASC""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_containment" -> (ddContainment(_, _)),
+    "dd_bag_dedup" -> (ddBagDedup(_, _)),
     "dd_exact" -> (ddExact(_, _)),
     "dd_minhash_lsh" -> (ddMinhashLsh(_, _)),
     "dd_edit_distance" -> (ddEditDistance(_, _)),
@@ -416,6 +490,8 @@ object DedupOps {
     "dd_embed_cosine" -> (ddEmbedCosine(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "dd_containment" -> ddContainmentSql,
+    "dd_bag_dedup" -> ddBagDedupSql,
     "dd_exact" -> ddExactSql,
     "dd_minhash_lsh" -> ddMinhashSql,
     "dd_edit_distance" -> ddEditDistanceSql,
