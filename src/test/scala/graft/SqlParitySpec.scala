@@ -18,7 +18,9 @@ class SqlParitySpec extends SparkSuite {
     "q_having", "q_union_distinct", "q_semi_join", "q_anti_join",
     "q_in_subquery", "q_not_in_subquery", "q_scalar_subquery",
     "q_full_outer_join", "q_cross_join", "q_window_rank", "q_window_lag",
-    "q_lateral_topn", "q_snapshot_diff")
+    "q_lateral_topn", "q_snapshot_diff",
+    "q_ohlc", "q_running_distinct", "q_path_transitions",
+    "q_anomaly_zscore", "q_histogram", "q_hist_quantiles", "q_pagerank")
 
   test("ANSI oracle SQL runs on spark.sql with identical results") {
     val s = sc
