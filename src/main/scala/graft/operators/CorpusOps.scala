@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.functions.PortableHash
 import graft.sources.Tables
 
 /** Corpus-preparation operators for training-data batching and
@@ -23,6 +24,8 @@ import graft.sources.Tables
   *    bounded-length key (never the whole document), so the groupBy
   *    shuffles short strings, not the corpus; at scale you'd hash the
   *    prefix first (see `graft_hash64`) and carry doc ids only.
+  *  - `q_cdc_chunks`: content-defined chunking + chunk-level dedup
+  *    (see the method doc).
   */
 object CorpusOps {
 
@@ -74,11 +77,83 @@ object CorpusOps {
        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1
        |ORDER BY n_docs DESC, prefix ASC""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Content-defined chunking + chunk-level dedup
+  // ---------------------------------------------------------------------
+
+  private val CdcW = 4      // rolling window (tokens) feeding the boundary hash
+  private val CdcMask = 7L  // boundary when hash % 8 == 0 → ~8-token chunks
+
+  /** Content-defined chunking: chunk boundaries fall where the rolling
+    * window hash clears a mask — so an insertion early in a document
+    * shifts ONE chunk, not every fixed-width block after it (the
+    * resync property storage dedup and incremental-sync systems rely
+    * on). Chunk id = running count of boundaries (a per-document
+    * window — partitioned by the natural key), chunk hash = md5 of the
+    * chunk's tokens, and the final aggregate counts how often each
+    * chunk repeats across the corpus. Every stage is a narrow
+    * projection or a map-combining shuffle of (hash, count).
+    */
+  def qCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    // rolling window hash: the W tokens ENDING at p. Positions < W
+    // never cut (matches the SQL mirror's i >= W guard), and the slice
+    // only evaluates under that branch (slice with start <= 0 throws)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    val withBoundary = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), posexplode(toks).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"),
+        when(col("p0") + 1 >= CdcW,
+          graft.functions.PortableHash.hash64(concat_ws(" ",
+            expr(s"slice(split(text, ' '), CAST(p0 + 1 AS INT) - ${CdcW - 1}, $CdcW)"))))
+          .otherwise(1L).as("wh"))
+      .withColumn("cut",
+        when(col("wh") % (CdcMask + 1) === 0, 1L).otherwise(0L))
+      .withColumn("chunk", sum("cut").over(byDoc) - col("cut"))
+    val chunks = withBoundary
+      .groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("n_tok"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok")))).as("chash"))
+    chunks.groupBy("chash")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("doc_id").as("n_docs"),
+        min("n_tok").as("n_tok"))
+      .where(col("n_occurrences") > 1)
+      .orderBy(desc("n_occurrences"), asc("chash"))
+  }
+
+  private val qCdcChunksSql = {
+    val winExpr = s"array_to_string(d.toks[i - ${CdcW - 1}:i], ' ')"
+    s"""WITH t AS (
+       |  SELECT d.doc_id, i AS p, d.toks[i] AS tok,
+       |    CASE WHEN i >= $CdcW
+       |      AND ${PortableHash.sql(winExpr)} % ${CdcMask + 1} = 0
+       |    THEN 1 ELSE 0 END AS cut
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d
+       |  CROSS JOIN range(1, 4001) r(i) WHERE i <= len(d.toks)),
+       |c AS (SELECT doc_id, p, tok,
+       |    CAST(SUM(cut) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS UNBOUNDED PRECEDING) - cut AS BIGINT) AS chunk
+       |  FROM t),
+       |ch AS (SELECT doc_id, chunk, COUNT(*) AS n_tok,
+       |    md5(string_agg(tok, ' ' ORDER BY p)) AS chash
+       |  FROM c GROUP BY doc_id, chunk)
+       |SELECT chash, COUNT(*) AS n_occurrences,
+       |  COUNT(DISTINCT doc_id) AS n_docs, min(n_tok) AS n_tok
+       |FROM ch GROUP BY chash HAVING COUNT(*) > 1
+       |ORDER BY n_occurrences DESC, chash ASC""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_length_buckets" -> (qLengthBuckets(_, _)),
+    "q_cdc_chunks" -> (qCdcChunks(_, _)),
     "dd_prefix_dup" -> (ddPrefixDup(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_length_buckets" -> qLengthBucketsSql,
+    "q_cdc_chunks" -> qCdcChunksSql,
     "dd_prefix_dup" -> ddPrefixDupSql)
 }
