@@ -103,11 +103,73 @@ object CorpusStats {
        |  round(CAST(SUM(hq) AS DOUBLE) / $Pow2_30, 6) AS entropy
        |FROM terms GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Profile-based language ID (trained in-plan) + confusion matrix
+  // ---------------------------------------------------------------------
+
+  private val ProfileK = 20
+
+  /** Char-trigram profile language-ID, the Cavnar–Trenkle shape: train
+    * per-language profiles (top-K trigrams by corpus frequency) from
+    * the labeled corpus, score every document by how many of its
+    * distinct trigrams hit each profile, predict the argmax, and
+    * report the confusion matrix against the labels. Everything is
+    * integer counting — profile membership, hit counts, argmax with a
+    * declared tiebreak — so the oracle is exact with no float anywhere.
+    * At scale the profiles are a |langs|·K broadcast and scoring is a
+    * map-side semi-join; training is one vocabulary-sized aggregate.
+    */
+  def taLangidProfile(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val tgs = docs.select(col("doc_id"), col("lang"),
+      explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("tg"))
+    val profile = tgs.groupBy("lang", "tg").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(desc("c"), asc("tg"))))
+      .where(col("rk") <= ProfileK)
+      .select(col("lang").as("plang"), col("tg"))
+    val docTgs = tgs.select("doc_id", "tg").distinct()
+    val scores = docTgs.join(broadcast(profile), "tg")
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("hits"))
+    val pred = scores.groupBy("doc_id")
+      .agg(min(struct((-col("hits")).as("nh"), col("plang").as("plang"))).as("b"))
+      .select(col("doc_id"), col("b.plang").as("predicted"))
+    docs.select("doc_id", "lang").join(pred, "doc_id")
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  private val taLangidProfileSql =
+    s"""WITH tg AS (
+       |  SELECT doc_id, lang, substr(text, i, 3) AS tg
+       |  FROM documents CROSS JOIN range(1, 1001) t(i)
+       |  WHERE i <= len(text) - 2),
+       |prof AS (
+       |  SELECT lang AS plang, tg FROM (
+       |    SELECT lang, tg, row_number() OVER (PARTITION BY lang
+       |      ORDER BY COUNT(*) DESC, tg ASC) AS rk
+       |    FROM tg GROUP BY lang, tg) WHERE rk <= $ProfileK),
+       |dt AS (SELECT DISTINCT doc_id, tg FROM tg),
+       |sc AS (SELECT dt.doc_id, p.plang, COUNT(*) AS hits
+       |       FROM dt JOIN prof p ON dt.tg = p.tg GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT doc_id, plang AS predicted FROM (
+       |    SELECT doc_id, plang,
+       |      row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY hits DESC, plang ASC) AS rk FROM sc) WHERE rk = 1)
+       |SELECT d.lang, pr.predicted, COUNT(*) AS n
+       |FROM documents d JOIN pred pr ON d.doc_id = pr.doc_id
+       |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_collocations" -> (taCollocations(_, _)),
+    "ta_langid_profile" -> (taLangidProfile(_, _)),
     "q_entropy" -> (qEntropy(_, _)))
 
   def oracles: Map[String, String] = Map(
     "ta_collocations" -> taCollocationsSql,
+    "ta_langid_profile" -> taLangidProfileSql,
     "q_entropy" -> qEntropySql)
 }
