@@ -240,13 +240,104 @@ object GraphOps {
        |FROM j JOIN best b ON j.component = b.component
        |ORDER BY j.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Triangle counting / clustering coefficient
+  // ---------------------------------------------------------------------
+
+  private val TriMinSupport = 2 // co-purchase pairs seen in ≥ 2 orders
+
+  /** Exact triangle count + global clustering coefficient over the
+    * co-purchase graph (parts bought together in ≥ TriMinSupport
+    * distinct orders — the min-support guard every production
+    * co-occurrence graph applies, and what keeps the edge list sparse).
+    *
+    * The count uses degree-orientation (Cohen / Suri-Vassilvitskii
+    * "Counting Triangles and the Curse of the Last Reducer", WWW'11):
+    * orient every undirected edge from its lower-(degree, id) endpoint
+    * to the higher one, so each triangle is emitted by exactly one
+    * wedge and per-node fan-out is bounded by O(√m) instead of the max
+    * degree — the standard fix for the skewed-hub blowup at scale. No
+    * global rank is materialized: orientation compares (degree, id)
+    * tuples carried on the edges, so there is no single-partition
+    * window anywhere. Everything is integer counting; the clustering
+    * coefficient is one division rounded at 1e-6.
+    */
+  def qTriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val op = graft.sources.Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    // undirected edges (u < v) with min-support on distinct orders;
+    // built order-at-a-time (group + in-row pair fan-out) like PageRank
+    val und = op.groupBy("ok").agg(collect_set("pk").as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .where(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+      .where(col("sup") >= TriMinSupport)
+      .select("u", "v")
+      .localCheckpoint()
+    val deg = und.select(col("u").as("x")).union(und.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    // orient low→high by (degree, id); carry both endpoint degrees
+    val e = und
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+          .as("o"))
+      .select(col("o.s").as("s"), col("o.t").as("t"), col("o.dt").as("dt"))
+    // wedges at the low endpoint, one per unordered neighbor pair
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.s") === col("e2.s"))
+      .where(col("e1.dt") < col("e2.dt") ||
+        (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t")))
+      .select(col("e1.t").as("a"), col("e2.t").as("b"))
+    val tri = wedges.join(e.select(col("s").as("a"), col("t").as("b")), Seq("a", "b"))
+      .agg(count(lit(1)).as("triangles"))
+    val wedgeTotal = deg.agg(sum(expr("d * (d - 1) div 2")).cast("long").as("wedges"))
+    val counts = und.agg(count(lit(1)).as("edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("nodes")))
+    counts.crossJoin(tri).crossJoin(wedgeTotal)
+      .select(col("nodes"), col("edges"), col("triangles"), col("wedges"),
+        round(lit(3.0) * col("triangles") / col("wedges"), 6).as("global_cc"))
+  }
+
+  private val qTriangleCountSql =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |und AS (
+       |  SELECT a.pk AS u, b.pk AS v FROM op a JOIN op b ON a.ok = b.ok
+       |  WHERE a.pk < b.pk GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinSupport),
+       |deg AS (
+       |  SELECT x, COUNT(*) AS d FROM (
+       |    SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und) GROUP BY x),
+       |e AS (
+       |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS s,
+       |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS t,
+       |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN dv.d ELSE du.d END AS dt
+       |  FROM und JOIN deg du ON und.u = du.x JOIN deg dv ON und.v = dv.x),
+       |wedges AS (
+       |  SELECT e1.t AS a, e2.t AS b FROM e e1 JOIN e e2 ON e1.s = e2.s
+       |  WHERE e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t)),
+       |tri AS (
+       |  SELECT COUNT(*) AS triangles FROM wedges w
+       |  JOIN e ON e.s = w.a AND e.t = w.b),
+       |wt AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS wedges FROM deg),
+       |cnt AS (SELECT (SELECT COUNT(*) FROM und) AS edges,
+       |               (SELECT COUNT(*) FROM deg) AS nodes)
+       |SELECT c.nodes, c.edges, t.triangles, w.wedges,
+       |  round(3.0 * t.triangles / w.wedges, 6) AS global_cc
+       |FROM cnt c, tri t, wt w""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_components" -> (ddComponents(_, _)),
     "dd_keep_best" -> (ddKeepBest(_, _)),
-    "q_pagerank" -> (qPageRank(_, _)))
+    "q_pagerank" -> (qPageRank(_, _)),
+    "q_triangle_count" -> (qTriangleCount(_, _)))
 
   def oracles: Map[String, String] = Map(
     "dd_components" -> ddComponentsSql,
     "dd_keep_best" -> ddKeepBestSql,
-    "q_pagerank" -> qPageRankSql)
+    "q_pagerank" -> qPageRankSql,
+    "q_triangle_count" -> qTriangleCountSql)
 }
