@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Pattern-mining operators — frequent-itemset rules over transaction
+  * data and nearest-neighbor classification over the embedding table:
+  *
+  *  - `q_assoc_rules`: market-basket association rules (A-priori,
+  *    Agrawal & Srikant VLDB'94) on per-order part-brand baskets.
+  *    Singleton counts prune the candidate set BEFORE pair generation
+  *    (an item below min-support cannot appear in a frequent pair), so
+  *    the self-join runs over the frequent-item subset only. Support /
+  *    confidence thresholds are applied as cross-multiplied INTEGER
+  *    comparisons (`n_ab * 200 >= n_orders`), so no float rounding can
+  *    flip a boundary row between engines; the reported support /
+  *    confidence / lift are single identically-written divisions
+  *    rounded at 1e-6.
+  *  - `q_knn_classify`: k-NN majority-vote classification of a held-out
+  *    query slice of the embeddings table against the labeled rest,
+  *    reported as a confusion matrix. The per-query top-k runs through
+  *    the custom GroupedTopK exec (per-group bounded heaps, no sort),
+  *    the vote argmax is a map-side-combining `min(struct(-votes,
+  *    label))`, and both tie levels are deterministic: neighbor ties →
+  *    smallest vec_id, vote ties → smallest label.
+  *
+  * Scale notes: assoc-rules shuffles are bounded by Σ|basket|² after
+  * frequent-item pruning — the standard A-priori candidate bound; the
+  * brand dimension is broadcast. k-NN classification broadcasts the
+  * query slice (queries ≪ corpus) and streams the corpus once;
+  * per-group state is the k-element heap, never the full candidate
+  * list. At 100 TB the corpus side stays partition-parallel with no
+  * shuffle at all until the (|queries|·k)-row vote table.
+  *
+  * Reference scope: the reference (HSLdevcom/hfp-loader) has no mining
+  * operators (SURVEY.md §2) — north-star extensions per SURVEY.md §7.
+  */
+object MiningOps {
+
+  // ------------------------------------------------------------ assoc rules
+
+  // thresholds as exact integer cross-multiplications:
+  //   support  >= 1/200 of orders   <=>  n_ab * 200 >= n_orders
+  //   confidence >= 1/10            <=>  n_ab * 10  >= n_a
+  private val SupDen = 200L
+  private val ConfDen = 10L
+
+  def qAssocRules(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("oid"), col("l_partkey"))
+      .join(broadcast(Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand").as("item"))),
+        col("l_partkey") === col("p_partkey"))
+      .select("oid", "item").distinct()
+    val nOrders = baskets.select("oid").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val items = baskets.groupBy("item").agg(count(lit(1)).as("n_item"))
+    // A-priori prune: only items meeting min-support can form frequent pairs
+    val frequent = items.crossJoin(broadcast(nOrders))
+      .where(col("n_item") * SupDen >= col("n_orders"))
+      .select("item", "n_item")
+    val fb = baskets.join(broadcast(frequent.select("item")), "item")
+    val pairs = fb.select(col("oid"), col("item").as("a"))
+      .join(fb.select(col("oid"), col("item").as("b")), "oid")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    // emit both rule directions from each unordered frequent pair
+    val rules = pairs.select(col("a").as("antecedent"), col("b").as("consequent"), col("n_ab"))
+      .union(pairs.select(col("b").as("antecedent"), col("a").as("consequent"), col("n_ab")))
+    rules
+      .join(broadcast(frequent.select(col("item").as("antecedent"), col("n_item").as("n_a"))), "antecedent")
+      .join(broadcast(frequent.select(col("item").as("consequent"), col("n_item").as("n_b"))), "consequent")
+      .crossJoin(broadcast(nOrders))
+      .where(col("n_ab") * SupDen >= col("n_orders") &&
+        col("n_ab") * ConfDen >= col("n_a"))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        round(col("n_ab").cast(DoubleType) / col("n_orders"), 6).as("support"),
+        round(col("n_ab").cast(DoubleType) / col("n_a"), 6).as("confidence"),
+        round((col("n_ab") * col("n_orders")).cast(DoubleType) /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy("antecedent", "consequent")
+  }
+
+  private val qAssocRulesSql =
+    s"""WITH baskets AS (
+       |  SELECT DISTINCT l.l_orderkey AS oid, p.p_brand AS item
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+       |n AS (SELECT COUNT(DISTINCT oid) AS n_orders FROM baskets),
+       |items AS (SELECT item, COUNT(*) AS n_item FROM baskets GROUP BY item),
+       |frequent AS (
+       |  SELECT item, n_item FROM items, n WHERE n_item * $SupDen >= n_orders),
+       |fb AS (SELECT b.oid, b.item FROM baskets b JOIN frequent f USING (item)),
+       |pairs AS (
+       |  SELECT x.item AS a, y.item AS b, COUNT(*) AS n_ab
+       |  FROM fb x JOIN fb y ON x.oid = y.oid AND x.item < y.item
+       |  GROUP BY 1, 2),
+       |rules AS (
+       |  SELECT a AS antecedent, b AS consequent, n_ab FROM pairs
+       |  UNION ALL
+       |  SELECT b AS antecedent, a AS consequent, n_ab FROM pairs)
+       |SELECT r.antecedent, r.consequent, r.n_ab,
+       |  round(CAST(r.n_ab AS DOUBLE) / n.n_orders, 6) AS support,
+       |  round(CAST(r.n_ab AS DOUBLE) / fa.n_item, 6) AS confidence,
+       |  round(CAST(r.n_ab * n.n_orders AS DOUBLE) / (fa.n_item * fb2.n_item), 6) AS lift
+       |FROM rules r
+       |JOIN frequent fa ON r.antecedent = fa.item
+       |JOIN frequent fb2 ON r.consequent = fb2.item
+       |CROSS JOIN n
+       |WHERE r.n_ab * $SupDen >= n.n_orders AND r.n_ab * $ConfDen >= fa.n_item
+       |ORDER BY antecedent, consequent""".stripMargin
+
+  // ----------------------------------------------------------- knn classify
+
+  private val KnnK = 5
+  private val TestMod = 25 // vec_id % 25 == 0 → held-out query slice
+
+  private def dotSql(a: String, b: String) =
+    s"list_aggregate(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
+  private def normSql(a: String) =
+    s"sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+
+  def qKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(expr("graft_norm_sq_f(embedding)")).as("nrm"))
+    val test = e.where(col("vec_id") % TestMod === 0)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val train = e.where(col("vec_id") % TestMod =!= 0)
+    // corpus side streams once against the broadcast query slice; the
+    // per-(query) top-k runs in bounded heaps (GroupedTopK), never a sort
+    val pairs = train.crossJoin(broadcast(test))
+      .select(col("qid"), col("vec_id").as("nbr"), col("label").as("nbr_label"),
+        (expr("graft_dot_f(embedding, qe)") / (col("nrm") * col("qn"))).as("cosine"))
+    val topk = graft.plans.GroupedTopK(
+      pairs, s, Seq(col("qid")), col("cosine"), col("nbr"), KnnK)
+    val pred = topk.groupBy("qid", "nbr_label")
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("qid")
+      .agg(min(struct((-col("votes")).as("nv"), col("nbr_label").as("lbl"))).as("b"))
+      .select(col("qid"), col("b.lbl").as("predicted"))
+    test.select("qid", "true_label").join(pred, "qid")
+      .groupBy("true_label", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "predicted")
+  }
+
+  private val qKnnClassifySql =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |test AS (
+       |  SELECT vec_id AS qid, label AS true_label, embedding AS qe, nrm AS qn
+       |  FROM e WHERE vec_id % $TestMod = 0),
+       |train AS (SELECT * FROM e WHERE vec_id % $TestMod <> 0),
+       |pairs AS (
+       |  SELECT t.qid, tr.vec_id AS nbr, tr.label AS nbr_label,
+       |    ${dotSql("tr.embedding", "t.qe")} / (tr.nrm * t.qn) AS cosine
+       |  FROM train tr CROSS JOIN test t),
+       |topk AS (
+       |  SELECT qid, nbr, nbr_label FROM pairs
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |    ORDER BY cosine DESC, nbr ASC) <= $KnnK),
+       |votes AS (
+       |  SELECT qid, nbr_label, COUNT(*) AS votes FROM topk GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT qid, nbr_label AS predicted FROM (
+       |    SELECT qid, nbr_label, row_number() OVER (PARTITION BY qid
+       |      ORDER BY votes DESC, nbr_label ASC) AS rk FROM votes) WHERE rk = 1)
+       |SELECT t.true_label, p.predicted, COUNT(*) AS n
+       |FROM test t JOIN pred p USING (qid)
+       |GROUP BY 1, 2 ORDER BY true_label, predicted""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assoc_rules" -> (qAssocRules(_, _)),
+    "q_knn_classify" -> (qKnnClassify(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_assoc_rules" -> qAssocRulesSql,
+    "q_knn_classify" -> qKnnClassifySql)
+}
