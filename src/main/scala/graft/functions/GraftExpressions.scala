@@ -57,37 +57,22 @@ object GraftExpressions {
     override def nullSafeEval(input: Any): Any =
       Hash64Prefix.hash(input.asInstanceOf[UTF8String])
 
-    // Inlined rather than calling the Scala helper: a nested Scala
-    // object has no Java-visible static forwarder, so a generated call
-    // to it fails Janino compilation and silently drops the WHOLE
-    // projection out of codegen (observed: every sketch-family query
-    // falling back to interpreted mode).
+    // Static call into the TOP-LEVEL PortableMd5 object (a nested Scala
+    // object has no Java-visible static forwarder — a generated call to
+    // one fails Janino compilation and silently drops the WHOLE
+    // projection out of codegen; observed round 4). The helper reuses a
+    // per-thread MessageDigest instead of a provider lookup per row.
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, s => {
-        val d = ctx.freshName("md5")
-        val l = ctx.freshName("acc")
-        val i = ctx.freshName("i")
-        s"""
-           |byte[] $d = org.apache.commons.codec.digest.DigestUtils.md5($s.getBytes());
-           |long $l = 0L;
-           |for (int $i = 0; $i < 8; $i++) { $l = ($l << 8) | ($d[$i] & 0xffL); }
-           |${ev.value} = $l >>> 4;
-         """.stripMargin
-      })
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.PortableMd5.hash60($s);")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
 
   object Hash64Prefix {
-    /** Static hot-path helper shared by eval and generated code. */
-    def hash(s: UTF8String): Long = {
-      val d = org.apache.commons.codec.digest.DigestUtils.md5(s.getBytes)
-      var l = 0L
-      var i = 0
-      while (i < 8) { l = (l << 8) | (d(i) & 0xffL); i += 1 }
-      l >>> 4
-    }
+    /** Hot-path helper shared by eval and generated code. */
+    def hash(s: UTF8String): Long = PortableMd5.hash60(s)
   }
 
   // ---------------------------------------------------------------------
@@ -560,6 +545,42 @@ object GraftExpressions {
   }
 
   // ---------------------------------------------------------------------
+  // Winnowing fingerprints — whole-document kernel
+  // ---------------------------------------------------------------------
+
+  /** `graft_winnow(text, k, w)`: the winnowing fingerprint set of a
+    * document as array<long> — one linear pass in [[Winnow]] (k-gram
+    * portable hashes, monotone-deque window minima, distinct), replacing
+    * the explode-every-gram + per-doc window-sort relational plan. The
+    * generated code is a single static call, so the surrounding
+    * projection stays in whole-stage codegen.
+    */
+  case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects string, got $other")
+      }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_winnow"
+
+    override def nullSafeEval(input: Any): Any =
+      Winnow.fingerprints(input.asInstanceOf[UTF8String], k, w)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.Winnow.fingerprints($s, $k, $w);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ---------------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------------
 
@@ -570,6 +591,8 @@ object GraftExpressions {
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "graft_norm_sq" -> (es => L2NormSq(es.head)),
     "graft_dist_sq" -> (es => DistSq(es(0), es(1))),
+    "graft_winnow" -> (es => WinnowFingerprints(es(0),
+      es(1).eval(null).toString.toInt, es(2).eval(null).toString.toInt)),
     // Spark ships these two only as internal expressions for its
     // runtime-filter rewrite — surfacing them lets operators build
     // explicit sketch-accelerated EXACT joins (hfp_dedup_bloom)

@@ -231,25 +231,36 @@ object CurationOps {
   private val WinSim = 0.5  // containment threshold
 
   def ddWinnowing(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = Tables(s, dir, "documents")
+    // winnowing selection stays INSIDE the row: graft_winnow runs the
+    // whole k-gram hash + deque window-min + distinct pass per document
+    // in one codegen'd kernel, so the corpus-sized (doc, pos, hash)
+    // relation — and the per-doc window SORT it would need — never
+    // exists. Only the ~n/w selected fingerprints per document are
+    // exploded and shuffled.
+    // documents.parquet is one input split at test scale — repartition
+    // the (tiny) raw text so the per-doc hashing kernel uses every core;
+    // at 100 TB the scan's natural splits already provide this
+    val fps = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(1, length(text) - ${WinK - 1}), " +
-          s"i -> substring(text, i, $WinK))")).as(Seq("i", "g")))
-      .select(col("doc_id"), (col("i") + 1).as("pos"),
-        pmod(PortableHash.hash64(col("g")), lit(1073741824L)).as("h"))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(-(WinW - 1), Window.currentRow)
-    val fps = grams
-      .select(col("doc_id"), col("pos"), min("h").over(win).as("fp"))
-      .where(col("pos") >= WinW)
-      .select("doc_id", "fp").distinct()
-    val good = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-      .where(col("df") <= WinMaxDf).select("fp")
+        explode(expr(s"graft_winnow(text, $WinK, $WinW)")).as("fp"))
+      // six downstream branches (df counts, sizes, both join sides) read
+      // this ~n/w-per-doc table — cache it or the hashing kernel runs
+      // once per branch
+      .cache()
+    val df = fps.groupBy("fp").agg(count(lit(1)).as("df")).cache()
+    val good = df.where(col("df") <= WinMaxDf).select("fp")
     val f2 = fps.join(good, "fp")
     val sz = f2.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = f2.select(col("doc_id").as("a"), col("fp"))
-    val b = f2.select(col("doc_id").as("b"), col("fp"))
+    // the pair self-join only needs fingerprints at least TWO documents
+    // share — df=1 rows (the overwhelming majority) can't produce an
+    // a<b pair, so dropping them shrinks the join input by ~the corpus
+    // while leaving `shared` counts (and sizes above) unchanged
+    val shared2 = df.where(col("df") >= 2 && col("df") <= WinMaxDf).select("fp")
+    val fj = fps.join(shared2, "fp")
+    val a = fj.select(col("doc_id").as("a"), col("fp"))
+    val b = fj.select(col("doc_id").as("b"), col("fp"))
     a.join(b, "fp").where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
       .join(broadcast(sz.select(col("doc_id").as("a"), col("n").as("na"))), "a")

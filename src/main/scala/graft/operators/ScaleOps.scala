@@ -196,8 +196,34 @@ object ScaleOps {
        |FROM events ORDER BY zcode, event_id LIMIT 1000""".stripMargin
   }
 
+  /** Driver-facing salted-join query: lineitem⋈orders through
+    * [[saltedJoin]] with a shuffle-hash hint (broadcast would bypass
+    * the skew machinery being demonstrated), aggregated to priority
+    * totals. The oracle is the PLAIN unsalted join — salting must be
+    * invisible in the result, and the sums are exact decimals.
+    */
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"),
+        col("l_extendedprice").cast(DecimalType(12, 2)).as("price"))
+    val ord = Tables(s, dir, "orders")
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      .hint("shuffle_hash")
+    saltedJoin(li, ord, "okey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("price").cast(DoubleType).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val qSaltedJoinSql =
+    """SELECT o.o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_agg" -> (qSaltedAgg(_, _)),
+    "q_salted_join" -> (qSaltedJoin(_, _)),
     "q_hash_sample" -> (qHashSample(_, _)),
     "q_train_split" -> (qTrainSplit(_, _)),
     "q_incr_agg" -> (qIncrAgg(_, _)),
@@ -206,6 +232,7 @@ object ScaleOps {
 
   def oracles: Map[String, String] = Map(
     "q_salted_agg" -> qSaltedSql,
+    "q_salted_join" -> qSaltedJoinSql,
     "q_hash_sample" -> qHashSampleSql,
     "q_train_split" -> qTrainSplitSql,
     "q_incr_agg" -> qIncrAggSql,

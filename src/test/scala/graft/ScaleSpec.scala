@@ -124,6 +124,14 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("q_salted_join: plan joins on the salt column under shuffle-hash") {
+    val plan = SparkEntry.queries("q_salted_join")(sc, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), "join must carry the salt key")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "broadcast would bypass the skew machinery under test")
+  }
+
   test("salted aggregation equals the direct formulation") {
     val salted = graft.operators.ScaleOps.queries("q_salted_agg")(sc, sfDir).collect()
     val direct = graft.sources.Tables(sc, sfDir, "events")
