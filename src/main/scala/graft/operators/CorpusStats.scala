@@ -119,11 +119,20 @@ object CorpusStats {
     * At scale the profiles are a |langs|·K broadcast and scoring is a
     * map-side semi-join; training is one vocabulary-sized aggregate.
     */
-  def taLangidProfile(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
-    val tgs = docs.select(col("doc_id"), col("lang"),
+  /** The (doc_id, lang, trigram) relation both langid operators train
+    * on — cached once per session (CacheManager dedupes by plan, so
+    * every builder constructing this exact plan shares one entry, the
+    * assignCells pattern) and read by 2 branches per query × 2 queries.
+    */
+  private[operators] def trigrams(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
       explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
         .as("tg"))
+      .cache()
+
+  def taLangidProfile(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val tgs = trigrams(s, dir)
     val profile = tgs.groupBy("lang", "tg").agg(count(lit(1)).as("c"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("lang")

@@ -155,9 +155,7 @@ object CurationOps {
     // trigrams cross word boundaries and pick up per-lang phrase habits
     // (same feature family as ta_langid_profile, and standard for
     // production langid models)
-    val toks = docs.select(col("doc_id"), col("lang"),
-      explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-        .as("w"))
+    val toks = CorpusStats.trigrams(s, dir).withColumnRenamed("tg", "w")
     // model: per-(lang, word) counts, per-lang token totals, vocab size,
     // per-lang doc priors — all exact longs, broadcastable (|vocab|·|langs|)
     val wc = toks.groupBy("lang", "w").agg(count(lit(1)).as("c"))

@@ -171,11 +171,90 @@ object MiningOps {
        |FROM test t JOIN pred p USING (qid)
        |GROUP BY 1, 2 ORDER BY true_label, predicted""".stripMargin
 
+  // --------------------------------------------------------------- skyline
+
+  case class CustPoint(c: Long, total: Double, n: Long)
+
+  /** 2-D skyline scan over one partition's points: sort by (total desc,
+    * n desc), then a point survives iff its group (same total) carries
+    * a strictly higher n than every strictly-higher total seen so far —
+    * the standard sort-scan with exact tie semantics (equal-on-both
+    * points don't dominate each other, so whole ties survive together).
+    */
+  private def localSkyline(it: Iterator[CustPoint]): Iterator[CustPoint] = {
+    val pts = it.toArray.sortBy(p => (-p.total, -p.n, p.c))
+    val out = scala.collection.mutable.ArrayBuffer.empty[CustPoint]
+    var maxNPrev = Long.MinValue // max n among strictly-greater totals
+    var i = 0
+    while (i < pts.length) {
+      var j = i // [i, j) = one equal-total group
+      while (j < pts.length && pts(j).total == pts(i).total) j += 1
+      val groupMaxN = pts(i).n // sorted n desc within the group
+      if (groupMaxN > maxNPrev) {
+        var g = i
+        while (g < j && pts(g).n == groupMaxN) { out += pts(g); g += 1 }
+      }
+      if (groupMaxN > maxNPrev) maxNPrev = groupMaxN
+      i = j
+    }
+    out.iterator
+  }
+
+  /** Pareto-skyline of customers on (total spent ↑, order count ↓ —
+    * "most revenue from fewest orders", anti-correlated so the
+    * frontier is non-trivial):
+    * the dominance filter every "best tradeoff" selection runs. The
+    * naive formulation is the O(n²) NOT-EXISTS self-join (that's the
+    * oracle); the engine shape is the two-phase skyline: a local
+    * sort-scan per partition (survivors of a partition are a superset
+    * of the global skyline's members there), then the same scan over
+    * the (tiny) union of local skylines. mapPartitions is the
+    * documented last-resort tier (SURVEY.md §2 preference (d)) — the
+    * per-partition scan is genuinely imperative. The skyline is a pure
+    * function of the SET, so the result is partitioning-invariant
+    * (spec-pinned); sums are exact decimals so the doubles compared
+    * here are engine-portable.
+    */
+  def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey").as("c"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(12, 2)))
+        .cast(DoubleType).as("total"), count(lit(1)).as("n"))
+      .as[CustPoint]
+      // minimize n by maximizing -n: the scan kernel is written for
+      // (↑, ↑) dominance, so negate in and negate back out
+      .map(p => p.copy(n = -p.n))
+    val local = pts.mapPartitions(localSkyline)
+    val global = local.repartition(1).mapPartitions(localSkyline)
+    global.map(p => p.copy(n = -p.n)).toDF("c", "total", "n")
+      .select(col("c").as("o_custkey"), col("total").as("total_spent"),
+        col("n").as("n_orders"))
+      .orderBy(desc("total_spent"), asc("o_custkey"))
+  }
+
+  private val qSkylineSql =
+    """WITH pts AS (
+      |  SELECT o_custkey AS c,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |    COUNT(*) AS n
+      |  FROM orders GROUP BY 1)
+      |SELECT p.c AS o_custkey, p.total AS total_spent,
+      |  CAST(p.n AS BIGINT) AS n_orders
+      |FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts q
+      |  WHERE q.total >= p.total AND q.n <= p.n
+      |    AND (q.total > p.total OR q.n < p.n))
+      |ORDER BY total_spent DESC, o_custkey ASC""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_assoc_rules" -> (qAssocRules(_, _)),
-    "q_knn_classify" -> (qKnnClassify(_, _)))
+    "q_knn_classify" -> (qKnnClassify(_, _)),
+    "q_skyline" -> (qSkyline(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_assoc_rules" -> qAssocRulesSql,
-    "q_knn_classify" -> qKnnClassifySql)
+    "q_knn_classify" -> qKnnClassifySql,
+    "q_skyline" -> qSkylineSql)
 }

@@ -59,6 +59,32 @@ class MiningOpsSpec extends SparkSuite {
     }
   }
 
+  // ---- q_skyline --------------------------------------------------------
+
+  test("skyline: no output point dominates another, non-members are dominated") {
+    val sky = run("q_skyline").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def dom(a: (Long, Double, Long), b: (Long, Double, Long)) =
+      a._2 >= b._2 && a._3 <= b._3 && (a._2 > b._2 || a._3 < b._3)
+    for (a <- sky; b <- sky) assert(!dom(a, b), s"$a dominates $b in skyline")
+    val all = Tables(sc, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("t"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val skySet = sky.map(_._1).toSet
+    all.filterNot(p => skySet(p._1)).foreach { p =>
+      assert(sky.exists(s => dom(s, p)), s"non-member $p not dominated")
+    }
+  }
+
+  test("skyline is invariant to input partitioning") {
+    val a = run("q_skyline").collect().toSeq
+    val b = SparkEntry.queries("q_skyline")(sc, sfDir).repartition(13).collect()
+      .sortBy(r => (-r.getDouble(1), r.getLong(0))).toSeq
+    assert(a == b)
+  }
+
   test("knn classify: top-k runs through GroupedTopKExec, query side broadcast") {
     val plan = run("q_knn_classify").queryExecution.executedPlan.toString
     assert(plan.contains("GroupedTopK"), "expected the bounded-heap top-k exec")
