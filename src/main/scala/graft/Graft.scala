@@ -103,4 +103,11 @@ object Graft {
     def zorderKey(s: SparkSession, dir: String): DataFrame = operators.ScaleOps.qZorder(s, dir)
     def gapFill(s: SparkSession, dir: String): DataFrame = operators.Analytics5.qGapFill(s, dir)
   }
+
+  /** Pattern mining & classification (round 7). */
+  object mining {
+    def assocRules(s: SparkSession, dir: String): DataFrame = operators.MiningOps.qAssocRules(s, dir)
+    def knnClassify(s: SparkSession, dir: String): DataFrame = operators.MiningOps.qKnnClassify(s, dir)
+    def skyline(s: SparkSession, dir: String): DataFrame = operators.MiningOps.qSkyline(s, dir)
+  }
 }

@@ -12,5 +12,6 @@ class GraftFacadeSpec extends SparkSuite {
     assert(Graft.ann.bruteForce(sc, sfDir).count() == 10)
     assert(Graft.training.trainValTestSplit(sc, sfDir).count() == 3)
     assert(Graft.ops.profile(sc, sfDir).count() == 5)
+    assert(Graft.mining.skyline(sc, sfDir).count() > 0)
   }
 }
