@@ -580,6 +580,38 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** `graft_cdc(text, w, modulus)`: content-defined chunks of a
+    * document as array<struct<chash, n_tok>> — one linear pass in
+    * [[Cdc]] replacing the explode → window-hash → running-sum →
+    * collect_list/sort relational plan.
+    */
+  case class CdcChunks(child: Expression, w: Int, modulus: Long)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects string, got $other")
+      }
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("chash", StringType, nullable = false),
+      StructField("n_tok", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "graft_cdc"
+
+    override def nullSafeEval(input: Any): Any =
+      Cdc.chunks(input.asInstanceOf[UTF8String], w, modulus)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.Cdc.chunks($s, $w, ${modulus}L);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---------------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------------
@@ -593,6 +625,8 @@ object GraftExpressions {
     "graft_dist_sq" -> (es => DistSq(es(0), es(1))),
     "graft_winnow" -> (es => WinnowFingerprints(es(0),
       es(1).eval(null).toString.toInt, es(2).eval(null).toString.toInt)),
+    "graft_cdc" -> (es => CdcChunks(es(0),
+      es(1).eval(null).toString.toInt, es(2).eval(null).toString.toLong)),
     // Spark ships these two only as internal expressions for its
     // runtime-filter rewrite — surfacing them lets operators build
     // explicit sketch-accelerated EXACT joins (hfp_dedup_bloom)

@@ -32,6 +32,24 @@ object PortableMd5 {
     prefix60(md.digest())
   }
 
+  /** Lowercase-hex md5 of a UTF-8 string — the value Spark's `md5()`
+    * and DuckDB's `md5()` both render.
+    */
+  def hexDigest(b: Array[Byte]): String = {
+    val md = local.get()
+    md.reset()
+    md.update(b)
+    val d = md.digest()
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
   private def prefix60(d: Array[Byte]): Long = {
     var l = 0L
     var i = 0

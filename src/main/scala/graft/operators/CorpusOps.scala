@@ -95,28 +95,17 @@ object CorpusOps {
     * projection or a map-combining shuffle of (hash, count).
     */
   def qCdcChunks(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    // rolling window hash: the W tokens ENDING at p. Positions < W
-    // never cut (matches the SQL mirror's i >= W guard), and the slice
-    // only evaluates under that branch (slice with start <= 0 throws)
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("p")
-    val withBoundary = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text"), posexplode(toks).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"),
-        when(col("p0") + 1 >= CdcW,
-          graft.functions.PortableHash.hash64(concat_ws(" ",
-            expr(s"slice(split(text, ' '), CAST(p0 + 1 AS INT) - ${CdcW - 1}, $CdcW)"))))
-          .otherwise(1L).as("wh"))
-      .withColumn("cut",
-        when(col("wh") % (CdcMask + 1) === 0, 1L).otherwise(0L))
-      .withColumn("chunk", sum("cut").over(byDoc) - col("cut"))
-    val chunks = withBoundary
-      .groupBy("doc_id", "chunk")
-      .agg(count(lit(1)).as("n_tok"),
-        md5(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
-            x => x.getField("tok")))).as("chash"))
+    // the whole boundary scan runs per-document inside graft_cdc (one
+    // codegen'd kernel call: rolling window hash, cut test, chunk
+    // md5s) — the corpus-sized (doc, pos, tok) relation, its window
+    // running sum and the collect_list/sort per chunk never exist.
+    // repartition: documents is one input split at test scale (#27)
+    val chunks = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(expr(s"graft_cdc(text, $CdcW, ${CdcMask + 1})")).as("c"))
+      .select(col("doc_id"), col("c.chash").as("chash"), col("c.n_tok").as("n_tok"))
     chunks.groupBy("chash")
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct("doc_id").as("n_docs"),
