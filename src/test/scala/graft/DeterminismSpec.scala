@@ -19,7 +19,11 @@ class DeterminismSpec extends SparkSuite {
     "q_decay_agg", "q_entropy", "ann_maxsim", "q_pagerank",
     "dd_components", "kmeans_train", "q_ohlc", "dd_keep_best",
     "dd_minhash_lsh", "q_weighted_sample", "q_token_budget",
-    "ta_bpe_train", "q_hist_quantiles")
+    "ta_bpe_train", "q_hist_quantiles",
+    // round-7: kernel-explode ops, mapPartitions skyline, A-priori
+    // counting, vote argmax, NB quantized log-likelihood sums
+    "dd_winnowing", "q_cdc_chunks", "q_skyline", "q_assoc_rules",
+    "q_knn_classify", "ta_nb_langid")
 
   test("results are identical under different shuffle partitionings") {
     val conf = spark.conf
