@@ -64,6 +64,7 @@ object Graft {
     def keepBest(s: SparkSession, dir: String): DataFrame = operators.GraphOps.ddKeepBest(s, dir)
     def containment(s: SparkSession, dir: String): DataFrame = operators.DedupOps.ddContainment(s, dir)
     def bagOfWords(s: SparkSession, dir: String): DataFrame = operators.DedupOps.ddBagDedup(s, dir)
+    def incremental(s: SparkSession, dir: String): DataFrame = operators.DedupOps.ddIncremental(s, dir)
   }
 
   /** Similarity search over an embeddings table. */

@@ -479,7 +479,58 @@ object DedupOps {
       |FROM documents GROUP BY 1 HAVING COUNT(*) > 1
       |ORDER BY n_docs DESC, bag ASC""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Incremental (cross-snapshot) near-dup
+  // ---------------------------------------------------------------------
+
+  private val NewShardMod = 10 // doc_id % 10 == 0 → the incoming shard
+
+  /** Incremental crawl dedup: the incoming shard (doc_id % 10 == 0)
+    * checked for near-duplicates AGAINST the existing corpus only —
+    * the nightly-ingest shape, where within-corpus pairs were already
+    * resolved and only new×old candidates matter. Band keys come from
+    * the same signature pipeline as [[ddMinhashLsh]] (shingle cache and
+    * all); the candidate join is new-side × old-side per band, so its
+    * size is bounded by cross-shard LSH collisions — at scale the old
+    * side's band keys are a pre-built index the new shard probes
+    * (bucket-partitioned by band key, no old-corpus reshuffle).
+    */
+  def ddIncremental(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(Tables(s, dir, "documents")).cache()
+    val banded = bandKeys(minhashSigs(sh))
+    val newB = banded.where(col("doc_id") % NewShardMod === 0)
+    val oldB = banded.where(col("doc_id") % NewShardMod =!= 0)
+    val cands = (0 until NumBands).map { b =>
+      newB.select(col("doc_id").as("a"), col(s"band$b").as("bk"))
+        .join(oldB.select(col("doc_id").as("b"), col(s"band$b").as("bk")), "bk")
+        .select("a", "b")
+    }.reduce(_ union _).distinct()
+    jaccardFor(cands, sh)
+      .where(col("jaccard") >= JaccardThreshold)
+      .orderBy("a", "b")
+  }
+
+  private val ddIncrementalSql = {
+    val unions = (0 until NumBands).map(b =>
+      s"SELECT x.doc_id AS a, y.doc_id AS b FROM banded x JOIN banded y ON x.band$b = y.band$b WHERE x.doc_id % $NewShardMod = 0 AND y.doc_id % $NewShardMod <> 0")
+      .mkString("\n  UNION\n  ")
+    // candsSqlChain ends with its own `cands AS (...)` CTE — keep the
+    // sh/sigs/banded prefix and swap in the cross-shard candidate CTE
+    val chain = candsSqlChain.substring(0, candsSqlChain.indexOf("cands AS (")) +
+      s"cands AS ($unions)"
+    s"""WITH $chain,
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.a, c.b, COUNT(*) AS ni FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sa.h = sb.h
+       |  GROUP BY c.a, c.b)
+       |SELECT i.a, i.b, CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jaccard
+       |FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+       |WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= $JaccardThreshold
+       |ORDER BY a, b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_incremental" -> (ddIncremental(_, _)),
     "dd_containment" -> (ddContainment(_, _)),
     "dd_bag_dedup" -> (ddBagDedup(_, _)),
     "dd_exact" -> (ddExact(_, _)),
@@ -490,6 +541,7 @@ object DedupOps {
     "dd_embed_cosine" -> (ddEmbedCosine(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "dd_incremental" -> ddIncrementalSql,
     "dd_containment" -> ddContainmentSql,
     "dd_bag_dedup" -> ddBagDedupSql,
     "dd_exact" -> ddExactSql,

@@ -92,4 +92,19 @@ class DedupSimilaritySpec extends SparkSuite {
       r.getAs[Long]("hamming") <= 6 && r.getLong(0) < r.getLong(1)
     })
   }
+
+  test("incremental dedup agrees with the full pass on cross-shard pairs") {
+    val inc = DedupOps.ddIncremental(sc, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    inc.foreach { case (a, b) =>
+      assert(a % 10 == 0 && b % 10 != 0, s"($a,$b) is not a new-vs-old pair")
+    }
+    val full = DedupOps.ddMinhashLsh(sc, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossFromFull = full.filter { case (a, b) =>
+      (a % 10 == 0) != (b % 10 == 0)
+    }.map { case (a, b) => if (a % 10 == 0) (a, b) else (b, a) }
+    assert(inc == crossFromFull,
+      s"incremental=${inc.size} fullCross=${crossFromFull.size}")
+  }
 }
