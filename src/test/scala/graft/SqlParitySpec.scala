@@ -20,7 +20,9 @@ class SqlParitySpec extends SparkSuite {
     "q_full_outer_join", "q_cross_join", "q_window_rank", "q_window_lag",
     "q_lateral_topn", "q_snapshot_diff",
     "q_ohlc", "q_running_distinct", "q_path_transitions",
-    "q_anomaly_zscore", "q_histogram", "q_hist_quantiles", "q_pagerank")
+    "q_anomaly_zscore", "q_histogram", "q_hist_quantiles", "q_pagerank",
+    // round-7 relational oracles
+    "q_salted_join", "q_typed_cogroup", "q_skyline", "q_assoc_rules")
 
   test("ANSI oracle SQL runs on spark.sql with identical results") {
     val s = sc
