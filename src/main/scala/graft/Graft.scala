@@ -105,6 +105,12 @@ object Graft {
     def gapFill(s: SparkSession, dir: String): DataFrame = operators.Analytics5.qGapFill(s, dir)
   }
 
+  /** Geospatial (the reference's vehicle-positioning domain). */
+  object geo {
+    def gridCells(s: SparkSession, dir: String): DataFrame = operators.GeoOps.hfpGeoCells(s, dir)
+    def radiusJoin(s: SparkSession, dir: String): DataFrame = operators.GeoOps.qSpatialJoin(s, dir)
+  }
+
   /** Pattern mining & classification (round 7). */
   object mining {
     def assocRules(s: SparkSession, dir: String): DataFrame = operators.MiningOps.qAssocRules(s, dir)

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.PortableHash
+import graft.sources.Tables
+
+/** Geospatial operators — the reference's domain is vehicle positioning
+  * (HFP rows carry lat/long: SURVEY.md §1, `hfpColumns.ts` `lat`/`long`),
+  * so the spatial patterns a positioning pipeline needs are first-class
+  * here:
+  *
+  *  - `hfp_geo_cells`: grid-cell aggregation (the geohash-bucket
+  *    pattern): deterministic portable coordinates derived per event,
+  *    bucketed into a fixed-resolution lat/lng grid, per-cell counts +
+  *    the haversine distance from the cell center to a fixed city
+  *    reference point.
+  *  - `q_spatial_join`: radius self-join via cell bucketing — the
+  *    spatial twin of LSH: candidates come from the 3×3 neighborhood of
+  *    each point's cell (an equi-join on cell keys, never an all-pairs
+  *    cross), then the exact haversine test keeps pairs within the
+  *    radius. Every float step is a single identically-written IEEE op
+  *    on both engines, so the boundary classification is exact.
+  *
+  * Coordinates are synthesized from the portable hash (the events table
+  * carries no lat/long) — [60.0, 60.4) × [24.5, 25.0), roughly the
+  * Helsinki region box, identically computable in DuckDB.
+  *
+  * Scale notes: cell aggregation is one map-side-combined shuffle on
+  * the cell key (cells, not points, cross the wire); the radius join
+  * shuffles each point to its own cell key and probes 9 candidate
+  * cells via the replicated-offsets join — candidate volume is bounded
+  * by neighborhood occupancy (density × 9 cells), not n². A hot cell
+  * (downtown) is an AQE skew split; finer grids trade candidates for
+  * more (tiny) cells. The same shape backs nearest-stop matching and
+  * map-matching preselection at 100 TB.
+  */
+object GeoOps {
+
+  private val LatBase = 60.0
+  private val LngBase = 24.5
+  private val CellDeg = 0.001 // ~110 m of latitude, ~55 m of longitude at 60°N
+  // the 3×3 neighborhood only guarantees completeness while the radius
+  // is ≤ the SMALLEST cell extent — longitude cells shrink by cos(lat),
+  // so at 60°N the bound is ~55 m, and the radius sits safely under it
+  // (GeoOpsSpec pins this against a brute-force sample)
+  private val RadiusM = 50.0
+  private val EarthR = 6371000.0
+  // Helsinki city-center reference point
+  private val RefLat = 60.1699
+  private val RefLng = 24.9384
+
+  /** Deterministic portable coordinates for an event row. */
+  private def withCoords(df: DataFrame): DataFrame =
+    df.select(col("event_id"),
+      (lit(LatBase) + (PortableHash.hash64(col("event_id").cast(StringType)) % 40000L)
+        .cast(DoubleType) * lit(1e-5)).as("lat"),
+      (lit(LngBase) + (PortableHash.hash64(col("event_id").cast(StringType), 7) % 50000L)
+        .cast(DoubleType) * lit(1e-5)).as("lng"))
+
+  private def coordsSql = Seq(
+    s"$LatBase + CAST(${PortableHash.sql("CAST(event_id AS VARCHAR)")} % 40000 AS DOUBLE) * 1e-5 AS lat",
+    s"$LngBase + CAST(${PortableHash.sql("CAST(event_id AS VARCHAR)", 7)} % 50000 AS DOUBLE) * 1e-5 AS lng")
+
+  /** Haversine distance in meters; the expression is written ONCE and
+    * rendered into both engines with identical association so every
+    * intermediate double matches bit-for-bit.
+    */
+  private def haversineM(lat1: Column, lng1: Column, lat2: Column, lng2: Column): Column = {
+    val dLat = radians(lat2 - lat1) / 2.0
+    val dLng = radians(lng2 - lng1) / 2.0
+    val a = sin(dLat) * sin(dLat) +
+      cos(radians(lat1)) * cos(radians(lat2)) * (sin(dLng) * sin(dLng))
+    lit(2.0 * EarthR) * asin(sqrt(a))
+  }
+
+  private def haversineSqlM(lat1: String, lng1: String, lat2: String, lng2: String): String =
+    s"(2.0 * $EarthR) * asin(sqrt(" +
+      s"sin(radians($lat2 - $lat1) / 2.0) * sin(radians($lat2 - $lat1) / 2.0) + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * " +
+      s"(sin(radians($lng2 - $lng1) / 2.0) * sin(radians($lng2 - $lng1) / 2.0))))"
+
+  // ------------------------------------------------------------ grid cells
+
+  def hfpGeoCells(s: SparkSession, dir: String): DataFrame = {
+    val pts = withCoords(Tables(s, dir, "events"))
+    pts.select(col("event_id"),
+      floor((col("lat") - LatBase) / CellDeg).cast(LongType).as("cx"),
+      floor((col("lng") - LngBase) / CellDeg).cast(LongType).as("cy"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("n_points"))
+      .select(col("cx"), col("cy"), col("n_points"),
+        round(haversineM(
+          lit(LatBase) + (col("cx").cast(DoubleType) + 0.5) * CellDeg,
+          lit(LngBase) + (col("cy").cast(DoubleType) + 0.5) * CellDeg,
+          lit(RefLat), lit(RefLng)), 6).as("center_dist_m"))
+      .orderBy("cx", "cy")
+  }
+
+  private val hfpGeoCellsSql = {
+    val cLat = s"$LatBase + (CAST(cx AS DOUBLE) + 0.5) * $CellDeg"
+    val cLng = s"$LngBase + (CAST(cy AS DOUBLE) + 0.5) * $CellDeg"
+    s"""WITH pts AS (SELECT event_id, ${coordsSql.mkString(", ")} FROM events),
+       |cells AS (
+       |  SELECT CAST(floor((lat - $LatBase) / $CellDeg) AS BIGINT) AS cx,
+       |         CAST(floor((lng - $LngBase) / $CellDeg) AS BIGINT) AS cy,
+       |         COUNT(*) AS n_points
+       |  FROM pts GROUP BY 1, 2)
+       |SELECT cx, cy, n_points,
+       |  round(${haversineSqlM(s"($cLat)", s"($cLng)", RefLat.toString, RefLng.toString)}, 6) AS center_dist_m
+       |FROM cells ORDER BY cx, cy""".stripMargin
+  }
+
+  // ----------------------------------------------------------- radius join
+
+  def qSpatialJoin(s: SparkSession, dir: String): DataFrame = {
+    val pts = withCoords(Tables(s, dir, "events"))
+      .select(col("event_id"), col("lat"), col("lng"),
+        floor((col("lat") - LatBase) / CellDeg).cast(LongType).as("cx"),
+        floor((col("lng") - LngBase) / CellDeg).cast(LongType).as("cy"))
+      .cache() // both join sides read it
+    // probe side fans out to its 3×3 cell neighborhood (bounded ×9);
+    // the build side stays one row per point on its own cell
+    val probe = pts.select(col("event_id").as("a"),
+        col("lat").as("la"), col("lng").as("qa"), col("cx"), col("cy"))
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("a"), col("la"), col("qa"),
+        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    val build = pts.select(col("event_id").as("b"),
+      col("lat").as("lb"), col("lng").as("qb"), col("cx"), col("cy"))
+    probe.join(build, Seq("cx", "cy"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(haversineM(col("la"), col("qa"), col("lb"), col("qb")), 6).as("dist_m"))
+      .where(col("dist_m") <= RadiusM)
+      .orderBy("a", "b")
+  }
+
+  private val qSpatialJoinSql = {
+    val hav = haversineSqlM("p.lat", "p.lng", "q.lat", "q.lng")
+    s"""WITH pts AS (
+       |  SELECT event_id, lat, lng,
+       |    CAST(floor((lat - $LatBase) / $CellDeg) AS BIGINT) AS cx,
+       |    CAST(floor((lng - $LngBase) / $CellDeg) AS BIGINT) AS cy
+       |  FROM (SELECT event_id, ${coordsSql.mkString(", ")} FROM events)),
+       |offs AS (SELECT a.x AS dx, b.y AS dy
+       |  FROM (VALUES (-1), (0), (1)) a(x), (VALUES (-1), (0), (1)) b(y)),
+       |cand AS (
+       |  SELECT p.event_id AS a, q.event_id AS b, round($hav, 6) AS dist_m
+       |  FROM pts p CROSS JOIN offs o
+       |  JOIN pts q ON q.cx = p.cx + o.dx AND q.cy = p.cy + o.dy
+       |   AND p.event_id < q.event_id)
+       |SELECT a, b, dist_m FROM cand WHERE dist_m <= $RadiusM
+       |ORDER BY a, b""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hfp_geo_cells" -> (hfpGeoCells(_, _)),
+    "q_spatial_join" -> (qSpatialJoin(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "hfp_geo_cells" -> hfpGeoCellsSql,
+    "q_spatial_join" -> qSpatialJoinSql)
+}
