@@ -109,6 +109,7 @@ object Graft {
   object geo {
     def gridCells(s: SparkSession, dir: String): DataFrame = operators.GeoOps.hfpGeoCells(s, dir)
     def radiusJoin(s: SparkSession, dir: String): DataFrame = operators.GeoOps.qSpatialJoin(s, dir)
+    def nearestStop(s: SparkSession, dir: String): DataFrame = operators.GeoOps.qNearestStop(s, dir)
   }
 
   /** Pattern mining & classification (round 7). */

@@ -102,7 +102,7 @@ object CorpusOps {
     // repartition: documents is one input split at test scale (#27)
     val chunks = Tables(s, dir, "documents")
       .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         explode(expr(s"graft_cdc(text, $CdcW, ${CdcMask + 1})")).as("c"))
       .select(col("doc_id"), col("c.chash").as("chash"), col("c.n_tok").as("n_tok"))

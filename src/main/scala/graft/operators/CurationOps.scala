@@ -240,7 +240,7 @@ object CurationOps {
     // at 100 TB the scan's natural splits already provide this
     val fps = Tables(s, dir, "documents")
       .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         explode(expr(s"graft_winnow(text, $WinK, $WinW)")).as("fp"))
       // six downstream branches (df counts, sizes, both join sides) read

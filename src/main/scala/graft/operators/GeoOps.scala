@@ -155,11 +155,68 @@ object GeoOps {
        |ORDER BY a, b""".stripMargin
   }
 
+  // ---------------------------------------------------------- nearest stop
+
+  /** Nearest-stop assignment — the map-matching preselection every
+    * positioning pipeline runs: each event snaps to its nearest stop
+    * (a small dimension, broadcast), reported per stop. The argmin is
+    * a map-side-combining `min(struct(dist, stop_id))` — the
+    * |events|×|stops| product is scanned in one narrow pass and only
+    * |events| rows reach the exchange, never a window over the
+    * product. Distances are rounded at 1e-6 BEFORE the argmin so the
+    * tie order (then lowest stop_id) is engine-exact.
+    */
+  def qNearestStop(s: SparkSession, dir: String): DataFrame = {
+    // events is one input split at test scale — spread the trig-heavy
+    // |events|×|stops| scoring pass across cores (#27). Explicit
+    // partition count: AQE would coalesce a byte-size-based repartition
+    // of this small input back to one partition, which is exactly wrong
+    // for a compute-bound stage
+    val events = withCoords(Tables(s, dir, "events"))
+      .repartition(s.sparkContext.defaultParallelism, col("event_id"))
+    val stops = Tables(s, dir, "nation").select(
+      col("n_nationkey").as("stop_id"),
+      (lit(LatBase) + (PortableHash.hash64(concat(lit("s:"), col("n_nationkey").cast(StringType))) % 40000L)
+        .cast(DoubleType) * lit(1e-5)).as("slat"),
+      (lit(LngBase) + (PortableHash.hash64(concat(lit("s:"), col("n_nationkey").cast(StringType)), 7) % 50000L)
+        .cast(DoubleType) * lit(1e-5)).as("slng"))
+    events.crossJoin(broadcast(stops))
+      .select(col("event_id"),
+        round(haversineM(col("lat"), col("lng"), col("slat"), col("slng")), 6).as("d"),
+        col("stop_id"))
+      .groupBy("event_id")
+      .agg(min(struct(col("d"), col("stop_id"))).as("b"))
+      .groupBy(col("b.stop_id").as("stop_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("b.d")).as("min_dist_m"), max(col("b.d")).as("max_dist_m"))
+      .orderBy("stop_id")
+  }
+
+  private val qNearestStopSql = {
+    val hav = haversineSqlM("p.lat", "p.lng", "s.slat", "s.slng")
+    s"""WITH pts AS (SELECT event_id, ${coordsSql.mkString(", ")} FROM events),
+       |stops AS (SELECT n_nationkey AS stop_id,
+       |  $LatBase + CAST(${PortableHash.sql("'s:' || CAST(n_nationkey AS VARCHAR)")} % 40000 AS DOUBLE) * 1e-5 AS slat,
+       |  $LngBase + CAST(${PortableHash.sql("'s:' || CAST(n_nationkey AS VARCHAR)", 7)} % 50000 AS DOUBLE) * 1e-5 AS slng
+       |  FROM nation),
+       |assigned AS (
+       |  SELECT event_id, stop_id, d FROM (
+       |    SELECT p.event_id, s.stop_id, round($hav, 6) AS d,
+       |      row_number() OVER (PARTITION BY p.event_id
+       |        ORDER BY round($hav, 6) ASC, s.stop_id ASC) AS rk
+       |    FROM pts p CROSS JOIN stops s) WHERE rk = 1)
+       |SELECT stop_id, COUNT(*) AS n_events,
+       |  min(d) AS min_dist_m, max(d) AS max_dist_m
+       |FROM assigned GROUP BY stop_id ORDER BY stop_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hfp_geo_cells" -> (hfpGeoCells(_, _)),
-    "q_spatial_join" -> (qSpatialJoin(_, _)))
+    "q_spatial_join" -> (qSpatialJoin(_, _)),
+    "q_nearest_stop" -> (qNearestStop(_, _)))
 
   def oracles: Map[String, String] = Map(
     "hfp_geo_cells" -> hfpGeoCellsSql,
-    "q_spatial_join" -> qSpatialJoinSql)
+    "q_spatial_join" -> qSpatialJoinSql,
+    "q_nearest_stop" -> qNearestStopSql)
 }
