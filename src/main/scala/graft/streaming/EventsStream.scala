@@ -61,6 +61,24 @@ object EventsStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
+  /** Streaming grid-cell occupancy — the streaming twin of
+    * `GeoOps.hfpGeoCells`: deterministic portable coordinates per
+    * event, watermarked tumbling windows per cell. This is the live
+    * vehicle-density board a positioning pipeline serves; state is one
+    * row per (window, cell) and the watermark bounds it in event time.
+    */
+  def cellOccupancy(events: DataFrame): DataFrame = {
+    val h1 = graft.functions.PortableHash.hash64(col("event_id").cast("string"))
+    val h2 = graft.functions.PortableHash.hash64(col("event_id").cast("string"), 7)
+    events
+      .withColumn("cx", floor((h1 % 40000L).cast("double") * lit(1e-5) / 0.01).cast("long"))
+      .withColumn("cy", floor((h2 % 50000L).cast("double") * lit(1e-5) / 0.01).cast("long"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("cx"), col("cy"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("cx"), col("cy"), col("n"))
+  }
+
   /** foreachBatch sink wiring: each micro-batch flows through the same
     * batch write path (JDBC in production, parquet in the harness) —
     * the streaming equivalent of the reference's insert queue, with

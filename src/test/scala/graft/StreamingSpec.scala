@@ -249,4 +249,25 @@ class StreamingSpec extends SparkSuite {
     } finally Metrics.remove(spark, l)
     assert(Metrics.tumblingMeans(Seq(1.0, 3.0, 5.0, 7.0), chunk = 2) == Seq(2.0, 6.0))
   }
+
+  test("streaming cell occupancy agrees with the batch grid aggregation") {
+    val events = EventsStream.readEvents(sc, sfDir, "events.parquet")
+    val q = EventsStream.runToMemory(spark, EventsStream.cellOccupancy(events), "cells_test")
+    try {
+      val got = spark.sql("SELECT * FROM cells_test").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("hour_start"), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      val h1 = graft.functions.PortableHash.hash64(col("event_id").cast("string"))
+      val h2 = graft.functions.PortableHash.hash64(col("event_id").cast("string"), 7)
+      val batch = graft.sources.Tables(sc, sfDir, "events")
+        .withColumn("cx", floor((h1 % 40000L).cast("double") * lit(1e-5) / 0.01).cast("long"))
+        .withColumn("cy", floor((h2 % 50000L).cast("double") * lit(1e-5) / 0.01).cast("long"))
+        .groupBy(window(col("ts"), "1 hour"), col("cx"), col("cy"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("hour_start"), col("cx"), col("cy"), col("n"))
+        .collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("hour_start"), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      assert(got.nonEmpty)
+      got.foreach { case (k, n) => assert(batch(k) == n, s"cell-window $k") }
+    } finally q.stop()
+  }
 }
