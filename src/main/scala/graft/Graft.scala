@@ -110,6 +110,7 @@ object Graft {
     def gridCells(s: SparkSession, dir: String): DataFrame = operators.GeoOps.hfpGeoCells(s, dir)
     def radiusJoin(s: SparkSession, dir: String): DataFrame = operators.GeoOps.qSpatialJoin(s, dir)
     def nearestStop(s: SparkSession, dir: String): DataFrame = operators.GeoOps.qNearestStop(s, dir)
+    def trajectoryStats(s: SparkSession, dir: String): DataFrame = operators.GeoOps.qGeoTrajectory(s, dir)
   }
 
   /** Pattern mining & classification (round 7). */

@@ -210,13 +210,74 @@ object GeoOps {
        |FROM assigned GROUP BY stop_id ORDER BY stop_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ trajectory
+
+  private val TrajQ = 1000000L // 1e-6-rounded meters → exact integer micrometers
+
+  /** Per-vehicle trajectory statistics — the movement analytics a
+    * positioning pipeline reports: consecutive events of a user form
+    * path segments (lag window ordered by event time), each segment's
+    * haversine length is rounded at 1e-6 and quantized to integer
+    * micrometers, so the per-user total is an order-independent exact
+    * BIGINT sum (NOTES #4b: segments ≤ 2^16/user, lengths < 2^37 µm —
+    * far under 2^53). The window partitions by the natural key
+    * (user_id), so no global sort exists anywhere.
+    */
+  def qGeoTrajectory(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pts = Tables(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"),
+      (lit(LatBase) + (PortableHash.hash64(col("event_id").cast(StringType)) % 40000L)
+        .cast(DoubleType) * lit(1e-5)).as("lat"),
+      (lit(LngBase) + (PortableHash.hash64(col("event_id").cast(StringType), 7) % 50000L)
+        .cast(DoubleType) * lit(1e-5)).as("lng"))
+    val segs = pts
+      .select(col("user_id"), col("event_id"), col("ts"), col("lat"), col("lng"),
+        lag("lat", 1).over(w).as("plat"), lag("lng", 1).over(w).as("plng"))
+      .where(col("plat").isNotNull)
+      // floor(x·1e6 + 0.5), not a cast: 1e6 is not a power of two, so
+      // the product can land a hair under the integer, and engine CAST
+      // tie behavior differs (NOTES #16)
+      .select(col("user_id"),
+        floor(round(haversineM(col("plat"), col("plng"), col("lat"), col("lng")), 6)
+          * TrajQ + 0.5).cast(LongType).as("seg_um"))
+    segs.groupBy("user_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum("seg_um").as("um"), max("seg_um").as("max_um"))
+      .select(col("user_id"), col("n_segments"),
+        round(col("um").cast(DoubleType) / TrajQ, 6).as("total_dist_m"),
+        round(col("max_um").cast(DoubleType) / TrajQ, 6).as("max_seg_m"))
+      .orderBy("user_id")
+  }
+
+  private val qGeoTrajectorySql = {
+    val hav = haversineSqlM("plat", "plng", "lat", "lng")
+    s"""WITH pts AS (
+       |  SELECT event_id, user_id, ts, ${coordsSql.mkString(", ")} FROM events),
+       |segs AS (
+       |  SELECT user_id,
+       |    CAST(floor(round($hav, 6) * $TrajQ + 0.5) AS BIGINT) AS seg_um
+       |  FROM (
+       |    SELECT user_id, lat, lng,
+       |      lag(lat, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat,
+       |      lag(lng, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plng
+       |    FROM pts)
+       |  WHERE plat IS NOT NULL)
+       |SELECT user_id, COUNT(*) AS n_segments,
+       |  round(CAST(CAST(SUM(seg_um) AS BIGINT) AS DOUBLE) / $TrajQ, 6) AS total_dist_m,
+       |  round(CAST(max(seg_um) AS DOUBLE) / $TrajQ, 6) AS max_seg_m
+       |FROM segs GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hfp_geo_cells" -> (hfpGeoCells(_, _)),
     "q_spatial_join" -> (qSpatialJoin(_, _)),
-    "q_nearest_stop" -> (qNearestStop(_, _)))
+    "q_nearest_stop" -> (qNearestStop(_, _)),
+    "q_geo_trajectory" -> (qGeoTrajectory(_, _)))
 
   def oracles: Map[String, String] = Map(
     "hfp_geo_cells" -> hfpGeoCellsSql,
     "q_spatial_join" -> qSpatialJoinSql,
-    "q_nearest_stop" -> qNearestStopSql)
+    "q_nearest_stop" -> qNearestStopSql,
+    "q_geo_trajectory" -> qGeoTrajectorySql)
 }
