@@ -545,6 +545,68 @@ object GraftExpressions {
   }
 
   // ---------------------------------------------------------------------
+  // Geometric mean — DeclarativeAggregate tier
+  // ---------------------------------------------------------------------
+
+  /** `graft_geomean(x)`: exact-reproducible geometric mean as a
+    * DECLARATIVE aggregate — the third custom-aggregate tier this
+    * engine exercises (TypedImperativeAggregate = KMV/Misra-Gries,
+    * typed `Aggregator` = LangStats, and this: buffer and update are
+    * pure Catalyst expressions, so the aggregate itself participates
+    * in whole-stage codegen and map-side combine like any built-in).
+    *
+    * Portability: each row contributes floor(ln(x)·2^26) as a BIGINT
+    * (one IEEE log, one multiply, one floor — identical in DuckDB), so
+    * the partial sums are order-independent integers. 2^26 keeps
+    * |ln(x)|·2^26 ≈ 6e8 per row; 2^53/6e8 ≈ 1.5e7 rows per GROUP before
+    * the BIGINT→DOUBLE readback could round (NOTES #18 bound —
+    * per-group cardinality, not corpus size).
+    */
+  case class GeoMeanQ(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+      with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+    private val Q = 67108864L // 2^26
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case DoubleType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects double, got $other")
+      }
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_geomean"
+
+    private lazy val sumQ = AttributeReference("sumQ", LongType, nullable = false)()
+    private lazy val cnt = AttributeReference("cnt", LongType, nullable = false)()
+
+    override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(sumQ, cnt)
+    override lazy val initialValues: Seq[Expression] = Seq(Literal(0L), Literal(0L))
+
+    override lazy val updateExpressions: Seq[Expression] = {
+      val valid = And(IsNotNull(child), GreaterThan(child, Literal(0.0)))
+      val term = Cast(Floor(Multiply(Log(child), Literal(Q.toDouble))), LongType)
+      Seq(
+        If(valid, Add(sumQ, term), sumQ),
+        If(valid, Add(cnt, Literal(1L)), cnt))
+    }
+
+    override lazy val mergeExpressions: Seq[Expression] = Seq(
+      Add(sumQ.left, sumQ.right), Add(cnt.left, cnt.right))
+
+    override lazy val evaluateExpression: Expression =
+      If(EqualTo(cnt, Literal(0L)), Literal(null, DoubleType),
+        Exp(Divide(Divide(Cast(sumQ, DoubleType), Literal(Q.toDouble)),
+          Cast(cnt, DoubleType))))
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ---------------------------------------------------------------------
   // Winnowing fingerprints — whole-document kernel
   // ---------------------------------------------------------------------
 
@@ -627,6 +689,7 @@ object GraftExpressions {
       es(1).eval(null).toString.toInt, es(2).eval(null).toString.toInt)),
     "graft_cdc" -> (es => CdcChunks(es(0),
       es(1).eval(null).toString.toInt, es(2).eval(null).toString.toLong)),
+    "graft_geomean" -> (es => GeoMeanQ(es.head).toAggregateExpression()),
     // Spark ships these two only as internal expressions for its
     // runtime-filter rewrite — surfacing them lets operators build
     // explicit sketch-accelerated EXACT joins (hfp_dedup_bloom)

@@ -117,13 +117,37 @@ object Analytics8 {
        |    / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / $Trail) / ${Trail - 1}), 6) AS z
        |FROM w WHERE nw = $Trail ORDER BY event_type, day""".stripMargin
 
+  /** Geometric-mean price per return flag through the custom
+    * DeclarativeAggregate (`graft_geomean` — pure-expression buffer,
+    * codegen'd + map-side-combined like a built-in). The quantized
+    * ln-sum makes the result order-independent; the oracle spells the
+    * same quantized recurrence in SQL.
+    */
+  def qGeomean(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .where(col("l_extendedprice") > 0)
+      .groupBy("l_returnflag")
+      .agg(round(expr("graft_geomean(l_extendedprice)"), 6).as("geomean_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  private val qGeomeanSql =
+    """SELECT l_returnflag,
+      |  round(exp(CAST(SUM(CAST(floor(ln(l_extendedprice) * 67108864.0) AS BIGINT)) AS DOUBLE)
+      |    / 67108864.0 / COUNT(*)), 6) AS geomean_price,
+      |  COUNT(*) AS n
+      |FROM lineitem WHERE l_extendedprice > 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_running_distinct" -> (qRunningDistinct(_, _)),
     "q_path_transitions" -> (qPathTransitions(_, _)),
-    "q_anomaly_zscore" -> (qAnomalyZscore(_, _)))
+    "q_anomaly_zscore" -> (qAnomalyZscore(_, _)),
+    "q_geomean" -> (qGeomean(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_running_distinct" -> qRunningDistinctSql,
     "q_path_transitions" -> qPathTransitionsSql,
-    "q_anomaly_zscore" -> qAnomalyZscoreSql)
+    "q_anomaly_zscore" -> qAnomalyZscoreSql,
+    "q_geomean" -> qGeomeanSql)
 }

@@ -121,4 +121,31 @@ class GraftExpressionsSpec extends SparkSuite {
         .foreach(t => assert(cands.contains(t), s"lost guaranteed item $t at parts=$parts"))
     }
   }
+
+  test("graft_geomean: declarative aggregate hash-aggregates and is split-invariant") {
+    GraftExpressions.register(sc)
+    val df = Tables(spark, sfDir, "lineitem")
+      .where(col("l_extendedprice") > 0)
+      .groupBy("l_returnflag")
+      .agg(expr("graft_geomean(l_extendedprice)").as("g"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"),
+      "DeclarativeAggregate must run in hash aggregation")
+    assert(plan.contains("partial_graft_geomean") || plan.contains("partial"),
+      "map-side combine expected")
+    val a = df.orderBy("l_returnflag").collect().map(r => r.getString(0) -> r.getDouble(1))
+    val b = Tables(spark, sfDir, "lineitem")
+      .where(col("l_extendedprice") > 0).repartition(13)
+      .groupBy("l_returnflag")
+      .agg(expr("graft_geomean(l_extendedprice)").as("g"))
+      .orderBy("l_returnflag").collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(a.toSeq == b.toSeq, "quantized ln-sums must be partition-invariant")
+    // sanity: geomean of positive prices sits inside [min, max]
+    val (mn, mx) = {
+      val r = Tables(spark, sfDir, "lineitem").agg(
+        min("l_extendedprice"), max("l_extendedprice")).collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    a.foreach { case (_, g) => assert(g >= mn && g <= mx) }
+  }
 }
