@@ -111,6 +111,7 @@ object Graft {
     def radiusJoin(s: SparkSession, dir: String): DataFrame = operators.GeoOps.qSpatialJoin(s, dir)
     def nearestStop(s: SparkSession, dir: String): DataFrame = operators.GeoOps.qNearestStop(s, dir)
     def trajectoryStats(s: SparkSession, dir: String): DataFrame = operators.GeoOps.qGeoTrajectory(s, dir)
+    def speedProfile(s: SparkSession, dir: String): DataFrame = operators.GeoOps.qGeoSpeed(s, dir)
   }
 
   /** Pattern mining & classification (round 7). */

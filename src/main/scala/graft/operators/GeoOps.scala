@@ -269,15 +269,73 @@ object GeoOps {
        |FROM segs GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  // ----------------------------------------------------------- speed gates
+
+  private val SpeedLimitMps = 50.0 // flag threshold (m/s)
+
+  /** Per-vehicle speed profile — the kinematics gate on top of the
+    * trajectory segments: segment speed = haversine length over the
+    * event-time delta (exact integer microseconds), per-user max speed
+    * and count of segments over the limit. dt comes from unix_micros
+    * differences (integer-exact), the division is one IEEE op per
+    * segment rounded at 1e-6, and the flag compares the ROUNDED value
+    * so the boundary classification is engine-exact.
+    */
+  def qGeoSpeed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pts = Tables(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"),
+      (lit(LatBase) + (PortableHash.hash64(col("event_id").cast(StringType)) % 40000L)
+        .cast(DoubleType) * lit(1e-5)).as("lat"),
+      (lit(LngBase) + (PortableHash.hash64(col("event_id").cast(StringType), 7) % 50000L)
+        .cast(DoubleType) * lit(1e-5)).as("lng"))
+    val segs = pts
+      .select(col("user_id"), col("ts"), col("lat"), col("lng"),
+        lag("lat", 1).over(w).as("plat"), lag("lng", 1).over(w).as("plng"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("dt_us"))
+      .where(col("plat").isNotNull && col("dt_us") > 0)
+      .select(col("user_id"),
+        round(round(haversineM(col("plat"), col("plng"), col("lat"), col("lng")), 6)
+          / (col("dt_us").cast(DoubleType) / lit(1000000.0)), 6).as("mps"))
+    segs.groupBy("user_id")
+      .agg(count(lit(1)).as("n_segments"),
+        max("mps").as("max_mps"),
+        sum(when(col("mps") > SpeedLimitMps, 1L).otherwise(0L)).as("n_over_limit"))
+      .orderBy("user_id")
+  }
+
+  private val qGeoSpeedSql = {
+    val hav = haversineSqlM("plat", "plng", "lat", "lng")
+    s"""WITH pts AS (
+       |  SELECT event_id, user_id, ts, ${coordsSql.mkString(", ")} FROM events),
+       |segs AS (
+       |  SELECT user_id,
+       |    round(round($hav, 6) / (CAST(dt_us AS DOUBLE) / 1000000.0), 6) AS mps
+       |  FROM (
+       |    SELECT user_id, lat, lng,
+       |      lag(lat, 1) OVER t AS plat,
+       |      lag(lng, 1) OVER t AS plng,
+       |      epoch_us(ts) - lag(epoch_us(ts), 1) OVER t AS dt_us
+       |    FROM pts
+       |    WINDOW t AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |  WHERE plat IS NOT NULL AND dt_us > 0)
+       |SELECT user_id, COUNT(*) AS n_segments,
+       |  max(mps) AS max_mps,
+       |  CAST(SUM(CASE WHEN mps > $SpeedLimitMps THEN 1 ELSE 0 END) AS BIGINT) AS n_over_limit
+       |FROM segs GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hfp_geo_cells" -> (hfpGeoCells(_, _)),
     "q_spatial_join" -> (qSpatialJoin(_, _)),
     "q_nearest_stop" -> (qNearestStop(_, _)),
-    "q_geo_trajectory" -> (qGeoTrajectory(_, _)))
+    "q_geo_trajectory" -> (qGeoTrajectory(_, _)),
+    "q_geo_speed" -> (qGeoSpeed(_, _)))
 
   def oracles: Map[String, String] = Map(
     "hfp_geo_cells" -> hfpGeoCellsSql,
     "q_spatial_join" -> qSpatialJoinSql,
     "q_nearest_stop" -> qNearestStopSql,
-    "q_geo_trajectory" -> qGeoTrajectorySql)
+    "q_geo_trajectory" -> qGeoTrajectorySql,
+    "q_geo_speed" -> qGeoSpeedSql)
 }

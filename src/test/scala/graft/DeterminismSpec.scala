@@ -23,7 +23,7 @@ class DeterminismSpec extends SparkSuite {
     // round-7: kernel-explode ops, mapPartitions skyline, A-priori
     // counting, vote argmax, NB quantized log-likelihood sums
     "dd_winnowing", "q_cdc_chunks", "q_skyline", "q_assoc_rules",
-    "q_knn_classify", "ta_nb_langid", "q_geo_trajectory")
+    "q_knn_classify", "ta_nb_langid", "q_geo_trajectory", "q_geo_speed")
 
   test("results are identical under different shuffle partitionings") {
     val conf = spark.conf
