@@ -75,9 +75,12 @@ object Analytics {
 
   /** Approximate distinct via the custom KMV TypedImperativeAggregate
     * (mergeable sketch → map-side combine, one tiny shuffle). Exact
-    * column alongside for error visibility; no SQL oracle (sketch
-    * output), driver records rows-only. The test suite asserts the
-    * estimate lands within 20% of exact.
+    * column alongside for error visibility. The test suite asserts the
+    * estimate lands within 20% of exact — and since round 5 the sketch
+    * ALSO carries an exact oracle: DuckDB's HUGEINT arithmetic emulates
+    * the wrap-around 64-bit splitmix64 (mod-2^64 adds, split 32×32
+    * multiplies, signed-xor round trips), so the k-th-minimum estimate
+    * itself is verified bit-exactly.
     */
   def qApproxDistinctKmv(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftExpressions.register(s)
@@ -86,6 +89,55 @@ object Analytics {
       .agg(expr("graft_kmv_distinct(l_partkey)").as("kmv_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
+  }
+
+  // --- splitmix64 in DuckDB HUGEINT (the KMV sketch hash, bit-exact) ---
+  private val M64 = "18446744073709551616" // 2^64 as a HUGEINT literal
+  private def toSigned(u: String) =
+    s"(CASE WHEN $u >= 9223372036854775808 THEN CAST($u - $M64 AS BIGINT) ELSE CAST($u AS BIGINT) END)"
+  private def toUnsigned(x: String) =
+    s"(CASE WHEN $x < 0 THEN CAST($x AS HUGEINT) + $M64 ELSE CAST($x AS HUGEINT) END)"
+  private def xor64(a: String, b: String) =
+    toUnsigned(s"xor(${toSigned(a)}, ${toSigned(b)})")
+  /** (a * b) mod 2^64 with a 32×32 split so no partial exceeds HUGEINT. */
+  private def mulMod(a: String, b: BigInt) = {
+    val bh = b >> 32
+    val bl = b & 0xffffffffL
+    s"((($a % 4294967296) * $bl + ((($a % 4294967296) * $bh + ($a // 4294967296) * $bl) % 4294967296) * 4294967296) % $M64)"
+  }
+
+  private val qApproxDistinctKmvSql = {
+    val c1 = BigInt("9e3779b97f4a7c15", 16)
+    val c2 = BigInt("bf58476d1ce4e5b9", 16)
+    val c3 = BigInt("94d049bb133111eb", 16)
+    val k = 256
+    s"""WITH vals AS (
+       |  SELECT DISTINCT l_returnflag, CAST(l_partkey AS HUGEINT) AS v
+       |  FROM lineitem WHERE l_partkey IS NOT NULL),
+       |s0 AS (SELECT l_returnflag, (v + $c1) % $M64 AS u FROM vals),
+       |s1 AS (SELECT l_returnflag, ${xor64("u", "(u // 1073741824)")} AS x FROM s0),
+       |s2 AS (SELECT l_returnflag, ${mulMod("x", c2)} AS u2 FROM s1),
+       |s3 AS (SELECT l_returnflag, ${xor64("u2", "(u2 // 134217728)")} AS x2 FROM s2),
+       |s4 AS (SELECT l_returnflag, ${mulMod("x2", c3)} AS u3 FROM s3),
+       |s5 AS (SELECT l_returnflag, ${xor64("u3", "(u3 // 2147483648)")} AS h FROM s4),
+       |kept AS (SELECT DISTINCT l_returnflag, h // 2 AS kv FROM s5),
+       |ranked AS (
+       |  SELECT l_returnflag, kv,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY kv ASC) AS rk,
+       |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM kept),
+       |est AS (
+       |  SELECT l_returnflag,
+       |    CASE WHEN max(n) < $k THEN CAST(max(n) AS BIGINT)
+       |         ELSE CAST(floor(${k - 1}.0 * 9.223372036854776e18
+       |           / CAST(max(CASE WHEN rk = $k THEN kv END) AS DOUBLE) + 0.5) AS BIGINT)
+       |    END AS kmv_parts
+       |  FROM ranked GROUP BY l_returnflag)
+       |SELECT x.l_returnflag, est.kmv_parts, x.exact_parts
+       |FROM (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
+       |      FROM lineitem GROUP BY 1) x
+       |JOIN est USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
   }
 
   /** Distinct-count family: exact distinct (shuffle on key) — the
@@ -690,6 +742,7 @@ object Analytics {
     "q_tumbling_window" -> (qTumblingWindow(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_approx_distinct_kmv" -> qApproxDistinctKmvSql,
     "q1_pricing_summary" -> q1Sql,
     "q2_topk_orders" -> q2Sql,
     "q3_shipping_priority" -> q3Sql,

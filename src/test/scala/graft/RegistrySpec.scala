@@ -10,8 +10,10 @@ class RegistrySpec extends AnyFunSuite {
   /** Queries intentionally shipped without a SQL oracle (driver falls
     * back to a rows-only check); each needs a reason here.
     */
-  private val oracleFree = Map(
-    "q_approx_distinct_kmv" -> "wrap-around 64-bit sketch hash is not SQL-expressible")
+  // Since round 5 every query carries an oracle — the last holdout
+  // (q_approx_distinct_kmv) became expressible once the splitmix64
+  // wrap-around arithmetic was emulated with DuckDB HUGEINTs.
+  private val oracleFree = Map.empty[String, String]
 
   test("every query has an oracle or a documented exemption") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- oracleFree.keySet
