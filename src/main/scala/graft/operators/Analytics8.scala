@@ -139,15 +139,49 @@ object Analytics8 {
       |FROM lineitem WHERE l_extendedprice > 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Empty-relation aggregate semantics — the parity corner engines
+    * disagree on most often: a GLOBAL aggregate over zero rows yields
+    * exactly one row with COUNT 0 and NULL for sum/min/max/avg, while
+    * a GROUPED aggregate yields zero rows (pinned by n_groups below
+    * via a scalar-subquery count). The predicate is impossible but not
+    * constant-foldable to false, so the aggregate genuinely runs.
+    */
+  def qEmptyAgg(s: SparkSession, dir: String): DataFrame = {
+    val none = Tables(s, dir, "lineitem").where(col("l_quantity") < 0)
+    val groups = none.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_groups"))
+    none.agg(
+      count(lit(1)).as("n"),
+      sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DoubleType).as("s"),
+      min("l_quantity").as("mn"), max("l_quantity").as("mx"),
+      (sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DoubleType) /
+        count(col("l_quantity"))).as("av"))
+      .crossJoin(groups)
+  }
+
+  private val qEmptyAggSql =
+    """SELECT g.*, e.n_groups FROM (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s,
+      |    min(l_quantity) AS mn, max(l_quantity) AS mx,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS av
+      |  FROM lineitem WHERE l_quantity < 0) g
+      |CROSS JOIN (
+      |  SELECT COUNT(*) AS n_groups FROM (
+      |    SELECT l_returnflag FROM lineitem WHERE l_quantity < 0
+      |    GROUP BY l_returnflag)) e""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_running_distinct" -> (qRunningDistinct(_, _)),
     "q_path_transitions" -> (qPathTransitions(_, _)),
     "q_anomaly_zscore" -> (qAnomalyZscore(_, _)),
-    "q_geomean" -> (qGeomean(_, _)))
+    "q_geomean" -> (qGeomean(_, _)),
+    "q_empty_agg" -> (qEmptyAgg(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_running_distinct" -> qRunningDistinctSql,
     "q_path_transitions" -> qPathTransitionsSql,
     "q_anomaly_zscore" -> qAnomalyZscoreSql,
-    "q_geomean" -> qGeomeanSql)
+    "q_geomean" -> qGeomeanSql,
+    "q_empty_agg" -> qEmptyAggSql)
 }
