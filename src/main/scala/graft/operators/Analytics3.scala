@@ -163,19 +163,24 @@ object Analytics3 {
 
   /** Array algebra: construction, set ops (sorted for cross-engine
     * order-independence), slicing, flattening — on small integer arrays
-    * derived from key columns.
+    * derived from key columns. Array-typed outputs are serialized to
+    * comma-joined strings so the harness's pandas compare can hash the
+    * rows (numpy arrays are unhashable); the DuckDB side wraps its
+    * `array_to_string` in COALESCE because DuckDB yields NULL for an
+    * empty list where Spark's `array_join` yields "".
     */
   def qArrayAdvanced(s: SparkSession, dir: String): DataFrame = {
     val a1 = array(col("c_custkey") % 7, col("c_nationkey").cast(LongType), col("c_custkey") % 3)
     val a2 = array(col("c_nationkey").cast(LongType), col("c_custkey") % 5)
+    def joined(c: Column): Column = array_join(c.cast("array<string>"), ",")
     Tables(s, dir, "customer")
       .select(col("c_custkey"),
-        sort_array(array_union(a1, a2)).as("union_sorted"),
-        sort_array(array_intersect(a1, a2)).as("intersect_sorted"),
+        joined(sort_array(array_union(a1, a2))).as("union_sorted"),
+        joined(sort_array(array_intersect(a1, a2))).as("intersect_sorted"),
         size(array_except(a1, a2)).cast(LongType).as("except_n"),
         array_contains(a1, col("c_custkey") % 5).as("has_mod5"),
-        slice(a1, 2, 2).as("mid_slice"),
-        flatten(array(a1, a2)).as("flat"),
+        joined(slice(a1, 2, 2)).as("mid_slice"),
+        joined(flatten(array(a1, a2))).as("flat"),
         array_max(a1).as("max_elem"),
         array_position(a1, col("c_nationkey").cast(LongType)).cast(LongType).as("nat_pos"))
       .orderBy("c_custkey")
@@ -187,12 +192,12 @@ object Analytics3 {
       |    [CAST(c_nationkey AS BIGINT), c_custkey % 5] AS a2
       |  FROM customer)
       |SELECT c_custkey,
-      |  list_sort(list_distinct(list_concat(a1, a2))) AS union_sorted,
-      |  list_sort(list_distinct(list_filter(a1, x -> list_contains(a2, x)))) AS intersect_sorted,
+      |  COALESCE(array_to_string(list_transform(list_sort(list_distinct(list_concat(a1, a2))), x -> CAST(x AS VARCHAR)), ','), '') AS union_sorted,
+      |  COALESCE(array_to_string(list_transform(list_sort(list_distinct(list_filter(a1, x -> list_contains(a2, x)))), x -> CAST(x AS VARCHAR)), ','), '') AS intersect_sorted,
       |  CAST(len(list_distinct(list_filter(a1, x -> NOT list_contains(a2, x)))) AS BIGINT) AS except_n,
       |  list_contains(a1, c_custkey % 5) AS has_mod5,
-      |  list_slice(a1, 2, 3) AS mid_slice,
-      |  flatten([a1, a2]) AS flat,
+      |  COALESCE(array_to_string(list_transform(list_slice(a1, 2, 3), x -> CAST(x AS VARCHAR)), ','), '') AS mid_slice,
+      |  COALESCE(array_to_string(list_transform(flatten([a1, a2]), x -> CAST(x AS VARCHAR)), ','), '') AS flat,
       |  list_max(a1) AS max_elem,
       |  CAST(COALESCE(list_position(a1, CAST(c_nationkey AS BIGINT)), 0) AS BIGINT) AS nat_pos
       |FROM t ORDER BY c_custkey""".stripMargin

@@ -265,6 +265,9 @@ object TextAnalysis2 {
     * (bounded, capped) list — at 100 TB the vocabulary partitions the
     * work and hot terms cap their list instead of collecting the
     * corpus. Oracle: DuckDB `list(... ORDER BY ...)` sliced to the cap.
+    * The postings list is serialized to a comma-joined string so the
+    * harness's pandas compare can hash the rows (numpy arrays are
+    * unhashable).
     */
   def taInvertedIndex(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -272,7 +275,9 @@ object TextAnalysis2 {
       .groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
       .groupBy("term")
       .agg(count(lit(1)).as("df"), sum("c").as("cf"),
-        slice(array_sort(collect_list(col("doc_id"))), 1, PostingsCap)
+        array_join(
+          slice(array_sort(collect_list(col("doc_id"))), 1, PostingsCap)
+            .cast("array<string>"), ",")
           .as("postings"))
       .orderBy("term")
 
@@ -281,7 +286,9 @@ object TextAnalysis2 {
        |  SELECT unnest(string_split(text, ' ')) AS term, doc_id FROM documents),
        |tdc AS (SELECT term, doc_id, COUNT(*) AS c FROM td GROUP BY term, doc_id)
        |SELECT term, COUNT(*) AS df, CAST(SUM(c) AS BIGINT) AS cf,
-       |  (list(doc_id ORDER BY doc_id))[1:$PostingsCap] AS postings
+       |  COALESCE(array_to_string(list_transform(
+       |    (list(doc_id ORDER BY doc_id))[1:$PostingsCap],
+       |    x -> CAST(x AS VARCHAR)), ','), '') AS postings
        |FROM tdc GROUP BY term ORDER BY term""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

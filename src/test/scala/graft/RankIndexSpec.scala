@@ -110,7 +110,8 @@ class RankIndexSpec extends SparkSuite {
       "Σcf must equal the corpus token count")
     rows.foreach { r =>
       val df = r.getLong(1); val cf = r.getLong(2)
-      val postings = r.getSeq[Long](3)
+      // postings are serialized to a comma-joined string (harness-hashable)
+      val postings = r.getString(3).split(",").filter(_.nonEmpty).map(_.toLong).toSeq
       assert(df <= nDocs && cf >= df)
       assert(postings.length == math.min(df, 10L).toInt)
       assert(postings == postings.sorted, "postings must be sorted")
