@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Throughput GC: JDK 17 defaults to G1, whose pause-time-targeted
+  // young-gen sizing collapses under local[32]'s allocation rate (the
+  // codegen'd kernels went 10x slower under G1 in bench A/Bs).
+  "-XX:+UseParallelGC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

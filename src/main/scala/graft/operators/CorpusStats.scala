@@ -37,13 +37,21 @@ object CorpusStats {
   def taCollocations(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
+    // The count aggregates are cached because each is consumed by
+    // multiple branches (totals + the PMI joins): without the pin every
+    // branch would re-run its corpus explode. Both relations are
+    // vocab-sized — |distinct bigrams| and |vocab| — never corpus-sized,
+    // so the pin is cheap and the query's cost does not depend on
+    // cross-query cache residency.
     val bigrams = toks
       .select(posexplode(expr("slice(t, 1, size(t) - 1)")).as(Seq("i", "w1")),
         col("t"))
       .select(col("w1"), expr("t[i + 1]").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .cache()
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .cache()
     val totals = uni.agg(sum("c").as("n_tok")).crossJoin(
       bigrams.agg(sum("c_ab").as("n_big")))
     bigrams.where(col("c_ab") >= MinSupport)

@@ -170,13 +170,17 @@ object TextAnalysis {
     graft.functions.GraftExpressions.register(s)
     val t = Tables(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))
-    val cands = t.agg(expr("graft_heavy_hitters(tok, 64)").as("cs"))
-      .select(explode(col("cs")).as("cand"))
-    val total = t.agg(count(lit(1)).as("total"))
-    t.join(broadcast(cands), col("tok") === col("cand"), "left_semi")
+    // ONE sketch pass computes both the candidate set and the corpus
+    // total, and the total rides along in the candidate broadcast (the
+    // sketch emits distinct tokens, so the inner join is the semi-join)
+    // — the corpus is scanned exactly twice, sketch + exact-count,
+    // independent of what else the suite has cached.
+    val cands = t.agg(expr("graft_heavy_hitters(tok, 64)").as("cs"),
+        count(lit(1)).as("total"))
+      .select(explode(col("cs")).as("cand"), col("total"))
+    t.join(broadcast(cands), col("tok") === col("cand"))
       .groupBy("tok")
-      .agg(count(lit(1)).as("cnt"))
-      .join(broadcast(total))
+      .agg(count(lit(1)).as("cnt"), min("total").as("total"))
       .filter(col("cnt") * 32 >= col("total"))
       .select(col("tok"), col("cnt"))
       .orderBy(desc("cnt"), asc("tok"))
