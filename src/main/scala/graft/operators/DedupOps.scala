@@ -317,10 +317,35 @@ object DedupOps {
     val fp = (0 until SimBits)
       .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val fps = summed.select(col("doc_id"), fp.as("fingerprint"))
-    val l = fps.select(col("doc_id").as("a"), col("fingerprint").as("fa"))
-    val r = fps.select(col("doc_id").as("b"), col("fingerprint").as("fb"))
-    l.crossJoin(r).where(col("a") < col("b"))
+    // Pigeonhole banding instead of the all-pairs cartesian: split the
+    // 32-bit fingerprint into HammingMax+1 = 7 disjoint segments; a
+    // pair within hamming 6 has at most 6 differing bits, so at least
+    // one segment matches exactly. Candidates come from an equi-join on
+    // (segment index, segment value) — a hash join that scales with
+    // bucket occupancy, never O(n²) — then the exact hamming filter
+    // verifies. fps is doc-sized (two longs), cached because both join
+    // sides consume it.
+    val fps = summed.select(col("doc_id"), fp.as("fingerprint")).cache()
+    val nBands = HammingMax + 1
+    val segs = {
+      val base = SimBits / nBands
+      val extra = SimBits % nBands
+      val starts = (0 until nBands).scanLeft(0)((acc, i) =>
+        acc + base + (if (i < extra) 1 else 0))
+      (0 until nBands).map(i => (starts(i), base + (if (i < extra) 1 else 0)))
+    }
+    val bandArr = array(segs.map { case (st, w) =>
+      shiftright(col("fingerprint"), st).bitwiseAND(lit((1L << w) - 1))
+    }: _*)
+    val banded = fps.select(col("doc_id"), col("fingerprint"),
+      posexplode(bandArr).as(Seq("band", "seg")))
+    val l = banded.select(col("band"), col("seg"),
+      col("doc_id").as("a"), col("fingerprint").as("fa"))
+    val r = banded.select(col("band").as("rband"), col("seg").as("rseg"),
+      col("doc_id").as("b"), col("fingerprint").as("fb"))
+    l.join(r, col("band") === col("rband") && col("seg") === col("rseg")
+        && col("a") < col("b"))
+      .select("a", "b", "fa", "fb").distinct()
       .select(col("a"), col("b"),
         bit_count(col("fa").bitwiseXOR(col("fb"))).cast(LongType).as("hamming"))
       .where(col("hamming") <= HammingMax)
@@ -361,36 +386,41 @@ object DedupOps {
     sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x))
 
-  /** All-pairs cosine via a broadcast + mapPartitions kernel: the
-    * declarative crossJoin-of-HOF-folds version is semantically
-    * identical but pays per-pair ArrayData overhead; a quadratic
-    * numeric kernel is the one place `mapPartitions` is the right
-    * Spark tool (SURVEY.md preference (d) — justified for O(n²·d)
-    * inner loops). The broadcast side is the full (small) table here;
-    * at 100 TB the pair space is prefiltered to LSH/IVF buckets first
-    * and the same kernel runs per bucket.
-    * Accumulation is float→double products summed left-to-right —
-    * bit-identical to the HOF fold and to the DuckDB oracle.
+  /** Exact all-pairs cosine as a BLOCKED pair join — fully distributed,
+    * nothing data-sized ever touches the driver. The pair space
+    * {(u,v) : u < v} is tiled by a tiny broadcast block-pair index
+    * (bi ≤ bj over B = vec_id % [[EmbedBlocks]] blocks): the left side
+    * replicates each vector once per tile it leads, the right side is
+    * a plain hash equi-join on the tile's second block, and the
+    * codegen'd `graft_dot_f` (float→double, left-to-right — the exact
+    * oracle accumulation) scores each pair. Exact all-pairs is
+    * intrinsically O(n²) work, but each tile is an independent
+    * n/B × n/B task, so a 1000-executor cluster spreads the quadratic
+    * cost with no driver collect and no cartesian plan node; the
+    * subquadratic scale paths are dd_cosine_lsh / dd_semantic.
     */
+  private val EmbedBlocks = 8
+
   def ddEmbedCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftExpressions.register(s)
     val e = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      .as[(Long, Array[Float], Double)]
-    val side = s.sparkContext.broadcast(e.orderBy("vec_id").collect())
-    val thr = CosineThreshold
-    e.mapPartitions { it =>
-      val all = side.value
-      it.flatMap { case (a, ea, na) =>
-        all.iterator.filter(_._1 > a).flatMap { case (b, eb, nb) =>
-          var acc = 0.0
-          var i = 0
-          while (i < ea.length) { acc += ea(i).toDouble * eb(i).toDouble; i += 1 }
-          val cos = acc / (na * nb)
-          if (cos >= thr) Some((a, b, cos)) else None
-        }
-      }
-    }.toDF("a", "b", "cosine").orderBy("a", "b")
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+        pmod(col("vec_id"), lit(EmbedBlocks)).as("blk"))
+    val tiles = (for { i <- 0 until EmbedBlocks; j <- i until EmbedBlocks }
+      yield (i, j)).toDF("bi", "bj")
+    val l = e.select(col("vec_id").as("a"), col("embedding").as("ea"),
+      col("nrm").as("na"), col("blk").as("ba"))
+    val r = e.select(col("vec_id").as("b"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("blk").as("bb"))
+    l.join(broadcast(tiles), col("ba") === col("bi"))
+      .join(r, col("bj") === col("bb") &&
+        (col("bi") =!= col("bj") || col("a") < col("b")))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"),
+        (expr("graft_dot_f(ea, eb)") / (col("na") * col("nb"))).as("cosine"))
+      .where(col("cosine") >= CosineThreshold)
+      .orderBy("a", "b")
   }
 
   private val dotSql =

@@ -32,4 +32,18 @@ class PlanAuditSpec extends SparkSuite {
     assert("BroadcastHashJoin".r.findAllIn(plan("q_gap_fill")).length +
       "BroadcastNestedLoopJoin".r.findAllIn(plan("q_gap_fill")).length >= 1)
   }
+
+  test("dd_simhash band join never degenerates to a cartesian") {
+    val p = plan("dd_simhash")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("dd_embed_cosine is a blocked equi-join, no cartesian, no RDD collect shape") {
+    val p = plan("dd_embed_cosine")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // the old driver-collect kernel surfaced as Scan ExistingRDD
+    assert(!p.contains("Scan ExistingRDD"), p.take(1200))
+  }
 }
