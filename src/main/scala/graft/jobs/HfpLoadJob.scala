@@ -76,10 +76,15 @@ object HfpLoadJob {
               .union(existingKeys(spark, sinkDir, "unsignedevent", date))
           else existingKeys(spark, sinkDir, table, date)
         routes.foreach { case (targetTable, df) =>
-          val fresh = df.join(buildSide, Seq("uuid"), "left_anti")
-          val n = fresh.count()
-          if (n > 0) JdbcSink.writeParquet(fresh, sinkDir, targetTable)
-          results(targetTable) = results.getOrElse(targetTable, 0L) + n
+          // persist so the count materializes the route ONCE and the
+          // write replays the cached rows — without the pin the two
+          // actions would each re-run the scan+cast+anti-join
+          val fresh = df.join(buildSide, Seq("uuid"), "left_anti").persist()
+          try {
+            val n = fresh.count()
+            if (n > 0) JdbcSink.writeParquet(fresh, sinkDir, targetTable)
+            results(targetTable) = results.getOrElse(targetTable, 0L) + n
+          } finally fresh.unpersist(blocking = false)
         }
       }
     }

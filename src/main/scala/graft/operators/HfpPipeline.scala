@@ -150,9 +150,81 @@ object HfpPipeline {
       .orderBy("event_id")
   }
 
+  /** S2+C1+C4+C5+A1+B1/K1 end-to-end through the REAL load path: write a
+    * deterministic CSV day synthesized from `events` (44-column wire
+    * format, files under `csv/<group>/<date>*`), pre-seed the parquet
+    * sink with the day's "already inserted" keys, run
+    * [[graft.jobs.HfpLoadJob.loadDay]] against it, and return the
+    * per-table appended counts. This is the one query that exercises
+    * the actual CSV reader, cast layer, routing, read-isolated dedup
+    * build and partitioned sink rather than their parquet analogs
+    * (reference behavior: service/insertHfpFromBlobStream.ts:26-92,
+    * service/hfpTask.ts:86-140).
+    */
+  def loadDayE2E(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val date = "2024-01-15"
+    val tmp = java.nio.file.Files.createTempDirectory("hfp_e2e_")
+      .toFile.getAbsolutePath
+    val events = Tables(s, dir, "events")
+    val uuid = when(col("event_id") % 97 === 0, lit(""))
+      .otherwise(md5(col("event_id").cast(StringType)))
+    val jt = when(col("event_type") === "purchase", lit("journey"))
+      .otherwise(col("event_type"))
+    val grp = when(col("event_id") % 3 === 0, lit("StopEvent"))
+      .when(col("event_id") % 3 === 1, lit("OtherEvent"))
+      .otherwise(lit("VehiclePosition"))
+    val wireCols = graft.sources.HfpCsvSource.columns.map {
+      case "uuid" => uuid.as("uuid")
+      case "journey_type" => jt.as("journey_type")
+      case "oday" => lit(date).as("oday")
+      case c => lit("").as(c)
+    }
+    val wire = events.select(wireCols :+ grp.as("grp"): _*)
+    graft.jobs.HfpLoadJob.groups.foreach { case (g, _) =>
+      wire.where(col("grp") === g)
+        .select(graft.sources.HfpCsvSource.columns.map(col): _*)
+        .write.mode("overwrite").option("emptyValue", "")
+        .csv(s"$tmp/csv/$g/$date-data")
+    }
+    // pre-seed every sink table with the day's existing key set so the
+    // read-isolated dedup build (incl. the VP union side) has real work
+    val seed = events
+      .where(col("event_id") % 10 < 3 && col("event_id") % 97 =!= 0)
+      .select(md5(col("event_id").cast(StringType)).as("uuid"),
+        lit(java.sql.Date.valueOf(date)).as("oday"))
+    Seq("stopevent", "otherevent", "vehicleposition", "unsignedevent")
+      .foreach(t => graft.sources.JdbcSink.writeParquet(seed, s"$tmp/sink", t))
+    val counts = graft.jobs.HfpLoadJob.loadDay(s, tmp, s"$tmp/sink", date)
+    counts.toSeq.sortBy(_._1).toDF("target_table", "appended")
+  }
+
+  private val loadDayE2ESql =
+    """WITH syn AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 97 = 0 THEN NULL ELSE md5(CAST(event_id AS VARCHAR)) END AS uuid,
+      |    CASE WHEN event_type = 'purchase' THEN 'journey' ELSE event_type END AS journey_type,
+      |    CASE event_id % 3 WHEN 0 THEN 'stopevent' WHEN 1 THEN 'otherevent' ELSE 'vp' END AS grp
+      |  FROM events),
+      |existing AS (
+      |  SELECT md5(CAST(event_id AS VARCHAR)) AS uuid FROM events
+      |  WHERE event_id % 10 < 3 AND event_id % 97 <> 0),
+      |routed AS (
+      |  SELECT uuid,
+      |    CASE WHEN grp = 'vp' THEN
+      |      (CASE WHEN journey_type = 'journey' THEN 'vehicleposition' ELSE 'unsignedevent' END)
+      |    ELSE grp END AS target_table
+      |  FROM syn WHERE uuid IS NOT NULL),
+      |fresh AS (
+      |  SELECT r.target_table FROM routed r
+      |  WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.uuid = r.uuid))
+      |SELECT target_table, CAST(COUNT(*) AS BIGINT) AS appended
+      |FROM fresh GROUP BY target_table ORDER BY target_table""".stripMargin
+
   // ---- driver registry --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hfp_load_day" -> (loadDayE2E(_, _)),
     "hfp_cast" -> ((s, dir) =>
       castLayer(rawStrings(Tables(s, dir, "events")))
         .drop("event_type").orderBy("event_id")),
@@ -214,6 +286,7 @@ object HfpPipeline {
     "hfp_pipeline" -> ((s, dir) => full(s, dir)))
 
   def oracles: Map[String, String] = Map(
+    "hfp_load_day" -> loadDayE2ESql,
     "hfp_cast" ->
       s"""WITH raw AS ($rawSql), casted AS ($castSql)
          |SELECT event_id, uuid, desi, dl, spd, drst, tst, oday

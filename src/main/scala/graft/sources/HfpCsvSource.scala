@@ -45,6 +45,31 @@ object HfpCsvSource {
   val rawSchema: StructType =
     StructType(columns.map(StructField(_, StringType, nullable = true)))
 
+  /** The reference schema also declares `lightpriorityevent`
+    * (reference: postgres_schema.sql:1-61): the 44 wire columns plus 13
+    * traffic-light-priority fields. NO reference code path reads or
+    * writes that table — the event-group map (utils/hfp.ts:54-58) only
+    * routes StopEvent/OtherEvent/VehiclePosition — so the engine
+    * declares the schema for parity but intentionally registers no
+    * route to it. If an upstream ever emits a LightPriorityEvent group,
+    * add it to [[graft.jobs.HfpLoadJob.groups]] with this column list;
+    * everything else (cast layer, dedup, sink) already generalizes.
+    */
+  val lightPriorityEventColumns: Seq[String] = columns ++ Seq(
+    "tlp_requestid", "tlp_requesttype", "tlp_prioritylevel", "tlp_reason",
+    "tlp_att_seq", "tlp_decision", "sid", "signal_groupid",
+    "tlp_signalgroupnbr", "tlp_line_configid", "tlp_point_configid",
+    "tlp_frequency", "tlp_protocol")
+
+  /** Cast types for the extra TLP fields (postgres_schema.sql:44-56):
+    * integers except the varchar request/priority/reason/decision/
+    * protocol fields.
+    */
+  lazy val lightPriorityCastTypes: Map[String, String] = castTypes ++ Seq(
+    "tlp_requestid", "tlp_att_seq", "sid", "signal_groupid",
+    "tlp_signalgroupnbr", "tlp_line_configid", "tlp_point_configid",
+    "tlp_frequency").map(_ -> "int").toMap
+
   /** Per-column cast type (transformHfpItem.ts:5-51, with the typo'd
     * `vehicle_int` key faithfully leaving `vehicle_number` a string and
     * `journey_start_time`/`start` staying strings; SURVEY.md §1.2).

@@ -54,4 +54,19 @@ class HfpCsvSourceSpec extends SparkSuite {
     // "x" in numeric columns -> NULL
     assert(u2.isNullAt(u2.fieldIndex("dl")))
   }
+
+  test("lightpriorityevent schema parity (declared, intentionally unrouted)") {
+    // reference postgres_schema.sql:1-61: 44 wire columns + 13 TLP
+    // fields; no reference code path reads or writes the table, so the
+    // engine declares the schema but registers no route (the skip is
+    // documented on the declaration)
+    val cols = HfpCsvSource.lightPriorityEventColumns
+    assert(cols.length == HfpCsvSource.columns.length + 13)
+    assert(cols.containsSlice(HfpCsvSource.columns))
+    Seq("tlp_requestid", "tlp_decision", "sid", "signal_groupid",
+      "tlp_protocol").foreach(c => assert(cols.contains(c), c))
+    assert(HfpCsvSource.lightPriorityCastTypes("sid") == "int")
+    assert(HfpCsvSource.lightPriorityCastTypes("tlp_protocol") == "string")
+    assert(!graft.jobs.HfpLoadJob.groups.exists(_._2 == "lightpriorityevent"))
+  }
 }

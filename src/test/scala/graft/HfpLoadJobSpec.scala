@@ -59,6 +59,41 @@ class HfpLoadJobSpec extends SparkSuite {
     assert(un == Set("v2"))
   }
 
+  test("each route is computed once: the sink write replays the cached rows") {
+    // capture the executed plan of every write action during loadDay;
+    // the source must be the persisted route (InMemoryTableScan), not a
+    // second CSV scan+cast+anti-join
+    val writePlans = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        if (funcName == "command" || funcName.contains("save"))
+          writePlans += qe.executedPlan.toString
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    sc.listenerManager.register(listener)
+    try {
+      val root = writeArchive()
+      val sink = Files.createTempDirectory("hfpsink3").toString
+      HfpLoadJob.loadDay(sc, root, sink, date)
+      // listener delivery is async — poll briefly for the write events
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (!writePlans.exists(_.contains("InsertIntoHadoopFsRelation")) &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+      val parquetWrites = writePlans.filter(_.contains("InsertIntoHadoopFsRelation"))
+      assert(parquetWrites.nonEmpty, "expected captured sink writes")
+      parquetWrites.foreach { p =>
+        assert(p.contains("InMemoryTableScan"), p.take(800))
+        // the InMemoryRelation node prints its (lazy) cached plan, which
+        // legitimately mentions the CSV scan — only the plan ABOVE the
+        // cache boundary must be free of a second source scan
+        val aboveCache = p.substring(0, p.indexOf("InMemoryRelation"))
+        assert(!aboveCache.contains("Scan csv"), aboveCache.take(800))
+      }
+    } finally sc.listenerManager.unregister(listener)
+  }
+
   test("dedup scans are scoped per operating day (oday partition isolation)") {
     val root = Files.createTempDirectory("hfparchive2").toString
     val sink = Files.createTempDirectory("hfpsink2").toString
