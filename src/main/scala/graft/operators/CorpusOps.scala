@@ -121,8 +121,8 @@ object CorpusOps {
        |    CASE WHEN i >= $CdcW
        |      AND ${PortableHash.sql(winExpr)} % ${CdcMask + 1} = 0
        |    THEN 1 ELSE 0 END AS cut
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d
-       |  CROSS JOIN range(1, 4001) r(i) WHERE i <= len(d.toks)),
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)) d),
        |c AS (SELECT doc_id, p, tok,
        |    CAST(SUM(cut) OVER (PARTITION BY doc_id ORDER BY p
        |      ROWS UNBOUNDED PRECEDING) - cut AS BIGINT) AS chunk

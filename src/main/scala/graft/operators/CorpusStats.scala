@@ -69,8 +69,8 @@ object CorpusStats {
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |big AS (
        |  SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS c_ab
-       |  FROM toks CROSS JOIN range(1, 4001) r(i)
-       |  WHERE i <= len(t) - 1 GROUP BY 1, 2),
+       |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+       |  GROUP BY 1, 2),
        |uni AS (SELECT unnest(t) AS w FROM toks),
        |uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
        |tot AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uc) AS n_tok,
@@ -160,9 +160,9 @@ object CorpusStats {
 
   private val taLangidProfileSql =
     s"""WITH tg AS (
-       |  SELECT doc_id, lang, substr(text, i, 3) AS tg
-       |  FROM documents CROSS JOIN range(1, 1001) t(i)
-       |  WHERE i <= len(text) - 2),
+       |  SELECT doc_id, lang, substr(text, CAST(i AS INTEGER), 3) AS tg
+       |  FROM (SELECT doc_id, lang, text,
+       |          unnest(range(1, len(text) - 1)) AS i FROM documents)),
        |prof AS (
        |  SELECT lang AS plang, tg FROM (
        |    SELECT lang, tg, row_number() OVER (PARTITION BY lang

@@ -193,8 +193,8 @@ object CurationOps {
   private val taNbLangidSql =
     s"""WITH toks AS (
        |  SELECT doc_id, lang, substr(text, CAST(i AS INTEGER), 3) AS w
-       |  FROM documents CROSS JOIN range(1, 4001) t(i)
-       |  WHERE i <= len(text) - 2),
+       |  FROM (SELECT doc_id, lang, text,
+       |          unnest(range(1, len(text) - 1)) AS i FROM documents)),
        |wc AS (SELECT lang, w, COUNT(*) AS c FROM toks GROUP BY lang, w),
        |lc AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_l FROM wc GROUP BY lang),
        |vocab AS (SELECT COUNT(DISTINCT w) AS v FROM wc),
@@ -274,8 +274,8 @@ object CurationOps {
     s"""WITH grams AS (
        |  SELECT doc_id, i AS pos,
        |    ${PortableHash.sql(s"substr(text, CAST(i AS INTEGER), $WinK)")} % 1073741824 AS h
-       |  FROM documents CROSS JOIN range(1, 4001) t(i)
-       |  WHERE i <= len(text) - ${WinK - 1}),
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(1, len(text) - ${WinK - 2})) AS i FROM documents)),
        |sel AS (
        |  SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
        |    ROWS BETWEEN ${WinW - 1} PRECEDING AND CURRENT ROW) AS fp

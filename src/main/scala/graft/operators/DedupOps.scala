@@ -77,14 +77,15 @@ object DedupOps {
     shingles(docs).select(col("doc_id"),
       PortableHash.hash64(col("shingle")).as("h"))
 
-  /** DuckDB mirror: lateral generate_series is unsupported in 1.0, so a
-    * bounded `range` cross join + filter plays the index source.
+  /** DuckDB mirror: lateral `range` is unsupported in 1.0, so the
+    * position index comes from `unnest(range(...))` with a per-row
+    * bound — no fixed cap, any document length.
     */
   private val shinglesSql =
     s"""SELECT DISTINCT doc_id, ${PortableHash.sql("shingle")} AS h FROM (
       |  SELECT d.doc_id, d.toks[i] || ' ' || d.toks[i+1] || ' ' || d.toks[i+2] AS shingle
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d
-      |  CROSS JOIN range(1, 4001) t(i) WHERE i <= len(d.toks) - 2)""".stripMargin
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)) d)""".stripMargin
 
   /** Exact Jaccard for a set of candidate pairs (columns a, b). The
     * intersection joins on (doc, shingle) both times, so a pair costs

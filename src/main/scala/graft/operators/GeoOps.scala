@@ -20,8 +20,13 @@ import graft.sources.Tables
   *    spatial twin of LSH: candidates come from the 3×3 neighborhood of
   *    each point's cell (an equi-join on cell keys, never an all-pairs
   *    cross), then the exact haversine test keeps pairs within the
-  *    radius. Every float step is a single identically-written IEEE op
-  *    on both engines, so the boundary classification is exact.
+  *    radius. The arithmetic steps (+ − × ÷ sqrt) are IEEE-exact on
+  *    both engines; sin/cos/asin are transcendentals whose last-ulp
+  *    rounding IEEE 754 does NOT pin down, so boundary classification
+  *    additionally relies on JVM Math and DuckDB libm agreeing at the
+  *    compared digits — true on this platform (every oracle run is
+  *    exact at 3 SFs), documented as a platform assumption rather than
+  *    a guarantee (same standing as the ln-based oracles, NOTES.md).
   *
   * Coordinates are synthesized from the portable hash (the events table
   * carries no lat/long) — [60.0, 60.4) × [24.5, 25.0), roughly the
@@ -38,9 +43,14 @@ import graft.sources.Tables
   */
 object GeoOps {
 
-  private val LatBase = 60.0
-  private val LngBase = 24.5
-  private val CellDeg = 0.001 // ~110 m of latitude, ~55 m of longitude at 60°N
+  // shared with the streaming twin (EventsStream.cellOccupancy) so the
+  // batch and streaming coordinate syntheses can't drift
+  private[graft] val LatBase = 60.0
+  private[graft] val LngBase = 24.5
+  private[graft] val LatModulus = 40000L
+  private[graft] val LngModulus = 50000L
+  private[graft] val CoordScale = 1e-5
+  private[graft] val CellDeg = 0.001 // ~110 m of latitude, ~55 m of longitude at 60°N
   // the 3×3 neighborhood only guarantees completeness while the radius
   // is ≤ the SMALLEST cell extent — longitude cells shrink by cos(lat),
   // so at 60°N the bound is ~55 m, and the radius sits safely under it
@@ -54,10 +64,10 @@ object GeoOps {
   /** Deterministic portable coordinates for an event row. */
   private def withCoords(df: DataFrame): DataFrame =
     df.select(col("event_id"),
-      (lit(LatBase) + (PortableHash.hash64(col("event_id").cast(StringType)) % 40000L)
-        .cast(DoubleType) * lit(1e-5)).as("lat"),
-      (lit(LngBase) + (PortableHash.hash64(col("event_id").cast(StringType), 7) % 50000L)
-        .cast(DoubleType) * lit(1e-5)).as("lng"))
+      (lit(LatBase) + (PortableHash.hash64(col("event_id").cast(StringType)) % LatModulus)
+        .cast(DoubleType) * lit(CoordScale)).as("lat"),
+      (lit(LngBase) + (PortableHash.hash64(col("event_id").cast(StringType), 7) % LngModulus)
+        .cast(DoubleType) * lit(CoordScale)).as("lng"))
 
   private def coordsSql = Seq(
     s"$LatBase + CAST(${PortableHash.sql("CAST(event_id AS VARCHAR)")} % 40000 AS DOUBLE) * 1e-5 AS lat",

@@ -171,8 +171,8 @@ object Multimodal {
 
   private val mmPhashSql =
     s"""WITH chars AS (
-       |  SELECT doc_id, i - 1 AS p, CAST(ord(substr(text, i, 1)) AS BIGINT) AS code
-       |  FROM documents CROSS JOIN range(1, 1001) t(i) WHERE i <= len(text)),
+       |  SELECT doc_id, i - 1 AS p, CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT) AS code
+       |  FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i FROM documents)),
        |tot AS (SELECT doc_id, CAST(SUM(code) AS BIGINT) AS s_all,
        |               COUNT(*) AS n_all FROM chars GROUP BY doc_id),
        |seg AS (

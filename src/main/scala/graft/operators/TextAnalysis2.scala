@@ -252,7 +252,7 @@ object TextAnalysis2 {
   private val taNgramLmSql =
     """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
       |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-      |       FROM d CROSS JOIN range(1, 4001) t(i) WHERE i <= len(toks) - 1),
+      |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM d)),
       |unic AS (SELECT w, COUNT(*) AS cw FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w),
       |vocab AS (SELECT COUNT(*) AS v FROM unic),
       |bgc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),

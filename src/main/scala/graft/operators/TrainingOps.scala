@@ -91,8 +91,8 @@ object TrainingOps {
     val d = if (distinct) "DISTINCT " else ""
     s"""SELECT ${d}d.doc_id, d.source,
        |  ${PortableHash.sql(s"array_to_string(d.toks[i:i+${w - 1}], ' ')")} AS h
-       |FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents) d
-       |CROSS JOIN range(1, 4001) t(i) WHERE i <= len(d.toks) - ${w - 1}""".stripMargin
+       |FROM (SELECT doc_id, source, toks, unnest(range(1, len(toks) - ${w - 2})) AS i
+       |      FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)) d""".stripMargin
   }
 
   private val ddSubstringSql =
@@ -143,10 +143,10 @@ object TrainingOps {
 
   private val ddSpanRemovalSql =
     s"""WITH w AS (
-       |  SELECT d.doc_id, t.i,
+       |  SELECT d.doc_id, d.i,
        |    ${PortableHash.sql(s"array_to_string(d.toks[i:i+${SpanW - 1}], ' ')")} AS h
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d
-       |  CROSS JOIN range(1, 4001) t(i) WHERE i <= len(d.toks) - ${SpanW - 1}),
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - ${SpanW - 2})) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)) d),
        |wf AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
        |cov AS (SELECT DISTINCT w.doc_id, w.i + r.off AS p
        |        FROM w JOIN wf ON w.h = wf.h CROSS JOIN range(0, $SpanW) r(off)),

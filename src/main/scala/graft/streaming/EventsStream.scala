@@ -63,16 +63,21 @@ object EventsStream {
 
   /** Streaming grid-cell occupancy — the streaming twin of
     * `GeoOps.hfpGeoCells`: deterministic portable coordinates per
-    * event, watermarked tumbling windows per cell. This is the live
-    * vehicle-density board a positioning pipeline serves; state is one
-    * row per (window, cell) and the watermark bounds it in event time.
+    * event (same synthesis constants, shared from GeoOps so batch and
+    * streaming can't drift), watermarked tumbling windows per cell.
+    * The grid is INTENTIONALLY 10× coarser than the batch CellDeg: a
+    * live density board wants bounded state (fewer, bigger cells) over
+    * the batch job's analysis resolution.
     */
+  private val StreamCellDeg = graft.operators.GeoOps.CellDeg * 10
+
   def cellOccupancy(events: DataFrame): DataFrame = {
+    import graft.operators.GeoOps.{LatModulus, LngModulus, CoordScale}
     val h1 = graft.functions.PortableHash.hash64(col("event_id").cast("string"))
     val h2 = graft.functions.PortableHash.hash64(col("event_id").cast("string"), 7)
     events
-      .withColumn("cx", floor((h1 % 40000L).cast("double") * lit(1e-5) / 0.01).cast("long"))
-      .withColumn("cy", floor((h2 % 50000L).cast("double") * lit(1e-5) / 0.01).cast("long"))
+      .withColumn("cx", floor((h1 % LatModulus).cast("double") * lit(CoordScale) / StreamCellDeg).cast("long"))
+      .withColumn("cy", floor((h2 % LngModulus).cast("double") * lit(CoordScale) / StreamCellDeg).cast("long"))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("cx"), col("cy"))
       .agg(count(lit(1)).as("n"))
