@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe (not part of the library): try every registered oracle
+  * through spark.sql and report which run unchanged with identical
+  * rows to the DataFrame formulation. Output feeds SqlParitySpec.
+  */
+object SqlParityProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.sources.Tables.registerAll(spark, sfDir)
+    SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+      val status =
+        try {
+          val viaSql = spark.sql(sql).collect().toSeq
+          val viaDf = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
+          if (viaSql == viaDf) "PARITY"
+          else s"DIFFER ${viaSql.size} vs ${viaDf.size}"
+        } catch {
+          case e: Exception =>
+            "ERR " + Option(e.getMessage).getOrElse("?").linesIterator.next().take(110)
+        }
+      println(s"[parity] $name: $status")
+    }
+    spark.stop()
+  }
+}
