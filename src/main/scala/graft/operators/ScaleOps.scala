@@ -221,7 +221,64 @@ object ScaleOps {
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Co-located BUCKETED join — the shuffle-elimination strategy for
+    * repeated big⋈big joins at 100 TB: both sides are written
+    * `bucketBy(N, key)` once, and every subsequent join on that key
+    * reads bucket-aligned files with NO exchange on either side (the
+    * write cost is paid once, the shuffle saving is per-query).
+    * Here: orders ⋈ customer bucketed on the custkey, aggregated to
+    * market-segment totals. The oracle is the plain join — bucketing
+    * must be invisible in the result. PlanAuditSpec pins the
+    * no-Exchange-below-the-join plan shape.
+    */
+  private val BucketCount = 8
+  // per-JVM tag: the in-memory catalog dies with the session but the
+  // warehouse directory doesn't — a fresh session must not trip over a
+  // previous run's table location
+  private lazy val jvmTag = ProcessHandle.current().pid().toString
+
+  def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tag = s"g${math.abs(dir.hashCode)}_$jvmTag"
+    val odersT = s"graft_bkt_orders_$tag"
+    val custT = s"graft_bkt_customer_$tag"
+    if (!s.catalog.tableExists(odersT)) {
+      // clear any leftover location from a dead session with a recycled
+      // pid — the managed-table CREATE refuses to reuse an existing dir
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      Seq(odersT, custT).map(new java.io.File(wh, _)).filter(_.exists()).foreach { d =>
+        java.nio.file.Files.walk(d.toPath)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.bucketBy(BucketCount, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable(odersT)
+      Tables(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .write.bucketBy(BucketCount, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable(custT)
+    }
+    // merge hint: at harness scale Catalyst would broadcast the small
+    // side and bypass the bucketing being demonstrated; at 100 TB both
+    // sides exceed any broadcast threshold and SMJ is what runs anyway
+    s.table(odersT).hint("merge")
+      .join(s.table(custT), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType)
+          .as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val qBucketedJoinSql =
+    """SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucketed_join" -> (qBucketedJoin(_, _)),
     "q_salted_agg" -> (qSaltedAgg(_, _)),
     "q_salted_join" -> (qSaltedJoin(_, _)),
     "q_hash_sample" -> (qHashSample(_, _)),
@@ -231,6 +288,7 @@ object ScaleOps {
     "q_zorder" -> (qZorder(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_bucketed_join" -> qBucketedJoinSql,
     "q_salted_agg" -> qSaltedSql,
     "q_salted_join" -> qSaltedJoinSql,
     "q_hash_sample" -> qHashSampleSql,

@@ -33,6 +33,21 @@ class PlanAuditSpec extends SparkSuite {
       "BroadcastNestedLoopJoin".r.findAllIn(plan("q_gap_fill")).length >= 1)
   }
 
+  test("q_bucketed_join joins bucket-aligned scans with no exchange below the join") {
+    val df = SparkEntry.queries("q_bucketed_join")(sc, sfDir)
+    df.collect() // force table creation + final (AQE) plan
+    // AQE appends an "== Initial Plan ==" section — audit the FINAL plan
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==")(0)
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, p.take(1200))
+    // below the join: only bucketed scans, no Exchange (the bucketing
+    // IS the partitioning — the whole point of paying the bucketed
+    // write once)
+    assert(!p.substring(joinIdx).contains("Exchange"), p.substring(joinIdx).take(1200))
+    assert(p.substring(joinIdx).contains("Bucketed: true"), p.substring(joinIdx).take(1200))
+  }
+
   test("dd_simhash band join never degenerates to a cartesian") {
     val p = plan("dd_simhash")
     assert(!p.contains("CartesianProduct"), p.take(1200))
