@@ -127,27 +127,38 @@ object CorpusStats {
     * At scale the profiles are a |langs|·K broadcast and scoring is a
     * map-side semi-join; training is one vocabulary-sized aggregate.
     */
-  /** The (doc_id, lang, trigram) relation both langid operators train
-    * on — cached once per session (CacheManager dedupes by plan, so
-    * every builder constructing this exact plan shares one entry, the
-    * assignCells pattern) and read by 2 branches per query × 2 queries.
+  /** The per-doc DISTINCT trigram relation (doc_id, lang, tg, k) both
+    * langid operators train on — pre-aggregated to within-doc
+    * multiplicities BEFORE caching (the ta_ngram_lm pattern: the
+    * pinned relation is distinct-gram-sized, never occurrence-sized,
+    * so it survives suite-wide cache pressure), cached once per session
+    * (CacheManager dedupes by plan) and read by 2 branches per query ×
+    * 2 queries. Occurrence counts reconstruct exactly as Σk.
     */
   private[operators] def trigrams(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
-      explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-        .as("tg"))
+    // repartition the (small) doc rows BEFORE the explode: the harness
+    // parquet is a single split, and without this the whole char-level
+    // explode + partial aggregation runs in one task; on a real cluster
+    // the scan has thousands of splits and this shuffle is doc-row-sized
+    // noise either way
+    Tables(s, dir, "documents").repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          .as("tg"))
+      .groupBy("doc_id", "lang", "tg").agg(count(lit(1)).as("k"))
       .cache()
 
   def taLangidProfile(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val tgs = trigrams(s, dir)
-    val profile = tgs.groupBy("lang", "tg").agg(count(lit(1)).as("c"))
+    val profile = tgs.groupBy("lang", "tg").agg(sum("k").as("c"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("lang")
           .orderBy(desc("c"), asc("tg"))))
       .where(col("rk") <= ProfileK)
       .select(col("lang").as("plang"), col("tg"))
-    val docTgs = tgs.select("doc_id", "tg").distinct()
+    // already distinct per (doc, tg) by construction
+    val docTgs = tgs.select("doc_id", "tg")
     val scores = docTgs.join(broadcast(profile), "tg")
       .groupBy("doc_id", "plang").agg(count(lit(1)).as("hits"))
     val pred = scores.groupBy("doc_id")

@@ -155,10 +155,11 @@ object CurationOps {
     // trigrams cross word boundaries and pick up per-lang phrase habits
     // (same feature family as ta_langid_profile, and standard for
     // production langid models)
+    // pre-aggregated (doc_id, lang, w, k): occurrence counts are Σk
     val toks = CorpusStats.trigrams(s, dir).withColumnRenamed("tg", "w")
     // model: per-(lang, word) counts, per-lang token totals, vocab size,
     // per-lang doc priors — all exact longs, broadcastable (|vocab|·|langs|)
-    val wc = toks.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    val wc = toks.groupBy("lang", "w").agg(sum("k").as("c"))
     val lc = wc.groupBy("lang").agg(sum("c").as("n_l"))
     val vocab = wc.select("w").distinct().agg(count(lit(1)).as("v"))
     val prior = docs.groupBy("lang").agg(count(lit(1)).as("nd"))
@@ -166,7 +167,7 @@ object CurationOps {
     // score: per-doc WORD COUNTS × candidate langs, left-joined against
     // the model; the per-(w, lang) log-likelihood is quantized before
     // the k-weighted per-doc sum so the reduction is order-independent
-    val dw = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("k"))
+    val dw = toks.select("doc_id", "w", "k")
     val langs = lc.select(col("lang").as("plang"), col("n_l"))
       .crossJoin(vocab)
     val ll = dw.crossJoin(broadcast(langs))
