@@ -65,6 +65,8 @@ object Graft {
     def containment(s: SparkSession, dir: String): DataFrame = operators.DedupOps.ddContainment(s, dir)
     def bagOfWords(s: SparkSession, dir: String): DataFrame = operators.DedupOps.ddBagDedup(s, dir)
     def incremental(s: SparkSession, dir: String): DataFrame = operators.DedupOps.ddIncremental(s, dir)
+    def embedCosinePairs(s: SparkSession, dir: String): DataFrame = operators.DedupOps.ddEmbedCosine(s, dir)
+    def urlCanonical(s: SparkSession, dir: String): DataFrame = operators.CurationOps2.ddUrlDedup(s, dir)
   }
 
   /** Similarity search over an embeddings table. */
@@ -92,6 +94,7 @@ object Graft {
     def tokenBudget(s: SparkSession, dir: String): DataFrame = operators.TrainingOps2.qTokenBudget(s, dir)
     def weightedSample(s: SparkSession, dir: String): DataFrame = operators.TrainingOps2.qWeightedSample(s, dir)
     def outlierTrim(s: SparkSession, dir: String): DataFrame = operators.TrainingOps2.qOutlierTrim(s, dir)
+    def dsirWeights(s: SparkSession, dir: String): DataFrame = operators.CurationOps2.taDsir(s, dir)
   }
 
   /** Warehouse/ops utilities. */
@@ -103,6 +106,7 @@ object Graft {
     def incrementalAgg(s: SparkSession, dir: String): DataFrame = operators.ScaleOps.qIncrAgg(s, dir)
     def zorderKey(s: SparkSession, dir: String): DataFrame = operators.ScaleOps.qZorder(s, dir)
     def gapFill(s: SparkSession, dir: String): DataFrame = operators.Analytics5.qGapFill(s, dir)
+    def bucketedJoin(s: SparkSession, dir: String): DataFrame = operators.ScaleOps.qBucketedJoin(s, dir)
   }
 
   /** Geospatial (the reference's vehicle-positioning domain). */

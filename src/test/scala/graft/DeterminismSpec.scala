@@ -23,7 +23,10 @@ class DeterminismSpec extends SparkSuite {
     // round-7: kernel-explode ops, mapPartitions skyline, A-priori
     // counting, vote argmax, NB quantized log-likelihood sums
     "dd_winnowing", "q_cdc_chunks", "q_skyline", "q_assoc_rules",
-    "q_knn_classify", "ta_nb_langid", "q_geo_trajectory", "q_geo_speed")
+    "q_knn_classify", "ta_nb_langid", "q_geo_trajectory", "q_geo_speed",
+    // round-8: DSIR quantized log-ratio sums, banded simhash pair set,
+    // blocked-tile exact cosine, URL canonical grouping
+    "ta_dsir", "dd_simhash", "dd_embed_cosine", "dd_url_dedup")
 
   test("results are identical under different shuffle partitionings") {
     val conf = spark.conf
