@@ -191,13 +191,89 @@ object CorpusStats {
        |FROM documents d JOIN pred pr ON d.doc_id = pr.doc_id
        |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Zipf exponent fit (corpus-health diagnostic)
+  // ---------------------------------------------------------------------
+
+  private val ZipfMinC = 5L
+  private val Pow2_26 = 67108864.0
+
+  /** Least-squares fit of ln(count) against ln(rank) over the frequency-
+    * ranked vocabulary — the Zipf-law diagnostic that flags templated or
+    * collapsed corpora (natural text fits slope ≈ −1; synthetic spam
+    * flattens). The global rank over (count desc, word asc) is computed
+    * with the engine's two-phase pattern (q_token_budget): log-spaced
+    * buckets via EXACT binary length (monotone in count, so bucket
+    * boundaries can't split ties), per-bucket offsets from a tiny
+    * window over ≤ 63 bucket rows, `row_number` only WITHIN a bucket —
+    * never a single-partition global window. Regression terms are
+    * 2^26-quantized before summation so the fitted coefficients are
+    * order-independent and oracle-exact.
+    */
+  def qZipfFit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uc = Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .where(col("c") >= ZipfMinC)
+    val b = uc.withColumn("bkt", length(bin(col("c"))).cast(LongType))
+    val offs = b.groupBy("bkt").agg(count(lit(1)).as("nb"))
+      .withColumn("offset", coalesce(sum("nb").over(
+        Window.orderBy(desc("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("bkt", "offset")
+    val inBkt = Window.partitionBy("bkt").orderBy(desc("c"), asc("w"))
+    val ranked = b.join(broadcast(offs), "bkt")
+      .withColumn("rank", col("offset") + row_number().over(inBkt))
+    val x = round(log(col("rank").cast(DoubleType)), 6)
+    val y = round(log(col("c").cast(DoubleType)), 6)
+    val q = ranked.select(
+        floor(x * Pow2_26).cast(LongType).as("xq"),
+        floor(y * Pow2_26).cast(LongType).as("yq"),
+        floor(x * y * Pow2_26).cast(LongType).as("xyq"),
+        floor(x * x * Pow2_26).cast(LongType).as("xxq"))
+      .agg(count(lit(1)).as("n_words"),
+        (sum("xq").cast(DoubleType) / Pow2_26).as("sx"),
+        (sum("yq").cast(DoubleType) / Pow2_26).as("sy"),
+        (sum("xyq").cast(DoubleType) / Pow2_26).as("sxy"),
+        (sum("xxq").cast(DoubleType) / Pow2_26).as("sxx"))
+    val n = col("n_words").cast(DoubleType)
+    val det = n * col("sxx") - col("sx") * col("sx")
+    q.select(col("n_words"),
+      round((n * col("sxy") - col("sx") * col("sy")) / det, 6).as("slope"),
+      round((col("sy") * col("sxx") - col("sx") * col("sxy")) / det, 6).as("intercept"))
+  }
+
+  private val qZipfFitSql =
+    s"""WITH uc AS (
+       |  SELECT w, COUNT(*) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w HAVING COUNT(*) >= $ZipfMinC),
+       |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rank FROM uc),
+       |t AS (SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+       |             round(ln(CAST(c AS DOUBLE)), 6) AS y FROM r),
+       |q AS (SELECT COUNT(*) AS n_words,
+       |  CAST(SUM(CAST(floor(x * $Pow2_26) AS BIGINT)) AS DOUBLE) / $Pow2_26 AS sx,
+       |  CAST(SUM(CAST(floor(y * $Pow2_26) AS BIGINT)) AS DOUBLE) / $Pow2_26 AS sy,
+       |  CAST(SUM(CAST(floor(x * y * $Pow2_26) AS BIGINT)) AS DOUBLE) / $Pow2_26 AS sxy,
+       |  CAST(SUM(CAST(floor(x * x * $Pow2_26) AS BIGINT)) AS DOUBLE) / $Pow2_26 AS sxx
+       |  FROM t)
+       |SELECT n_words,
+       |  round((CAST(n_words AS DOUBLE) * sxy - sx * sy)
+       |    / (CAST(n_words AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+       |  round((sy * sxx - sx * sxy)
+       |    / (CAST(n_words AS DOUBLE) * sxx - sx * sx), 6) AS intercept
+       |FROM q""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_collocations" -> (taCollocations(_, _)),
     "ta_langid_profile" -> (taLangidProfile(_, _)),
-    "q_entropy" -> (qEntropy(_, _)))
+    "q_entropy" -> (qEntropy(_, _)),
+    "q_zipf_fit" -> (qZipfFit(_, _)))
 
   def oracles: Map[String, String] = Map(
     "ta_collocations" -> taCollocationsSql,
     "ta_langid_profile" -> taLangidProfileSql,
-    "q_entropy" -> qEntropySql)
+    "q_entropy" -> qEntropySql,
+    "q_zipf_fit" -> qZipfFitSql)
 }

@@ -26,7 +26,9 @@ class DeterminismSpec extends SparkSuite {
     "q_knn_classify", "ta_nb_langid", "q_geo_trajectory", "q_geo_speed",
     // round-8: DSIR quantized log-ratio sums, banded simhash pair set,
     // blocked-tile exact cosine, URL canonical grouping
-    "ta_dsir", "dd_simhash", "dd_embed_cosine", "dd_url_dedup")
+    "ta_dsir", "dd_simhash", "dd_embed_cosine", "dd_url_dedup",
+    // two-phase rank + quantized regression sums
+    "q_zipf_fit")
 
   test("results are identical under different shuffle partitionings") {
     val conf = spark.conf
