@@ -59,8 +59,12 @@ object HfpLoadJob {
     groups.foreach { case (group, table) =>
       val path = s"$csvRoot/csv/$group"
       if (new java.io.File(path).exists()) {
-        val typed = HfpCsvSource.castAll(HfpCsvSource.read(spark, s"$path/$date*"))
+        val typed0 = HfpCsvSource.castAll(HfpCsvSource.read(spark, s"$path/$date*"))
           .where(col("uuid").isNotNull && col("uuid") =!= "") // C4
+        // the VP group feeds TWO routes — persist so the CSV scan+cast
+        // runs once for both, not once per route
+        val typed =
+          if (group == "VehiclePosition") typed0.persist() else typed0
         // C5 routing: only the VP group splits
         val routes: Seq[(String, DataFrame)] =
           if (group == "VehiclePosition")
@@ -75,7 +79,7 @@ object HfpLoadJob {
             existingKeys(spark, sinkDir, "vehicleposition", date)
               .union(existingKeys(spark, sinkDir, "unsignedevent", date))
           else existingKeys(spark, sinkDir, table, date)
-        routes.foreach { case (targetTable, df) =>
+        try routes.foreach { case (targetTable, df) =>
           // persist so the count materializes the route ONCE and the
           // write replays the cached rows — without the pin the two
           // actions would each re-run the scan+cast+anti-join
@@ -85,7 +89,7 @@ object HfpLoadJob {
             if (n > 0) JdbcSink.writeParquet(fresh, sinkDir, targetTable)
             results(targetTable) = results.getOrElse(targetTable, 0L) + n
           } finally fresh.unpersist(blocking = false)
-        }
+        } finally if (group == "VehiclePosition") typed.unpersist(blocking = false)
       }
     }
     results.toMap

@@ -180,21 +180,31 @@ object HfpPipeline {
       case "oday" => lit(date).as("oday")
       case c => lit("").as(c)
     }
+    // ONE pass synthesizes all three groups: dynamic-partition CSV write
+    // on grp (which drops the partition column, leaving exactly the 44
+    // wire columns in order), then cheap directory renames into the
+    // csv/<group>/<date>* layout loadDay scans
     val wire = events.select(wireCols :+ grp.as("grp"): _*)
+    wire.write.partitionBy("grp").mode("overwrite").option("emptyValue", "")
+      .csv(s"$tmp/csv_stage")
     graft.jobs.HfpLoadJob.groups.foreach { case (g, _) =>
-      wire.where(col("grp") === g)
-        .select(graft.sources.HfpCsvSource.columns.map(col): _*)
-        .write.mode("overwrite").option("emptyValue", "")
-        .csv(s"$tmp/csv/$g/$date-data")
+      val src = new java.io.File(s"$tmp/csv_stage/grp=$g")
+      val dst = new java.io.File(s"$tmp/csv/$g/$date-data")
+      dst.getParentFile.mkdirs()
+      if (src.exists()) src.renameTo(dst)
     }
     // pre-seed every sink table with the day's existing key set so the
-    // read-isolated dedup build (incl. the VP union side) has real work
+    // read-isolated dedup build (incl. the VP union side) has real work;
+    // persisted so the four table writes share one materialization
     val seed = events
       .where(col("event_id") % 10 < 3 && col("event_id") % 97 =!= 0)
       .select(md5(col("event_id").cast(StringType)).as("uuid"),
         lit(java.sql.Date.valueOf(date)).as("oday"))
-    Seq("stopevent", "otherevent", "vehicleposition", "unsignedevent")
-      .foreach(t => graft.sources.JdbcSink.writeParquet(seed, s"$tmp/sink", t))
+      .persist()
+    try
+      Seq("stopevent", "otherevent", "vehicleposition", "unsignedevent")
+        .foreach(t => graft.sources.JdbcSink.writeParquet(seed, s"$tmp/sink", t))
+    finally seed.unpersist(blocking = false)
     val counts = graft.jobs.HfpLoadJob.loadDay(s, tmp, s"$tmp/sink", date)
     counts.toSeq.sortBy(_._1).toDF("target_table", "appended")
   }
