@@ -261,15 +261,27 @@ object TrainingOps {
   private val ShardSize = 64
 
   def qGlobalShuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables(s, dir, "documents").select("doc_id")
     val epochs = s.range(Epochs).select(col("id").as("epoch"))
     val h = PortableHash.hash64(
       concat(col("epoch").cast(StringType), lit(":"), col("doc_id").cast(StringType)))
-    val byEpoch = org.apache.spark.sql.expressions.Window
-      .partitionBy("epoch").orderBy(asc("h"), asc("doc_id"))
-    docs.crossJoin(epochs)
+    // two-phase per-epoch rank: a Window partitioned only by epoch puts
+    // EVERY doc of an epoch in one task — instead bucket by the hash's
+    // top 8 bits (monotone in the (h, doc_id) sort order, and h is
+    // unique-ish so buckets are balanced by construction), broadcast
+    // the 3×256 bucket offsets, and row_number only within a bucket
+    val withH = docs.crossJoin(broadcast(epochs))
       .select(col("epoch"), col("doc_id"), h.as("h"))
-      .withColumn("rn", row_number().over(byEpoch))
+      .withColumn("bkt", shiftright(col("h"), 52))
+    val offs = withH.groupBy("epoch", "bkt").agg(count(lit(1)).as("nb"))
+      .withColumn("offset", coalesce(sum("nb").over(
+        Window.partitionBy("epoch").orderBy(asc("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("epoch", "bkt", "offset")
+    val inBkt = Window.partitionBy("epoch", "bkt").orderBy(asc("h"), asc("doc_id"))
+    withH.join(broadcast(offs), Seq("epoch", "bkt"))
+      .withColumn("rn", col("offset") + row_number().over(inBkt))
       .select(col("epoch"), col("doc_id"),
         ((col("rn") - 1) / lit(ShardSize)).cast(LongType).as("shard"),
         ((col("rn") - 1) % lit(ShardSize)).cast(LongType).as("pos"))
