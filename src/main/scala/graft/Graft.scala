@@ -48,6 +48,7 @@ object Graft {
     def collocations(s: SparkSession, dir: String): DataFrame = operators.CorpusStats.taCollocations(s, dir)
     def sourceEntropy(s: SparkSession, dir: String): DataFrame = operators.CorpusStats.qEntropy(s, dir)
     def zipfFit(s: SparkSession, dir: String): DataFrame = operators.CorpusStats.qZipfFit(s, dir)
+    def textrankKeywords(s: SparkSession, dir: String): DataFrame = operators.GraphOps.taTextrank(s, dir)
     def bpeTrain(s: SparkSession, dir: String): DataFrame = operators.TokenizerOps.taBpeTrain(s, dir)
     def featureHash(s: SparkSession, dir: String): DataFrame = operators.TokenizerOps.qFeatureHash(s, dir)
   }

@@ -155,12 +155,12 @@ object GraphOps {
       .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
       .cache()
 
-  def qPageRank(s: SparkSession, dir: String): DataFrame = {
-    // the cached pair relation IS the once-materialized edge list —
-    // every round's join scans the InMemoryRelation, so no lineage
-    // re-execution and no second (checkpoint) copy of the edges
-    val pairs = coPairCounts(s, dir)
-      .select("src", "dst")
+  /** The shared fixed-iteration PageRank recurrence over a symmetric
+    * distinct edge list (no dangling nodes by symmetry). Returns
+    * (node, degree, pr) for every node. Used by the co-purchase
+    * PageRank and the TextRank keyword extractor.
+    */
+  private def pagerankLoop(pairs: DataFrame): DataFrame = {
     val deg = pairs.groupBy("src").agg(count(lit(1)).as("d")).cache()
     val n = deg.count()
     var pr = deg.select(col("src").as("node")).withColumn("pr", lit(1.0 / n))
@@ -184,12 +184,25 @@ object GraphOps {
         .localCheckpoint()
     }
     pr.join(deg.select(col("src").as("node"), col("d").as("degree")), "node")
+  }
+
+  def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    // the cached pair relation IS the once-materialized edge list —
+    // every round's join scans the InMemoryRelation, so no lineage
+    // re-execution and no second (checkpoint) copy of the edges
+    val pairs = coPairCounts(s, dir)
+      .select("src", "dst")
+    pagerankLoop(pairs)
       .select(col("node").as("part"), col("degree"), col("pr"))
       .orderBy(desc("pr"), asc("part"))
       .limit(PrTopK)
   }
 
-  private val qPageRankSql = {
+  /** The unrolled-iteration PageRank SQL shared by both graph oracles:
+    * `pairsSql` must yield a symmetric DISTINCT (src, dst) relation.
+    */
+  private def pagerankSql(pairsSql: String, nodeAlias: String,
+      topK: Int): String = {
     val iters = (1 to PrIters).map { i =>
       s"""pr$i AS (
          |  SELECT e.dst AS node,
@@ -199,18 +212,76 @@ object GraphOps {
          |  JOIN deg d ON e.src = d.src, n
          |  GROUP BY e.dst, n.n)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
-       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-       |  WHERE a.l_partkey <> b.l_partkey),
+    s"""WITH pairs AS ($pairsSql),
        |deg AS (SELECT src, COUNT(*) AS d FROM pairs GROUP BY src),
        |n AS (SELECT COUNT(*) AS n FROM deg),
        |pr0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / n.n AS pr FROM deg, n),
        |$iters
-       |SELECT p.node AS part, d.d AS degree, p.pr
+       |SELECT p.node AS $nodeAlias, d.d AS degree, p.pr
        |FROM pr$PrIters p JOIN deg d ON p.node = d.src
-       |ORDER BY p.pr DESC, part ASC LIMIT $PrTopK""".stripMargin
+       |ORDER BY p.pr DESC, $nodeAlias ASC LIMIT $topK""".stripMargin
   }
+
+  private val qPageRankSql = pagerankSql(
+    """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey <> b.l_partkey""".stripMargin,
+    "part", PrTopK)
+
+  // ---------------------------------------------------------------------
+  // TextRank keyword extraction
+  // ---------------------------------------------------------------------
+
+  private val TrTopK = 30
+
+  /** TextRank (Mihalcea & Tarau 2004) keyword extraction: PageRank over
+    * the word co-occurrence graph (window ≤ 2 — adjacent and
+    * one-apart positions), symmetric distinct edges, the same
+    * quantized fixed-iteration recurrence as [[qPageRank]]. The edge
+    * build is two in-row position fan-outs (gap-1 and gap-2 pairs) —
+    * one narrow explode, one distinct — so at 100 TB only the
+    * vocabulary-sized graph enters the loop, never the corpus.
+    */
+  def taTextrank(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    def gapPairs(g: Int) = {
+      val idx = sequence(lit(1), n - g)
+      when(n <= g, array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("a",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("b",
+              org.apache.spark.sql.types.StringType))))))
+        .otherwise(transform(idx, i => struct(
+          element_at(toks, i).as("a"), element_at(toks, i + g).as("b"))))
+    }
+    val docs = graft.sources.Tables(s, dir, "documents")
+    val raw = docs.select(explode(concat(gapPairs(1), gapPairs(2))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pairs = raw.select(col("a").as("src"), col("b").as("dst"))
+      .union(raw.select(col("b").as("src"), col("a").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    pagerankLoop(pairs)
+      .select(col("node").as("word"), col("degree"), col("pr"))
+      .orderBy(desc("pr"), asc("word"))
+      .limit(TrTopK)
+  }
+
+  private val taTextrankSql = pagerankSql(
+    """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |  raw AS (
+      |    SELECT t[i] AS a, t[i+1] AS b
+      |    FROM (SELECT t, unnest(range(1, len(t))) AS i FROM d)
+      |    UNION ALL
+      |    SELECT t[i] AS a, t[i+2] AS b
+      |    FROM (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM d))
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT a AS src, b AS dst FROM raw
+      |    UNION ALL SELECT b AS src, a AS dst FROM raw)
+      |  WHERE src <> dst""".stripMargin,
+    "word", TrTopK)
 
   // ---------------------------------------------------------------------
   // Component-representative selection (the dedup pipeline's output)
@@ -342,11 +413,13 @@ object GraphOps {
     "dd_components" -> (ddComponents(_, _)),
     "dd_keep_best" -> (ddKeepBest(_, _)),
     "q_pagerank" -> (qPageRank(_, _)),
+    "ta_textrank" -> (taTextrank(_, _)),
     "q_triangle_count" -> (qTriangleCount(_, _)))
 
   def oracles: Map[String, String] = Map(
     "dd_components" -> ddComponentsSql,
     "dd_keep_best" -> ddKeepBestSql,
     "q_pagerank" -> qPageRankSql,
+    "ta_textrank" -> taTextrankSql,
     "q_triangle_count" -> qTriangleCountSql)
 }
