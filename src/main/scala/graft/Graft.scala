@@ -125,5 +125,16 @@ object Graft {
     def assocRules(s: SparkSession, dir: String): DataFrame = operators.MiningOps.qAssocRules(s, dir)
     def knnClassify(s: SparkSession, dir: String): DataFrame = operators.MiningOps.qKnnClassify(s, dir)
     def skyline(s: SparkSession, dir: String): DataFrame = operators.MiningOps.qSkyline(s, dir)
+    def labelPropCommunities(s: SparkSession, dir: String): DataFrame = operators.GraphOps.qLabelProp(s, dir)
+  }
+
+  /** Multimodal (binary-column) operators. */
+  object media {
+    def binaryStats(s: SparkSession, dir: String): DataFrame = operators.Multimodal.mmBinaryStats(s, dir)
+    def decodeFeatures(s: SparkSession, dir: String): DataFrame = operators.Multimodal.mmDecodeFeatures(s, dir)
+    def resize(s: SparkSession, dir: String): DataFrame = operators.Multimodal.mmResize(s, dir)
+    def patchify(s: SparkSession, dir: String): DataFrame = operators.Multimodal.mmPatchify(s, dir)
+    def modalityRoute(s: SparkSession, dir: String): DataFrame = operators.Multimodal.mmModalityRoute(s, dir)
+    def phashBuckets(s: SparkSession, dir: String): DataFrame = operators.Multimodal.mmPhashBuckets(s, dir)
   }
 }

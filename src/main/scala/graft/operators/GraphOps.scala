@@ -284,6 +284,61 @@ object GraphOps {
     "word", TrTopK)
 
   // ---------------------------------------------------------------------
+  // Label-propagation communities
+  // ---------------------------------------------------------------------
+
+  private val LpIters = 3
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over the
+    * co-purchase graph: each round every node adopts the most frequent
+    * label among its neighbors (ties → smallest label), run for a fixed
+    * [[LpIters]] rounds from label = node id. ALL-integer with declared
+    * tiebreaks, so the result is engine- and partitioning-exact with no
+    * quantization at all. Per round: one edges⋈labels join + two
+    * vocab-sized aggregates; `localCheckpoint` truncates the iterative
+    * lineage exactly like PageRank. Output: community sizes.
+    */
+  def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coPairCounts(s, dir).select("src", "dst")
+    var lab = pairs.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to LpIters) {
+      lab = pairs
+        .join(broadcast(lab.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("label"))).as("b"))
+        .select(col("node"), col("b.label").as("label"))
+        .localCheckpoint()
+    }
+    lab.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"))
+      .orderBy(desc("n_nodes"), asc("community"))
+  }
+
+  private val qLabelPropSql = {
+    val iters = (1 to LpIters).map { i =>
+      s"""l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT e.dst AS node, l.label, COUNT(*) AS c,
+         |      row_number() OVER (PARTITION BY e.dst
+         |        ORDER BY COUNT(*) DESC, l.label ASC) AS rk
+         |    FROM pairs e JOIN l${i - 1} l ON e.src = l.node
+         |    GROUP BY e.dst, l.label) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM pairs),
+       |$iters
+       |SELECT label AS community, COUNT(*) AS n_nodes, min(node) AS min_node
+       |FROM l$LpIters GROUP BY label
+       |ORDER BY n_nodes DESC, community ASC""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Component-representative selection (the dedup pipeline's output)
   // ---------------------------------------------------------------------
 
@@ -414,6 +469,7 @@ object GraphOps {
     "dd_keep_best" -> (ddKeepBest(_, _)),
     "q_pagerank" -> (qPageRank(_, _)),
     "ta_textrank" -> (taTextrank(_, _)),
+    "q_label_prop" -> (qLabelProp(_, _)),
     "q_triangle_count" -> (qTriangleCount(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -421,5 +477,6 @@ object GraphOps {
     "dd_keep_best" -> ddKeepBestSql,
     "q_pagerank" -> qPageRankSql,
     "ta_textrank" -> taTextrankSql,
+    "q_label_prop" -> qLabelPropSql,
     "q_triangle_count" -> qTriangleCountSql)
 }

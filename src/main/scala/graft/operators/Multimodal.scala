@@ -190,11 +190,75 @@ object Multimodal {
        |FROM fp GROUP BY phash HAVING COUNT(*) > 1
        |ORDER BY n_docs DESC, phash ASC""".stripMargin
 
+  /** A resized image summary: the downsample stage's emission. */
+  case class ResizedImage(doc_id: Long, new_w: Int, new_h: Int, px_sum: Long)
+
+  /** 2× box-filter downsample — the resize stage of an image
+    * preprocessing pipeline, as a typed `mapPartitions` kernel over the
+    * decoded plane (same seam as [[fakeDecode]]: a real resampler —
+    * libvips/Pillow-SIMD via FFI — replaces only the inner loop). The
+    * stub pixel plane is deterministic integer arithmetic over the
+    * payload checksum, px(x,y) = (checksum + 31x + 17y) mod 256, so the
+    * whole kernel — synthesize, 2×2 box average with floor division,
+    * sum — has an exact integer oracle. Narrow stage: one task per
+    * partition, output is one metadata row per image; real pixel slabs
+    * would stream through the same iterator without materializing.
+    */
+  def mmResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media: Dataset[MediaRow] = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        to_binary(col("text"), lit("utf-8")).as("payload"),
+        lit("text/plain").as("media_type"))
+      .as[MediaRow]
+    media.mapPartitions(rows => rows.map { r =>
+      val f = fakeDecode(r)
+      val nw = f.width / 2
+      val nh = f.height / 2
+      var sum = 0L
+      var by = 0
+      while (by < nh) {
+        var bx = 0
+        while (bx < nw) {
+          def px(x: Int, y: Int): Long = (f.checksum + 31L * x + 17L * y) % 256L
+          val box = px(2 * bx, 2 * by) + px(2 * bx + 1, 2 * by) +
+            px(2 * bx, 2 * by + 1) + px(2 * bx + 1, 2 * by + 1)
+          sum += box / 4
+          bx += 1
+        }
+        by += 1
+      }
+      ResizedImage(r.doc_id, nw, nh, sum)
+    }).toDF().orderBy("doc_id")
+  }
+
+  private val mmResizeSql =
+    """WITH s AS (SELECT doc_id,
+      |    CAST(list_aggregate(list_transform(regexp_split_to_array(text, ''), c -> ord(c)), 'sum') AS BIGINT) AS checksum
+      |  FROM documents),
+      |dims AS (SELECT doc_id, checksum,
+      |    CAST((16 + checksum % 16) // 2 AS INT) AS new_w,
+      |    CAST((16 + (checksum // 16) % 16) // 2 AS INT) AS new_h
+      |  FROM s),
+      |rows_y AS (SELECT doc_id, checksum, new_w, new_h,
+      |    unnest(range(0, new_h)) AS by FROM dims),
+      |cells AS (SELECT doc_id, checksum, new_w, new_h, by,
+      |    unnest(range(0, new_w)) AS bx FROM rows_y),
+      |boxes AS (SELECT doc_id, new_w, new_h,
+      |    ((checksum + 31 * (2 * bx) + 17 * (2 * by)) % 256
+      |     + (checksum + 31 * (2 * bx + 1) + 17 * (2 * by)) % 256
+      |     + (checksum + 31 * (2 * bx) + 17 * (2 * by + 1)) % 256
+      |     + (checksum + 31 * (2 * bx + 1) + 17 * (2 * by + 1)) % 256) // 4 AS avg
+      |  FROM cells)
+      |SELECT doc_id, new_w, new_h, CAST(SUM(avg) AS BIGINT) AS px_sum
+      |FROM boxes GROUP BY doc_id, new_w, new_h ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_stats" -> (mmBinaryStats(_, _)),
     "mm_decode_features" -> (mmDecodeFeatures(_, _)),
     "mm_modality_route" -> (mmModalityRoute(_, _)),
     "mm_phash_buckets" -> (mmPhashBuckets(_, _)),
+    "mm_resize" -> (mmResize(_, _)),
     "mm_patchify" -> (mmPatchify(_, _)))
 
   /** Even the mapPartitions codec stage gets an exact oracle: the stub
@@ -236,5 +300,6 @@ object Multimodal {
     "mm_decode_features" -> mmDecodeSql,
     "mm_modality_route" -> mmModalityRouteSql,
     "mm_phash_buckets" -> mmPhashSql,
+    "mm_resize" -> mmResizeSql,
     "mm_patchify" -> mmPatchifySql)
 }

@@ -28,7 +28,8 @@ class DeterminismSpec extends SparkSuite {
     // blocked-tile exact cosine, URL canonical grouping
     "ta_dsir", "dd_simhash", "dd_embed_cosine", "dd_url_dedup",
     // two-phase rank + quantized regression sums
-    "q_zipf_fit", "q_global_shuffle", "ta_textrank")
+    "q_zipf_fit", "q_global_shuffle", "ta_textrank", "q_label_prop",
+    "mm_resize")
 
   test("results are identical under different shuffle partitionings") {
     val conf = spark.conf
