@@ -49,6 +49,7 @@ object Graft {
     def sourceEntropy(s: SparkSession, dir: String): DataFrame = operators.CorpusStats.qEntropy(s, dir)
     def zipfFit(s: SparkSession, dir: String): DataFrame = operators.CorpusStats.qZipfFit(s, dir)
     def textrankKeywords(s: SparkSession, dir: String): DataFrame = operators.GraphOps.taTextrank(s, dir)
+    def noveltyReport(s: SparkSession, dir: String): DataFrame = operators.TrainingOps.taNovelty(s, dir)
     def bpeTrain(s: SparkSession, dir: String): DataFrame = operators.TokenizerOps.taBpeTrain(s, dir)
     def featureHash(s: SparkSession, dir: String): DataFrame = operators.TokenizerOps.qFeatureHash(s, dir)
   }

@@ -259,10 +259,14 @@ object GraphOps {
     val docs = graft.sources.Tables(s, dir, "documents")
     val raw = docs.select(explode(concat(gapPairs(1), gapPairs(2))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+    // cache the distinct edge list: it is vocab²-bounded (tiny next to
+    // the corpus) and every rank round joins it — without the pin each
+    // of the 5 rounds would re-run the corpus-sized explode+distinct
     val pairs = raw.select(col("a").as("src"), col("b").as("dst"))
       .union(raw.select(col("b").as("src"), col("a").as("dst")))
       .where(col("src") =!= col("dst"))
       .distinct()
+      .cache()
     pagerankLoop(pairs)
       .select(col("node").as("word"), col("degree"), col("pr"))
       .orderBy(desc("pr"), asc("word"))

@@ -348,10 +348,49 @@ object TrainingOps {
        |  CAST(SUM(CAST(floor(fp * $PriceScale) AS BIGINT)) AS BIGINT) AS sum_price_q
        |FROM m GROUP BY action, o_orderpriority ORDER BY action, o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // N-gram novelty (corpus diversity metric)
+  // ---------------------------------------------------------------------
+
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * [[SpanW]]-gram windows whose FIRST corpus appearance (lowest
+    * doc_id) is this document — the diversity report a curation run
+    * publishes alongside its dedup rates (a novelty collapse across
+    * doc-id order flags a templated tail). One window pass + one
+    * min-per-hash aggregate + one count join; at 100 TB the hash
+    * relation is the same bounded (h → min doc) shuffle dd_substring
+    * already pays.
+    */
+  def taNovelty(s: SparkSession, dir: String): DataFrame = {
+    // cached: both the first-seen build and the per-doc count consume
+    // it, and it is already per-doc distinct (the dd_substring pattern)
+    val w = windowHashes(Tables(s, dir, "documents"), SpanW,
+      distinctPerDoc = true).select("doc_id", "h").cache()
+    val firstSeen = w.groupBy("h").agg(min("doc_id").as("first_doc"))
+    w.join(firstSeen, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"),
+        (sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .cast(DoubleType) / count(lit(1))).as("novelty_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val taNoveltySql =
+    s"""WITH w AS (${windowsSql(SpanW, distinct = true)}),
+       |fs AS (SELECT h, min(doc_id) AS first_doc FROM w GROUP BY h)
+       |SELECT w.doc_id, COUNT(*) AS n_windows,
+       |  CAST(SUM(CASE WHEN fs.first_doc = w.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  CAST(SUM(CASE WHEN fs.first_doc = w.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS novelty_frac
+       |FROM w JOIN fs ON w.h = fs.h
+       |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_substring" -> (ddSubstring(_, _)),
     "dd_span_removal" -> (ddSpanRemoval(_, _)),
     "ta_contamination" -> (taContamination(_, _)),
+    "ta_novelty" -> (taNovelty(_, _)),
     "ta_bpe" -> (taBpe(_, _)),
     "q_global_shuffle" -> (qGlobalShuffle(_, _)),
     "q_merge_upsert" -> (qMergeUpsert(_, _)))
@@ -360,6 +399,7 @@ object TrainingOps {
     "dd_substring" -> ddSubstringSql,
     "dd_span_removal" -> ddSpanRemovalSql,
     "ta_contamination" -> taContaminationSql,
+    "ta_novelty" -> taNoveltySql,
     "ta_bpe" -> taBpeSql,
     "q_global_shuffle" -> qGlobalShuffleSql,
     "q_merge_upsert" -> qMergeUpsertSql)
