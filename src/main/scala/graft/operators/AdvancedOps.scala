@@ -195,7 +195,45 @@ object AdvancedOps {
       .orderBy("event_id")
   }
 
+  /** Equi-depth bucketization (quartile binning) — the feature-
+    * engineering discretizer: exact quartile boundaries from one
+    * sort-based aggregate (a scalar row, broadcast), bucket assignment
+    * as three comparisons against those boundaries (narrow, codegen'd),
+    * then per-bucket stats. Exact across engines because both compute
+    * the same interpolated quantile doubles (the q_percentiles
+    * precedent) and comparisons against identical doubles are IEEE-
+    * exact. At 100 TB the exact-percentile pass is the cost knob —
+    * swap `percentile` for `approx_percentile` (t-digest) when
+    * boundary tolerance allows; the rest of the plan is unchanged.
+    */
+  def qEquidepthBucketize(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables(s, dir, "events").agg(
+      expr("percentile(value, 0.25)").as("b1"),
+      expr("percentile(value, 0.5)").as("b2"),
+      expr("percentile(value, 0.75)").as("b3"))
+    val bucket = (when(col("value") > col("b1"), 1).otherwise(0) +
+      when(col("value") > col("b2"), 1).otherwise(0) +
+      when(col("value") > col("b3"), 1).otherwise(0)).cast(LongType)
+    Tables(s, dir, "events")
+      .crossJoin(broadcast(b))
+      .select(bucket.as("bucket"), col("value"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("value").as("mn"), max("value").as("mx"))
+      .orderBy("bucket")
+  }
+
+  private val qEquidepthSql =
+    """WITH b AS (SELECT quantile_cont(value, 0.25) AS b1,
+      |                  quantile_cont(value, 0.5) AS b2,
+      |                  quantile_cont(value, 0.75) AS b3 FROM events)
+      |SELECT (CASE WHEN value > b1 THEN 1 ELSE 0 END
+      |      + CASE WHEN value > b2 THEN 1 ELSE 0 END
+      |      + CASE WHEN value > b3 THEN 1 ELSE 0 END) AS bucket,
+      |  COUNT(*) AS n, min(value) AS mn, max(value) AS mx
+      |FROM events, b GROUP BY 1 ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_equidepth_bucketize" -> (qEquidepthBucketize(_, _)),
     "q_grouped_topk" -> (qGroupedTopK(_, _)),
     "q_asof_join" -> (qAsofJoin(_, _)),
     "q_asof_native" -> (qAsofNative(_, _)),
@@ -205,6 +243,7 @@ object AdvancedOps {
     "q_pivot" -> (qPivot(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_equidepth_bucketize" -> qEquidepthSql,
     "q_grouped_topk" -> qGroupedTopKSql,
     "q_asof_join" -> qAsofSql,
     "q_asof_native" -> qAsofSql,
