@@ -54,9 +54,11 @@ object CorpusStats {
       .cache()
     val totals = uni.agg(sum("c").as("n_tok")).crossJoin(
       bigrams.agg(sum("c_ab").as("n_big")))
+    // no broadcast hint on uni: the vocabulary scales with the corpus
+    // (Heaps' law) — AQE broadcasts while it's small, shuffles beyond
     bigrams.where(col("c_ab") >= MinSupport)
-      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_a"))), "w1")
-      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_b"))), "w2")
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
       .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("c_ab"),
         round(log((col("c_ab") * col("n_tok") * col("n_tok")).cast(DoubleType) /

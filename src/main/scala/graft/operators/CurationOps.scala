@@ -262,8 +262,10 @@ object CurationOps {
     val b = fj.select(col("doc_id").as("b"), col("fp"))
     a.join(b, "fp").where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
-      .join(broadcast(sz.select(col("doc_id").as("a"), col("n").as("na"))), "a")
-      .join(broadcast(sz.select(col("doc_id").as("b"), col("n").as("nb"))), "b")
+      // no broadcast hint: sz is doc-sized (scales with the corpus) —
+      // AQE broadcasts it while small and shuffles beyond the threshold
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
       .select(col("a"), col("b"), col("shared"),
         round(col("shared").cast(DoubleType) / least(col("na"), col("nb")), 6)
           .as("sim"))

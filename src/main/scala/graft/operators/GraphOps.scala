@@ -165,17 +165,19 @@ object GraphOps {
     val n = deg.count()
     var pr = deg.select(col("src").as("node")).withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to PrIters) {
-      // fold pr/deg into a |nodes|-row contribution table FIRST, then
-      // broadcast it to the edge list — the edges never re-shuffle and
-      // the only exchange per round is the map-side-combined
-      // |nodes|-row aggregate. (Beyond broadcast range this degrades
-      // to a shuffled join on src — the quantized arithmetic is
-      // partitioning-independent either way.)
+      // fold pr/deg into a |nodes|-row contribution table FIRST — the
+      // edges never re-shuffle and the only exchange per round is the
+      // map-side-combined |nodes|-row aggregate. No broadcast HINT:
+      // Catalyst broadcasts while contrib is under the threshold (it
+      // is, at harness scale) and falls back to a shuffled join when
+      // |nodes| outgrows executor memory at 100 TB — a forced
+      // broadcast would OOM there instead of degrading. The quantized
+      // arithmetic is partitioning-independent either way.
       val contrib = pr.join(deg.withColumnRenamed("src", "node"), "node")
         .select(col("node").as("src"),
           floor(col("pr") / col("d") * PrQ).cast("long").as("cq"))
       pr = pairs
-        .join(broadcast(contrib), "src")
+        .join(contrib, "src")
         .groupBy(col("dst").as("node"))
         .agg((lit(0.15 / n) +
           lit(Damping) * (sum("cq").cast("double") / PrQ)).as("pr"))
@@ -307,8 +309,10 @@ object GraphOps {
     var lab = pairs.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to LpIters) {
+      // no broadcast hint, same reasoning as pagerankLoop: labels are
+      // |nodes|-sized — threshold-gated broadcast, shuffled beyond
       lab = pairs
-        .join(broadcast(lab.withColumnRenamed("node", "src")), "src")
+        .join(lab.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy("node")

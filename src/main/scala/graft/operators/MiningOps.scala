@@ -50,8 +50,10 @@ object MiningOps {
   def qAssocRules(s: SparkSession, dir: String): DataFrame = {
     val baskets = Tables(s, dir, "lineitem")
       .select(col("l_orderkey").as("oid"), col("l_partkey"))
-      .join(broadcast(Tables(s, dir, "part")
-        .select(col("p_partkey"), col("p_brand").as("item"))),
+      // no broadcast hint: part is a dim that GROWS with scale factor —
+      // AQE broadcasts while small, shuffles beyond the threshold
+      .join(Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand").as("item")),
         col("l_partkey") === col("p_partkey"))
       .select("oid", "item").distinct()
     val nOrders = baskets.select("oid").distinct()
