@@ -119,6 +119,10 @@ object GraphOps {
   private val PrQ = 1099511627776.0 // 2^40: contrib ≤ 1 → terms ≤ 2^40,
   //   in-degrees ≪ 2^12 keep sums exact in BIGINT/double (NOTES #4b)
   private val PrTopK = 50
+  // node tables ≤ this many rows get a broadcast hint inside iterative
+  // loops (≈ tens of MB at 16 bytes/row — comfortably executor-sized);
+  // bigger graphs degrade to shuffled joins instead of OOMing
+  private[operators] val BroadcastNodeCap = 2L * 1000 * 1000
 
   /** Fixed-iteration PageRank over the co-purchase graph (parts bought
     * in the same order, distinct symmetric edges). Per round: one
@@ -163,21 +167,25 @@ object GraphOps {
   private def pagerankLoop(pairs: DataFrame): DataFrame = {
     val deg = pairs.groupBy("src").agg(count(lit(1)).as("d")).cache()
     val n = deg.count()
+    // Runtime-size-gated broadcast: the per-round node tables come out
+    // of localCheckpoint as LogicalRDDs with UNKNOWN stats, so Catalyst
+    // alone would sort-merge every round (measured 2x on the whole
+    // query). But n is already counted — gate the hint on the REAL node
+    // count: broadcast while the |nodes|-row table provably fits an
+    // executor, shuffled join once the graph outgrows it at 100 TB.
+    // The quantized arithmetic is partitioning-independent either way.
+    val gate: DataFrame => DataFrame =
+      if (n <= BroadcastNodeCap) broadcast else identity
     var pr = deg.select(col("src").as("node")).withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to PrIters) {
       // fold pr/deg into a |nodes|-row contribution table FIRST — the
       // edges never re-shuffle and the only exchange per round is the
-      // map-side-combined |nodes|-row aggregate. No broadcast HINT:
-      // Catalyst broadcasts while contrib is under the threshold (it
-      // is, at harness scale) and falls back to a shuffled join when
-      // |nodes| outgrows executor memory at 100 TB — a forced
-      // broadcast would OOM there instead of degrading. The quantized
-      // arithmetic is partitioning-independent either way.
+      // map-side-combined |nodes|-row aggregate
       val contrib = pr.join(deg.withColumnRenamed("src", "node"), "node")
         .select(col("node").as("src"),
           floor(col("pr") / col("d") * PrQ).cast("long").as("cq"))
       pr = pairs
-        .join(contrib, "src")
+        .join(gate(contrib), "src")
         .groupBy(col("dst").as("node"))
         .agg((lit(0.15 / n) +
           lit(Damping) * (sum("cq").cast("double") / PrQ)).as("pr"))
@@ -308,11 +316,14 @@ object GraphOps {
     val pairs = coPairCounts(s, dir).select("src", "dst")
     var lab = pairs.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
+      .localCheckpoint() // materialize once: counted here, joined below
+    // same runtime-size gate as pagerankLoop: the checkpointed label
+    // table has no stats, so hint off the real node count instead
+    val gate: DataFrame => DataFrame =
+      if (lab.count() <= BroadcastNodeCap) broadcast else identity
     for (_ <- 1 to LpIters) {
-      // no broadcast hint, same reasoning as pagerankLoop: labels are
-      // |nodes|-sized — threshold-gated broadcast, shuffled beyond
       lab = pairs
-        .join(lab.withColumnRenamed("node", "src"), "src")
+        .join(gate(lab.withColumnRenamed("node", "src")), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy("node")

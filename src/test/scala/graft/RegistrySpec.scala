@@ -39,6 +39,7 @@ class RegistrySpec extends AnyFunSuite {
       operators.AdvancedOps.queries, operators.ScaleOps.queries,
       operators.KMeansIvf.queries, operators.Pipelines.queries,
       operators.TypedOps.queries, operators.GraphOps.queries,
+      operators.GraphOps2.queries,
       operators.TrainingOps.queries, operators.TrainingOps2.queries,
       operators.CorpusStats.queries, operators.TokenizerOps.queries,
       operators.CurationOps.queries, operators.CurationOps2.queries,
