@@ -173,6 +173,104 @@ object MiningOps {
        |FROM test t JOIN pred p USING (qid)
        |GROUP BY 1, 2 ORDER BY true_label, predicted""".stripMargin
 
+  // ------------------------------------------------------- knn classify, IVF
+
+  private val KnnNProbe = 2
+  private val KnnCentMod = 50 // vec_id % 50 == 0 → deterministic centroids
+
+  /** [[qKnnClassify]] with the candidate set bounded by IVF cells — the
+    * 100 TB shape: instead of streaming the whole corpus past every
+    * query, each query probes its [[KnnNProbe]] nearest coarse cells
+    * (same deterministic centroid seeding and argmax cell assignment as
+    * `ann_ivf`, so the session-cached [[Similarity.assignCells]] plan is
+    * shared) and only vectors in probed cells enter the top-k heaps.
+    * Candidates per query ≈ nProbe/nCells of the corpus, and the
+    * probe→candidate step is a hash join on the cell id, not a cross
+    * join. The oracle replicates cell assignment, probing, and voting
+    * exactly; predictions may legitimately differ from the brute
+    * variant (IVF is approximate) — both engines compute the SAME
+    * approximation, so the confusion matrix still hash-matches.
+    */
+  def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.withNorm(s, Tables(s, dir, "embeddings"))
+    val centroids = e.where(col("vec_id") % KnnCentMod === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val cells = Similarity.assignCells(e, centroids)
+    val labels = Tables(s, dir, "embeddings").select("vec_id", "label")
+    val test = cells.where(col("vec_id") % TestMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    // per-query probe list: top-NProbe cells by centroid cosine — a
+    // |queries|×|centroids| broadcast product cut down by the same
+    // bounded-heap exec the neighbor top-k uses
+    val probe = graft.plans.GroupedTopK(
+      test.crossJoin(broadcast(centroids))
+        .select(col("qid"), col("qe"), col("qn"), col("cid"),
+          (expr("graft_dot_f(qe, ce)") / (col("qn") * col("cn"))).as("cos_c")),
+      s, Seq(col("qid")), col("cos_c"), col("cid"), KnnNProbe)
+      .select(col("qid"), col("qe"), col("qn"), col("cid").as("cell"))
+    // candidates = probed cells only — a hash join on the cell id; the
+    // train side never meets queries outside their probe list
+    val cand = cells
+      .where(col("vec_id") % TestMod =!= 0)
+      .join(probe, "cell")
+      .join(labels.withColumnRenamed("vec_id", "cand_id"),
+        col("vec_id") === col("cand_id"))
+      .select(col("qid"), col("vec_id").as("nbr"), col("label").as("nbr_label"),
+        (expr("graft_dot_f(embedding, qe)") / (col("nrm") * col("qn"))).as("cosine"))
+    val topk = graft.plans.GroupedTopK(
+      cand, s, Seq(col("qid")), col("cosine"), col("nbr"), KnnK)
+    val pred = topk.groupBy("qid", "nbr_label")
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("qid")
+      .agg(min(struct((-col("votes")).as("nv"), col("nbr_label").as("lbl"))).as("b"))
+      .select(col("qid"), col("b.lbl").as("predicted"))
+    labels.where(col("vec_id") % TestMod === 0)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"))
+      .join(pred, "qid")
+      .groupBy("true_label", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "predicted")
+  }
+
+  private val qKnnIvfSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn
+       |         FROM e WHERE vec_id % $KnnCentMod = 0),
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm, cell FROM (
+       |    SELECT e.vec_id, e.embedding, e.nrm, cent.cid AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotSql("e.embedding", "cent.ce")} / (e.nrm * cent.cn) DESC, cent.cid ASC) AS rk
+       |    FROM e CROSS JOIN cent) WHERE rk = 1),
+       |test AS (
+       |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+       |  FROM assigned WHERE vec_id % $TestMod = 0),
+       |probe AS (
+       |  SELECT qid, qe, qn, cid AS cell FROM (
+       |    SELECT t.qid, t.qe, t.qn, cent.cid,
+       |      row_number() OVER (PARTITION BY t.qid
+       |        ORDER BY ${dotSql("t.qe", "cent.ce")} / (t.qn * cent.cn) DESC, cent.cid ASC) AS rk
+       |    FROM test t CROSS JOIN cent) WHERE rk <= $KnnNProbe),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS nbr, l.label AS nbr_label,
+       |    ${dotSql("a.embedding", "p.qe")} / (a.nrm * p.qn) AS cosine
+       |  FROM assigned a JOIN probe p ON a.cell = p.cell
+       |  JOIN e l ON a.vec_id = l.vec_id
+       |  WHERE a.vec_id % $TestMod <> 0),
+       |topk AS (
+       |  SELECT qid, nbr, nbr_label FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |    ORDER BY cosine DESC, nbr ASC) <= $KnnK),
+       |votes AS (
+       |  SELECT qid, nbr_label, COUNT(*) AS votes FROM topk GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT qid, nbr_label AS predicted FROM (
+       |    SELECT qid, nbr_label, row_number() OVER (PARTITION BY qid
+       |      ORDER BY votes DESC, nbr_label ASC) AS rk FROM votes) WHERE rk = 1)
+       |SELECT t.label AS true_label, p.predicted, COUNT(*) AS n
+       |FROM e t JOIN pred p ON t.vec_id = p.qid
+       |GROUP BY 1, 2 ORDER BY true_label, predicted""".stripMargin
+
   // --------------------------------------------------------------- skyline
 
   case class CustPoint(c: Long, total: Double, n: Long)
@@ -253,10 +351,12 @@ object MiningOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_assoc_rules" -> (qAssocRules(_, _)),
     "q_knn_classify" -> (qKnnClassify(_, _)),
+    "q_knn_ivf" -> (qKnnIvf(_, _)),
     "q_skyline" -> (qSkyline(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_assoc_rules" -> qAssocRulesSql,
     "q_knn_classify" -> qKnnClassifySql,
+    "q_knn_ivf" -> qKnnIvfSql,
     "q_skyline" -> qSkylineSql)
 }

@@ -253,7 +253,66 @@ object Multimodal {
       |SELECT doc_id, new_w, new_h, CAST(SUM(avg) AS BIGINT) AS px_sum
       |FROM boxes GROUP BY doc_id, new_w, new_h ORDER BY doc_id""".stripMargin
 
+  private val JitterEpochs = 3
+  private val CropSize = 12 // stub dims are 16..31 — a 12² crop always fits
+
+  /** Deterministic crop-and-flip augmentation parameters — the metadata
+    * half of a training-time augmentation stage, computed relationally:
+    * for each (image, epoch) the crop offsets and flip bit derive from
+    * the portable 60-bit hash of (doc_id, epoch), so every re-run — and
+    * every engine — schedules the identical augmentation for a given
+    * sample/epoch (reproducible training, resumable mid-epoch). The
+    * pixel work itself belongs to the decode seam ([[fakeDecode]]);
+    * this stage is pure column arithmetic, stays in whole-stage
+    * codegen, and fans out |docs|·epochs rows only AFTER the narrow
+    * per-doc dims computation (the mm_patchify discipline).
+    */
+  def mmCropJitter(s: SparkSession, dir: String): DataFrame = {
+    val checksum = aggregate(
+      transform(split(col("text"), ""), c => ascii(c).cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
+    val dims = Tables(s, dir, "documents")
+      .select(col("doc_id"), checksum.as("cs"))
+      .select(col("doc_id"),
+        (lit(16) + col("cs") % 16).cast(IntegerType).as("w"),
+        (lit(16) + expr("cs div 16") % 16).cast(IntegerType).as("h"))
+    def h(tag: String) = graft.functions.PortableHash.hash64(
+      concat(col("doc_id").cast(StringType), lit(":"),
+        col("epoch").cast(StringType), lit(s":$tag")))
+    dims
+      .select(col("doc_id"), col("w"), col("h"),
+        explode(sequence(lit(0), lit(JitterEpochs - 1))).as("epoch"))
+      .select(col("doc_id"), col("epoch"),
+        (h("x") % (col("w") - CropSize + 1)).cast(IntegerType).as("crop_x"),
+        (h("y") % (col("h") - CropSize + 1)).cast(IntegerType).as("crop_y"),
+        lit(CropSize).as("crop_w"), lit(CropSize).as("crop_h"),
+        (h("f") % 2 === 0).as("flip"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  private val mmCropJitterSql = {
+    import graft.functions.{PortableHash => PH}
+    def h(tag: String) = PH.sql(
+      s"CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR) || ':$tag'")
+    s"""WITH s AS (SELECT doc_id,
+       |    CAST(list_aggregate(list_transform(regexp_split_to_array(text, ''), c -> ord(c)), 'sum') AS BIGINT) AS cs
+       |  FROM documents),
+       |dims AS (SELECT doc_id,
+       |    CAST(16 + cs % 16 AS INT) AS w,
+       |    CAST(16 + (cs // 16) % 16 AS INT) AS h
+       |  FROM s),
+       |fan AS (SELECT doc_id, w, h, e.epoch
+       |  FROM dims CROSS JOIN range(0, $JitterEpochs) e(epoch))
+       |SELECT doc_id, epoch,
+       |  CAST(${h("x")} % (w - $CropSize + 1) AS INT) AS crop_x,
+       |  CAST(${h("y")} % (h - $CropSize + 1) AS INT) AS crop_y,
+       |  $CropSize AS crop_w, $CropSize AS crop_h,
+       |  ${h("f")} % 2 = 0 AS flip
+       |FROM fan ORDER BY doc_id, epoch""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_crop_jitter" -> (mmCropJitter(_, _)),
     "mm_binary_stats" -> (mmBinaryStats(_, _)),
     "mm_decode_features" -> (mmDecodeFeatures(_, _)),
     "mm_modality_route" -> (mmModalityRoute(_, _)),
@@ -296,6 +355,7 @@ object Multimodal {
       |ORDER BY doc_id, prow, pcol""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "mm_crop_jitter" -> mmCropJitterSql,
     "mm_binary_stats" -> mmBinaryStatsSql,
     "mm_decode_features" -> mmDecodeSql,
     "mm_modality_route" -> mmModalityRouteSql,
