@@ -348,15 +348,76 @@ object MiningOps {
       |    AND (q.total > p.total OR q.n < p.n))
       |ORDER BY total_spent DESC, o_custkey ASC""".stripMargin
 
+  // --------------------------------------------------------- seq mining
+
+  private val SeqSupDen = 100L // support >= 1% of users
+
+  private val SeqWinUs = 600000000L // 10-minute tumbling windows
+
+  /** Frequent sequential 2-patterns (GSP/PrefixSpan's length-2 core,
+    * Srikant & Agrawal EDBT'96) over per-user event histories, scoped
+    * to [[SeqWinUs]] tumbling windows: pattern a→b is supported by a
+    * user iff in SOME window an occurrence of `a` precedes an
+    * occurrence of `b`, which reduces to first(a) < last(b) in
+    * (ts, event_id) lexicographic order within the window — so the
+    * whole corpus collapses to ONE map-side-combinable aggregate per
+    * (user, window, type) before any join. The pair join runs per
+    * (user, window) on ≤|types| rows a side (a bounded alphabet),
+    * never on raw events, and the distinct-user rollup bounds output
+    * at |types|². The support threshold is an integer cross-multiply;
+    * `support` itself is one identically-written division.
+    */
+  def qSeqMining(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr(s"unix_micros(ts) div $SeqWinUs").as("win"),
+        struct(col("ts"), col("event_id")).as("occ"))
+    val perType = ev.groupBy("user_id", "win", "event_type")
+      .agg(min("occ").as("first_occ"), max("occ").as("last_occ"))
+      .localCheckpoint() // self-joined below; materialize once
+    val nUsers = perType.select("user_id").distinct().count()
+    val pairs = perType.as("f")
+      .join(perType.as("l"), Seq("user_id", "win"))
+      .where(col("f.event_type") =!= col("l.event_type") &&
+        col("f.first_occ") < col("l.last_occ"))
+      .groupBy(col("f.event_type").as("antecedent"), col("l.event_type").as("consequent"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    pairs.where(col("n_users") * SeqSupDen >= nUsers)
+      .select(col("antecedent"), col("consequent"), col("n_users"),
+        (col("n_users").cast(DoubleType) / nUsers).as("support"))
+      .orderBy(desc("n_users"), asc("antecedent"), asc("consequent"))
+  }
+
+  private val qSeqMiningSql =
+    s"""WITH pt AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // $SeqWinUs AS win, event_type,
+       |    min(ROW(CAST(ts AS TIMESTAMP), event_id)) AS first_occ,
+       |    max(ROW(CAST(ts AS TIMESTAMP), event_id)) AS last_occ
+       |  FROM events GROUP BY 1, 2, 3),
+       |n AS (SELECT COUNT(DISTINCT user_id) AS nu FROM pt),
+       |sup AS (
+       |  SELECT f.event_type AS antecedent, l.event_type AS consequent,
+       |    COUNT(DISTINCT f.user_id) AS n_users
+       |  FROM pt f JOIN pt l ON f.user_id = l.user_id AND f.win = l.win
+       |  WHERE f.event_type <> l.event_type AND f.first_occ < l.last_occ
+       |  GROUP BY 1, 2)
+       |SELECT s.antecedent, s.consequent, s.n_users,
+       |  CAST(s.n_users AS DOUBLE) / n.nu AS support
+       |FROM sup s CROSS JOIN n
+       |WHERE s.n_users * $SeqSupDen >= n.nu
+       |ORDER BY n_users DESC, antecedent ASC, consequent ASC""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_assoc_rules" -> (qAssocRules(_, _)),
     "q_knn_classify" -> (qKnnClassify(_, _)),
     "q_knn_ivf" -> (qKnnIvf(_, _)),
+    "q_seq_mining" -> (qSeqMining(_, _)),
     "q_skyline" -> (qSkyline(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_assoc_rules" -> qAssocRulesSql,
     "q_knn_classify" -> qKnnClassifySql,
     "q_knn_ivf" -> qKnnIvfSql,
+    "q_seq_mining" -> qSeqMiningSql,
     "q_skyline" -> qSkylineSql)
 }

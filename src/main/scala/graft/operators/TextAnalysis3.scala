@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Corpus-level keyphrase extraction (round-3 additions to the text
+  * family). Reference scope: the reference engine has no text
+  * analytics; these extend the training-data-pipeline surface the way
+  * `ta_textrank`/`ta_collocations` do, with exact DuckDB oracles.
+  */
+object TextAnalysis3 {
+
+  // ------------------------------------------------------------- RAKE
+
+  private val RakeStop = Seq("the", "a", "of", "to", "and", "in", "is")
+  private val RakeTopK = 40
+  private val RakeScale = 1073741824.0 // 2^30 — fixed-point word scores
+
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword-free token runs; each word scores
+    * degree/frequency where degree sums the lengths of every phrase the
+    * word occurs in (corpus-wide), and a phrase scores the sum of its
+    * word scores. Top-[[RakeTopK]] distinct phrases by score.
+    *
+    * Spark shape: one posexplode, a per-doc running stopword count
+    * (window partitioned by doc — the only sequential step, and it
+    * scales embarrassingly) to assign phrase ids, then hash aggregates
+    * only: phrase build, corpus word stats, per-occurrence score,
+    * distinct-phrase rollup. The word-stats table is vocabulary-sized →
+    * broadcast. Word scores are quantized (`floor(deg/freq·2^30)`:
+    * degree/freq is one IEEE division, the 2^30 multiply and floor are
+    * exact) so the per-phrase sum is BIGINT and order-independent on
+    * both engines; a single final /2^30 restores a portable double.
+    */
+  def taRake(s: SparkSession, dir: String): DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val tok = Tables(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("is_stop", col("tok").isin(RakeStop.map(x => x: Any): _*))
+      .withColumn("phrase_id", sum(col("is_stop").cast(LongType)).over(byPos))
+    // one row per phrase OCCURRENCE, in token order
+    val phrases = tok.where(!col("is_stop"))
+      .groupBy("doc_id", "phrase_id")
+      .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("phrase"),
+        count(lit(1)).as("plen"),
+        collect_list(col("tok")).as("words"))
+      .localCheckpoint() // read twice: word stats + occurrence scores
+    val wordStats = phrases
+      .select(explode(col("words")).as("word"), col("plen"))
+      .groupBy("word")
+      .agg(floor(sum("plen").cast(DoubleType) / count(lit(1)) * lit(RakeScale))
+        .cast(LongType).as("wscore_q"))
+    val occScores = phrases
+      .select(col("doc_id"), col("phrase_id"), col("phrase"),
+        explode(col("words")).as("word"))
+      .join(broadcast(wordStats), "word")
+      .groupBy("doc_id", "phrase_id", "phrase")
+      .agg(sum("wscore_q").as("sq"))
+    occScores.groupBy("phrase")
+      .agg(min("sq").as("sq"), count(lit(1)).as("n_occ"))
+      .select(col("phrase"),
+        (col("sq").cast(DoubleType) / lit(RakeScale)).as("score"),
+        col("n_occ"))
+      .orderBy(desc("score"), asc("phrase"))
+      .limit(RakeTopK)
+  }
+
+  private val taRakeSql = {
+    val stop = RakeStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH tok AS (
+       |  SELECT doc_id, pos, tok,
+       |    list_contains($stop, tok) AS is_stop,
+       |    SUM(CASE WHEN list_contains($stop, tok) THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+       |        FROM documents)),
+       |phrases AS (
+       |  SELECT doc_id, phrase_id,
+       |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+       |    COUNT(*) AS plen, list(tok ORDER BY pos) AS words
+       |  FROM tok WHERE NOT is_stop GROUP BY doc_id, phrase_id),
+       |ws AS (
+       |  SELECT word,
+       |    CAST(floor(CAST(SUM(plen) AS DOUBLE) / COUNT(*) * $RakeScale) AS BIGINT) AS wscore_q
+       |  FROM (SELECT unnest(words) AS word, plen FROM phrases)
+       |  GROUP BY word),
+       |occ AS (
+       |  SELECT p.doc_id, p.phrase_id, p.phrase,
+       |    CAST(SUM(ws.wscore_q) AS BIGINT) AS sq
+       |  FROM (SELECT doc_id, phrase_id, phrase, unnest(words) AS word FROM phrases) p
+       |  JOIN ws ON p.word = ws.word
+       |  GROUP BY p.doc_id, p.phrase_id, p.phrase)
+       |SELECT phrase, CAST(min(sq) AS DOUBLE) / $RakeScale AS score,
+       |  COUNT(*) AS n_occ
+       |FROM occ GROUP BY phrase
+       |ORDER BY score DESC, phrase ASC LIMIT $RakeTopK""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_rake" -> (taRake(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "ta_rake" -> taRakeSql)
+}
