@@ -360,22 +360,23 @@ object GraftExpressions {
     z ^ (z >>> 31)
   }
 
-  case class KmvDistinct(
-      child: Expression,
-      k: Int = 256,
-      mutableAggBufferOffset: Int = 0,
-      inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+  /** Shared KMV sketch mechanics: bounded TreeSet of the k minimum
+    * 63-bit hashes, mergeable (merge = re-insert), fixed serialization.
+    * Evaluation differs per operator: [[KmvDistinct]] emits the
+    * cardinality estimate, [[KmvValues]] the kept values themselves
+    * (for sketch set algebra downstream).
+    */
+  sealed trait KmvSketch { self: TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] =>
+    def child: Expression
+    def k: Int
 
     override def children: Seq[Expression] = Seq(child)
     override def nullable: Boolean = false
-    override def dataType: DataType = LongType
-    override def prettyName: String = "graft_kmv_distinct"
 
     override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
       new java.util.TreeSet[java.lang.Long]()
 
-    private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+    protected def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
       buf.add(h)
       if (buf.size() > k) buf.pollLast()
     }
@@ -395,17 +396,6 @@ object GraftExpressions {
       buf
     }
 
-    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
-      val n = buf.size()
-      if (n < k) n.toLong
-      else {
-        // k-th minimum of n uniform draws over [0, 2^63):
-        // E[distinct] ≈ (k-1) * 2^63 / h_k
-        val hk = buf.last().longValue().toDouble
-        math.round((k - 1).toDouble * 9.223372036854776e18 / hk)
-      }
-    }
-
     override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(4 + buf.size() * 8)
       bb.putInt(buf.size())
@@ -422,10 +412,64 @@ object GraftExpressions {
       while (i < n) { buf.add(bb.getLong); i += 1 }
       buf
     }
+  }
+
+  case class KmvDistinct(
+      child: Expression,
+      k: Int = 256,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] with KmvSketch {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_kmv_distinct"
+
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+      val n = buf.size()
+      if (n < k) n.toLong
+      else {
+        // k-th minimum of n uniform draws over [0, 2^63):
+        // E[distinct] ≈ (k-1) * 2^63 / h_k
+        val hk = buf.last().longValue().toDouble
+        math.round((k - 1).toDouble * 9.223372036854776e18 / hk)
+      }
+    }
 
     override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
       copy(mutableAggBufferOffset = newOffset)
     override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinct =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren.head)
+  }
+
+  /** The sketch VALUES (ascending) instead of the point estimate — the
+    * mergeable representation two sketches can be composed over
+    * (union/intersection/Jaccard, Beyer et al. SIGMOD'07) with plain
+    * array functions downstream.
+    */
+  case class KmvValues(
+      child: Expression,
+      k: Int = 256,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] with KmvSketch {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_kmv_values"
+
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+      val out = new Array[Long](buf.size())
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): KmvValues =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): KmvValues =
       copy(inputAggBufferOffset = newOffset)
     override protected def withNewChildrenInternal(
         newChildren: IndexedSeq[Expression]): Expression =
@@ -701,6 +745,10 @@ object GraftExpressions {
     "graft_kmv_distinct" -> { es =>
       val k = es.lift(1).map(_.eval(null).toString.toInt).getOrElse(256)
       KmvDistinct(es.head, k).toAggregateExpression()
+    },
+    "graft_kmv_values" -> { es =>
+      val k = es.lift(1).map(_.eval(null).toString.toInt).getOrElse(256)
+      KmvValues(es.head, k).toAggregateExpression()
     },
     "graft_heavy_hitters" -> { es =>
       val k = es.lift(1).map(_.eval(null).toString.toInt).getOrElse(64)

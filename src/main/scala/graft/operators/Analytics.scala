@@ -140,6 +140,107 @@ object Analytics {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  /** KMV sketch SET ALGEBRA (Beyer et al. SIGMOD'07): build one
+    * [[graft.functions.GraftExpressions.KmvValues]] sketch per stream
+    * ('R'-returned vs 'A'-accepted part keys), then estimate union,
+    * intersection, and Jaccard from the two k-min value sets with plain
+    * array functions — union sketch = k smallest of the merged value
+    * sets; ρ̂ = |k-mins present in both sketches| / k; ∩-estimate =
+    * ρ̂·∪-estimate. This is the composition story sketches exist for at
+    * 100 TB: each stream is one map-side-combined pass, the sketches
+    * are 2 KB each, and every derived statistic is array math on the
+    * driver-visible row — no second scan, no shuffle. Exact
+    * counterparts ride along from one extra aggregate for error
+    * visibility. Oracle: the sketch hash is replicated bit-exactly in
+    * DuckDB HUGEINT splitmix64, so even the estimates hash-match.
+    */
+  def qKmvSetOps(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(s)
+    val k = 256
+    val li = Tables(s, dir, "lineitem")
+    def sketch(flag: String, name: String) =
+      li.where(col("l_returnflag") === flag)
+        .agg(expr(s"graft_kmv_values(l_partkey, $k)").as(name))
+    // exact union/intersection in ONE distinct pass over both streams
+    val exact = li.where(col("l_returnflag").isin("R", "A"))
+      .select("l_returnflag", "l_partkey").distinct()
+      .groupBy("l_partkey").agg(countDistinct("l_returnflag").as("nf"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("nf") === 2, 1L).otherwise(0L)).as("exact_intersect"))
+    def est(arr: Column): Column =
+      when(size(arr) < k, size(arr).cast(LongType))
+        .otherwise(floor(lit((k - 1).toDouble) * lit(9.223372036854776e18)
+          / element_at(arr, k).cast(DoubleType) + 0.5).cast(LongType))
+    val merged = array_sort(array_union(col("ska"), col("skb")))
+    val kEff = least(size(merged), lit(k))
+    val common = size(array_intersect(
+      array_intersect(slice(merged, lit(1), kEff), col("ska")), col("skb")))
+    val estU = est(merged)
+    val jac = common.cast(DoubleType) / kEff
+    sketch("R", "ska").crossJoin(sketch("A", "skb")).crossJoin(exact)
+      .select(
+        est(col("ska")).as("est_r"),
+        est(col("skb")).as("est_a"),
+        estU.as("est_union"),
+        col("exact_union"),
+        floor(jac * estU.cast(DoubleType) + 0.5).cast(LongType).as("est_intersect"),
+        col("exact_intersect"),
+        jac.as("kmv_jaccard"))
+  }
+
+  private val qKmvSetOpsSql = {
+    val c1 = BigInt("9e3779b97f4a7c15", 16)
+    val c2 = BigInt("bf58476d1ce4e5b9", 16)
+    val c3 = BigInt("94d049bb133111eb", 16)
+    val k = 256
+    val estExpr = (n: String, kv: String) =>
+      s"CASE WHEN $n < $k THEN CAST($n AS BIGINT) ELSE CAST(floor(${k - 1}.0 * 9.223372036854776e18 / CAST($kv AS DOUBLE) + 0.5) AS BIGINT) END"
+    s"""WITH vals AS (
+       |  SELECT DISTINCT l_returnflag AS f, CAST(l_partkey AS HUGEINT) AS v
+       |  FROM lineitem WHERE l_returnflag IN ('R', 'A') AND l_partkey IS NOT NULL),
+       |s0 AS (SELECT f, (v + $c1) % $M64 AS u FROM vals),
+       |s1 AS (SELECT f, ${xor64("u", "(u // 1073741824)")} AS x FROM s0),
+       |s2 AS (SELECT f, ${mulMod("x", c2)} AS u2 FROM s1),
+       |s3 AS (SELECT f, ${xor64("u2", "(u2 // 134217728)")} AS x2 FROM s2),
+       |s4 AS (SELECT f, ${mulMod("x2", c3)} AS u3 FROM s3),
+       |s5 AS (SELECT f, ${xor64("u3", "(u3 // 2147483648)")} AS h FROM s4),
+       |sk AS (SELECT f, kv FROM (
+       |    SELECT f, h // 2 AS kv,
+       |      row_number() OVER (PARTITION BY f ORDER BY (h // 2) ASC) AS rk
+       |    FROM (SELECT DISTINCT f, h FROM s5)) WHERE rk <= $k),
+       |counts AS (SELECT
+       |    (SELECT COUNT(*) FROM sk WHERE f = 'R') AS n_r,
+       |    (SELECT COUNT(*) FROM sk WHERE f = 'A') AS n_a),
+       |m AS (SELECT kv, row_number() OVER (ORDER BY kv ASC) AS rk,
+       |             COUNT(*) OVER () AS n
+       |      FROM (SELECT DISTINCT kv FROM sk)),
+       |mk AS (SELECT kv, n FROM m WHERE rk <= least(n, $k)),
+       |stats AS (SELECT
+       |    (SELECT max(n) FROM m) AS n_m,
+       |    (SELECT max(kv) FROM m WHERE rk = $k) AS kth_m,
+       |    (SELECT COUNT(*) FROM mk
+       |       WHERE kv IN (SELECT kv FROM sk WHERE f = 'R')
+       |         AND kv IN (SELECT kv FROM sk WHERE f = 'A')) AS common,
+       |    (SELECT least(max(n), $k) FROM m) AS k_eff,
+       |    (SELECT max(kv) FROM (SELECT kv, row_number() OVER (ORDER BY kv ASC) AS rk
+       |                          FROM (SELECT DISTINCT kv FROM sk WHERE f = 'R')) WHERE rk = $k) AS kth_r,
+       |    (SELECT max(kv) FROM (SELECT kv, row_number() OVER (ORDER BY kv ASC) AS rk
+       |                          FROM (SELECT DISTINCT kv FROM sk WHERE f = 'A')) WHERE rk = $k) AS kth_a),
+       |ex AS (SELECT COUNT(*) AS exact_union,
+       |    CAST(SUM(CASE WHEN nf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_intersect
+       |  FROM (SELECT v, COUNT(DISTINCT f) AS nf FROM vals GROUP BY v))
+       |SELECT
+       |  ${estExpr("counts.n_r", "stats.kth_r")} AS est_r,
+       |  ${estExpr("counts.n_a", "stats.kth_a")} AS est_a,
+       |  ${estExpr("stats.n_m", "stats.kth_m")} AS est_union,
+       |  ex.exact_union,
+       |  CAST(floor((CAST(stats.common AS DOUBLE) / stats.k_eff)
+       |    * CAST(${estExpr("stats.n_m", "stats.kth_m")} AS DOUBLE) + 0.5) AS BIGINT) AS est_intersect,
+       |  ex.exact_intersect,
+       |  CAST(stats.common AS DOUBLE) / stats.k_eff AS kmv_jaccard
+       |FROM counts CROSS JOIN stats CROSS JOIN ex""".stripMargin
+  }
+
   /** Distinct-count family: exact distinct (shuffle on key) — the
     * scale-path approximate variant is qApproxDistinctKmv (KMV sketch).
     */
@@ -718,6 +819,7 @@ object Analytics {
     "q_agg_misc" -> (qAggMisc(_, _)),
     "q_stats_agg" -> (qStatsAgg(_, _)),
     "q_approx_distinct_kmv" -> (qApproxDistinctKmv(_, _)),
+    "q_kmv_set_ops" -> (qKmvSetOps(_, _)),
     "q_rollup" -> (qRollup(_, _)),
     "q_cube" -> (qCube(_, _)),
     "q_grouping_sets" -> (qGroupingSets(_, _)),
@@ -743,6 +845,7 @@ object Analytics {
 
   def oracles: Map[String, String] = Map(
     "q_approx_distinct_kmv" -> qApproxDistinctKmvSql,
+    "q_kmv_set_ops" -> qKmvSetOpsSql,
     "q1_pricing_summary" -> q1Sql,
     "q2_topk_orders" -> q2Sql,
     "q3_shipping_priority" -> q3Sql,
