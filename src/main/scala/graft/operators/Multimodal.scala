@@ -253,6 +253,85 @@ object Multimodal {
       |SELECT doc_id, new_w, new_h, CAST(SUM(avg) AS BIGINT) AS px_sum
       |FROM boxes GROUP BY doc_id, new_w, new_h ORDER BY doc_id""".stripMargin
 
+  private val VadThreshold = 500L // energies are uniform over [0, 1000)
+
+  /** Voice-activity segmentation over stub-decoded audio: each payload
+    * fans out into its frame count (derived from the checksum, standing
+    * in for duration/hop), per-frame energy is deterministic hash
+    * arithmetic (the seam a real RMS-energy extractor replaces), frames
+    * above [[VadThreshold]] are voiced, and maximal voiced runs
+    * coalesce into segments via the islands trick — the running count
+    * of UNVOICED frames is constant exactly across a voiced run, so it
+    * is the segment key with no self-join and no iteration. Per-doc
+    * output: frame/voiced/segment counts, longest segment, first voiced
+    * frame. The frame fan-out happens after the narrow per-doc stage
+    * (mm_patchify discipline) and the segmentation window partitions by
+    * doc — embarrassingly parallel at 100 TB.
+    */
+  def mmAudioVad(s: SparkSession, dir: String): DataFrame = {
+    val checksum = aggregate(
+      transform(split(col("text"), ""), c => ascii(c).cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
+    val byFrame = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("fi")
+    val frames = Tables(s, dir, "documents")
+      .select(col("doc_id"), checksum.as("cs"))
+      .select(col("doc_id"), (lit(8) + col("cs") % 24).cast(IntegerType).as("nf"))
+      .select(col("doc_id"), col("nf"),
+        explode(sequence(lit(0), col("nf") - 1)).as("fi"))
+      .withColumn("energy", graft.functions.PortableHash.hash64(
+        concat(col("doc_id").cast(StringType), lit(":"), col("fi").cast(StringType))) % 1000L)
+      .withColumn("voiced", col("energy") >= VadThreshold)
+      .withColumn("seg_key",
+        sum(when(col("voiced"), 0L).otherwise(1L)).over(byFrame))
+    val segs = frames.where(col("voiced"))
+      .groupBy("doc_id", "seg_key")
+      .agg(count(lit(1)).as("seg_len"), min("fi").as("seg_start"))
+    val perDoc = segs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum("seg_len").as("n_voiced"),
+        max("seg_len").as("longest_segment"),
+        min("seg_start").as("first_voiced"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), checksum.as("cs"))
+      .select(col("doc_id"), (lit(8) + col("cs") % 24).cast(LongType).as("n_frames"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("n_voiced"), lit(0L)).as("n_voiced"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_segment"), lit(0L)).as("longest_segment"),
+        coalesce(col("first_voiced"), lit(-1L)).as("first_voiced"))
+      .orderBy("doc_id")
+  }
+
+  private val mmAudioVadSql = {
+    import graft.functions.{PortableHash => PH}
+    val energy = PH.sql("CAST(doc_id AS VARCHAR) || ':' || CAST(fi AS VARCHAR)") + " % 1000"
+    s"""WITH s AS (SELECT doc_id,
+       |    CAST(list_aggregate(list_transform(regexp_split_to_array(text, ''), c -> ord(c)), 'sum') AS BIGINT) AS cs
+       |  FROM documents),
+       |nf AS (SELECT doc_id, CAST(8 + cs % 24 AS BIGINT) AS n_frames FROM s),
+       |fr AS (SELECT doc_id, n_frames, unnest(range(0, n_frames)) AS fi FROM nf),
+       |en AS (SELECT doc_id, fi, $energy AS energy FROM fr),
+       |marked AS (SELECT doc_id, fi, energy >= $VadThreshold AS voiced,
+       |    SUM(CASE WHEN energy >= $VadThreshold THEN 0 ELSE 1 END)
+       |      OVER (PARTITION BY doc_id ORDER BY fi) AS seg_key
+       |  FROM en),
+       |segs AS (SELECT doc_id, seg_key, COUNT(*) AS seg_len, min(fi) AS seg_start
+       |  FROM marked WHERE voiced GROUP BY doc_id, seg_key),
+       |per_doc AS (SELECT doc_id, COUNT(*) AS n_segments,
+       |    CAST(SUM(seg_len) AS BIGINT) AS n_voiced,
+       |    max(seg_len) AS longest_segment, min(seg_start) AS first_voiced
+       |  FROM segs GROUP BY doc_id)
+       |SELECT nf.doc_id, nf.n_frames,
+       |  coalesce(p.n_voiced, 0) AS n_voiced,
+       |  coalesce(p.n_segments, 0) AS n_segments,
+       |  coalesce(p.longest_segment, 0) AS longest_segment,
+       |  coalesce(p.first_voiced, -1) AS first_voiced
+       |FROM nf LEFT JOIN per_doc p ON nf.doc_id = p.doc_id
+       |ORDER BY nf.doc_id""".stripMargin
+  }
+
   private val JitterEpochs = 3
   private val CropSize = 12 // stub dims are 16..31 — a 12² crop always fits
 
@@ -312,6 +391,7 @@ object Multimodal {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_vad" -> (mmAudioVad(_, _)),
     "mm_crop_jitter" -> (mmCropJitter(_, _)),
     "mm_binary_stats" -> (mmBinaryStats(_, _)),
     "mm_decode_features" -> (mmDecodeFeatures(_, _)),
@@ -355,6 +435,7 @@ object Multimodal {
       |ORDER BY doc_id, prow, pcol""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "mm_audio_vad" -> mmAudioVadSql,
     "mm_crop_jitter" -> mmCropJitterSql,
     "mm_binary_stats" -> mmBinaryStatsSql,
     "mm_decode_features" -> mmDecodeSql,
