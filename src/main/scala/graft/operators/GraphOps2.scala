@@ -191,13 +191,81 @@ object GraphOps2 {
        |FROM d$BfsRounds GROUP BY dist ORDER BY dist""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Weighted shortest paths (bounded Bellman-Ford)
+  // ---------------------------------------------------------------------
+
+  private val SsspRounds = 4
+  private val SsspRing = 50L // output histogram bucket width
+
+  /** Weighted single/multi-source shortest paths by [[SsspRounds]]
+    * rounds of Bellman-Ford relaxation: edge weight = `100 −
+    * min(cnt, 50)` (stronger co-purchase ties are shorter hops — all
+    * integer, no float ever enters a distance), seeds are the BFS seed
+    * set at distance 0, and each round relaxes `dist' = min(dist,
+    * dist[src] + w)` via one frontier⋈edges join (keyed by the edge
+    * list's resident src partitioning) plus one min-aggregate. Bounded
+    * rounds, `localCheckpoint` per round — the PageRank/BFS iterative
+    * idiom with a weighted relaxation. Output: ring histogram
+    * (distance div [[SsspRing]]) so the row count stays bounded no
+    * matter how the distance distribution spreads.
+    */
+  def qSssp(s: SparkSession, dir: String): DataFrame = {
+    val e = GraphOps.coPairCounts(s, dir)
+      .where(col("cnt") >= MinSupport)
+      .select(col("src"), col("dst"),
+        (lit(100L) - least(col("cnt"), lit(50L))).as("w"))
+    var dist = e.select(col("src").as("node")).distinct()
+      .where(col("node") % 100 === 0)
+      .withColumn("dist", lit(0L))
+    val gate: DataFrame => DataFrame =
+      if (e.select("src").distinct().count() <= GraphOps.BroadcastNodeCap)
+        broadcast else identity
+    for (_ <- 1 to SsspRounds) {
+      val relaxed = gate(dist).join(e.withColumnRenamed("src", "node"), "node")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist.groupBy(expr(s"CAST(dist DIV $SsspRing AS BIGINT)").as("ring"))
+      .agg(count(lit(1)).as("n_nodes"), min("dist").as("min_dist"),
+        min("node").as("min_node"))
+      .orderBy("ring")
+  }
+
+  private val qSsspSql = {
+    val iters = (1 to SsspRounds).map { i =>
+      s"""s$i AS (SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM s${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.dist + e.w AS dist
+         |    FROM s${i - 1} p JOIN we e ON p.node = e.src)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |we AS (
+       |  SELECT a.pk AS src, b.pk AS dst,
+       |    100 - least(COUNT(*), 50) AS w
+       |  FROM op a JOIN op b ON a.ok = b.ok
+       |  WHERE a.pk <> b.pk GROUP BY 1, 2 HAVING COUNT(*) >= $MinSupport),
+       |s0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+       |       FROM we WHERE src % 100 = 0),
+       |$iters
+       |SELECT CAST(dist // $SsspRing AS BIGINT) AS ring, COUNT(*) AS n_nodes,
+       |  MIN(dist) AS min_dist, MIN(node) AS min_node
+       |FROM s$SsspRounds GROUP BY 1 ORDER BY ring""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kcore" -> (qKcore(_, _)),
     "q_link_predict" -> (qLinkPredict(_, _)),
-    "q_bfs_dist" -> (qBfsDist(_, _)))
+    "q_bfs_dist" -> (qBfsDist(_, _)),
+    "q_sssp" -> (qSssp(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_kcore" -> qKcoreSql,
     "q_link_predict" -> qLinkPredictSql,
-    "q_bfs_dist" -> qBfsDistSql)
+    "q_bfs_dist" -> qBfsDistSql,
+    "q_sssp" -> qSsspSql)
 }
