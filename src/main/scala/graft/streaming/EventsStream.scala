@@ -225,6 +225,49 @@ object EventsStream {
       }
   }
 
+  /** Streaming twin of `MiningOps.qSeqMining`: frequent a→b patterns
+    * inside 10-minute tumbling windows, live. Two CHAINED stateful
+    * aggregations in append mode (the multiple-stateful-operator tier):
+    *
+    *  1. per (window, user): collect the window's events, then a
+    *     STATELESS projection derives every ordered type pair (a, b)
+    *     with first(a) < last(b) in (ts, event_id) order — pure
+    *     higher-order array functions over the collected list, no extra
+    *     state;
+    *  2. per (re-windowed via `window_time`, a, b): count supporting
+    *     users — exact as a plain count because step 1 emits one row
+    *     per (window, user).
+    *
+    * State for (1) is bounded by the watermark (a closed window's list
+    * is emitted and evicted); (2) holds one counter per (window, pair).
+    * Emission happens when the watermark closes the window, so each
+    * (win_start, antecedent, consequent, n_users) row appears exactly
+    * once — the live counterpart of the batch miner's per-window core.
+    */
+  def seqPatterns(events: DataFrame): DataFrame = {
+    val lst = col("evs")
+    val types = array_distinct(transform(lst, x => x.getField("event_type")))
+    def firstOf(t: org.apache.spark.sql.Column) = array_min(
+      filter(lst, x => x.getField("event_type") === t))
+    def lastOf(t: org.apache.spark.sql.Column) = array_max(
+      filter(lst, x => x.getField("event_type") === t))
+    val pairs = filter(
+      flatten(transform(types, a => transform(types, b => struct(a.as("a"), b.as("b"))))),
+      p => p.getField("a") =!= p.getField("b") &&
+        firstOf(p.getField("a")) < lastOf(p.getField("b")))
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+      // (ts, event_id) leads the struct so array_min/max = occurrence order
+      .agg(collect_list(struct(col("ts"), col("event_id"), col("event_type"))).as("evs"))
+      .select(col("window"), col("user_id"), explode(pairs).as("p"))
+      .groupBy(window(window_time(col("window")), "10 minutes"),
+        col("p.a").as("antecedent"), col("p.b").as("consequent"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("window.start").as("win_start"),
+        col("antecedent"), col("consequent"), col("n_users"))
+  }
+
   /** Synchronous smoke runner for tests: memory sink, drain, return. */
   def runToMemory(spark: SparkSession, agg: DataFrame, name: String): StreamingQuery = {
     val q = agg.writeStream

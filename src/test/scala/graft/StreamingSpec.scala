@@ -270,4 +270,29 @@ class StreamingSpec extends SparkSuite {
       got.foreach { case (k, n) => assert(batch(k) == n, s"cell-window $k") }
     } finally q.stop()
   }
+
+  test("chained stateful seq-pattern stream agrees with the batch miner core") {
+    val events = EventsStream.readEvents(sc, sfDir, "events.parquet")
+    val q = EventsStream.runToMemory(spark, EventsStream.seqPatterns(events), "seqpat_test")
+    try {
+      val got = spark.sql("SELECT * FROM seqpat_test").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("win_start"), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+      // batch truth: per-(window, user, type) first/last occurrence,
+      // pair join, per-window supporting-user counts — the q_seq_mining
+      // core without the corpus-level support rollup
+      val pt = graft.sources.Tables(sc, sfDir, "events")
+        .groupBy(window(col("ts"), "10 minutes"), col("user_id"), col("event_type"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("f"),
+          max(struct(col("ts"), col("event_id"))).as("l"))
+      val batch = pt.as("x").join(pt.as("y"), Seq("window", "user_id"))
+        .where(col("x.event_type") =!= col("y.event_type") && col("x.f") < col("y.l"))
+        .groupBy(col("window.start").as("win_start"),
+          col("x.event_type").as("a"), col("y.event_type").as("b"))
+        .agg(count(lit(1)).as("n_users"))
+        .collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("win_start"), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+      assert(got.nonEmpty)
+      got.foreach { case (k, n) => assert(batch(k) == n, s"pattern $k") }
+    } finally q.stop()
+  }
 }
