@@ -686,6 +686,34 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** `graft_wordpiece(text)`: greedy longest-match WordPiece tokens of
+    * a document as array<string> — one linear pass in [[WordPiece]];
+    * the generated code is a single static call.
+    */
+  case class WordPieceTokens(child: Expression) extends UnaryExpression {
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects string, got $other")
+      }
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_wordpiece"
+
+    override def nullSafeEval(input: Any): Any =
+      WordPiece.pieces(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.WordPiece.pieces($s);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `graft_cdc(text, w, modulus)`: content-defined chunks of a
     * document as array<struct<chash, n_tok>> — one linear pass in
     * [[Cdc]] replacing the explode → window-hash → running-sum →
@@ -729,6 +757,7 @@ object GraftExpressions {
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "graft_norm_sq" -> (es => L2NormSq(es.head)),
     "graft_dist_sq" -> (es => DistSq(es(0), es(1))),
+    "graft_wordpiece" -> (es => WordPieceTokens(es.head)),
     "graft_winnow" -> (es => WinnowFingerprints(es(0),
       es(1).eval(null).toString.toInt, es(2).eval(null).toString.toInt)),
     "graft_cdc" -> (es => CdcChunks(es(0),

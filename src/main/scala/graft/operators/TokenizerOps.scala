@@ -125,11 +125,52 @@ object TokenizerOps {
        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
        |GROUP BY 1, 2 ORDER BY doc_id, slot""".stripMargin
 
+  /** WordPiece greedy maximal-munch tokenization (Wu et al. 2016) over
+    * a fixed vocabulary, as the codegen'd whole-document kernel
+    * [[graft.functions.WordPiece]] — per document ONE static call
+    * emits the piece array, so tokenization never materializes a
+    * per-position relation (the graft_winnow discipline; at 100 TB the
+    * corpus-sized intermediate is the difference between a projection
+    * and a shuffle). Output: corpus piece frequencies + document
+    * frequencies. The oracle replays the same longest-match recurrence
+    * as a recursive CTE over the same VALUES vocabulary, longest match
+    * chosen by a NOT EXISTS against longer matching pieces (aggregate-
+    * and window-free, so it is legal in the recursive term).
+    */
+  def taWordpiece(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(s)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(expr("graft_wordpiece(text)")).as("piece"))
+      .groupBy("piece")
+      .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("n_docs"))
+      .orderBy(desc("cnt"), asc("piece"))
+  }
+
+  private val taWordpieceSql =
+    s"""WITH RECURSIVE vocab(piece, len) AS (
+       |  SELECT * FROM (VALUES ${graft.functions.WordPiece.vocabSqlValues}) t(p, l)),
+       |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |                 unnest(range(1, len(string_split(text, ' ')) + 1)) AS wid
+       |          FROM documents),
+       |munch(doc_id, wid, w, pos, piece) AS (
+       |  SELECT doc_id, wid, w, 1, CAST(NULL AS VARCHAR) FROM words
+       |  UNION ALL
+       |  SELECT m.doc_id, m.wid, m.w, m.pos + v.len, v.piece
+       |  FROM munch m JOIN vocab v
+       |    ON m.pos <= len(m.w) AND substr(m.w, m.pos, v.len) = v.piece
+       |  WHERE NOT EXISTS (SELECT 1 FROM vocab v2 WHERE v2.len > v.len
+       |                    AND substr(m.w, m.pos, v2.len) = v2.piece))
+       |SELECT piece, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_docs
+       |FROM munch WHERE piece IS NOT NULL
+       |GROUP BY piece ORDER BY cnt DESC, piece ASC""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_bpe_train" -> (taBpeTrain(_, _)),
+    "ta_wordpiece" -> (taWordpiece(_, _)),
     "q_feature_hash" -> (qFeatureHash(_, _)))
 
   def oracles: Map[String, String] = Map(
     "ta_bpe_train" -> taBpeTrainSql,
+    "ta_wordpiece" -> taWordpieceSql,
     "q_feature_hash" -> qFeatureHashSql)
 }

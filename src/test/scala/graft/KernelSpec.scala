@@ -77,4 +77,26 @@ class KernelSpec extends AnyFunSuite {
       start += n
     }
   }
+
+  private def wpGot(s: String): Seq[String] = {
+    val a = graft.functions.WordPiece.pieces(UTF8String.fromString(s))
+    (0 until a.numElements()).map(a.getUTF8String(_).toString)
+  }
+
+  test("wordpiece kernel: greedy longest match, totality, reassembly") {
+    assert(wpGot("") == Seq.empty)
+    // longest match wins over any shorter decomposition
+    assert(wpGot("customer") == Seq("customer"))
+    assert(wpGot("sorting") == Seq("sort", "ing"))
+    // multi-word input: word boundaries reset the munch
+    assert(wpGot("the spark") == Seq("the", "spark"))
+    // unknown characters fall through as single-char pieces
+    assert(wpGot("a9b") == Seq("a", "9", "b"))
+    // pieces always reassemble to the input (minus spaces), and every
+    // piece is either in the vocab or a single char
+    val s = "streaming tablesort xqzzy the window merger"
+    assert(wpGot(s).mkString == s.replace(" ", ""))
+    assert(wpGot(s).forall(p =>
+      graft.functions.WordPiece.Vocab.contains(p) || p.length == 1))
+  }
 }

@@ -33,7 +33,8 @@ class RegistrySpec extends AnyFunSuite {
       operators.Analytics6.queries, operators.Analytics7.queries,
       operators.Analytics8.queries,
       operators.CorpusOps.queries, operators.TextAnalysis.queries,
-      operators.TextAnalysis2.queries, operators.DedupOps.queries,
+      operators.TextAnalysis2.queries, operators.TextAnalysis3.queries,
+      operators.DedupOps.queries,
       operators.Similarity.queries, operators.Similarity2.queries,
       operators.Similarity3.queries, operators.Multimodal.queries,
       operators.AdvancedOps.queries, operators.ScaleOps.queries,
