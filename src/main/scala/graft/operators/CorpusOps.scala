@@ -136,13 +136,80 @@ object CorpusOps {
        |ORDER BY n_occurrences DESC, chash ASC""".stripMargin
   }
 
+  /** The storage-dedup LEDGER the chunk histogram (q_cdc_chunks) feeds:
+    * a chunk's globally-first occurrence — min (doc_id, chunk_idx) —
+    * is "stored"; every later occurrence is deduplicated away. Per
+    * document: chunks/tokens stored vs deduped and the savings ratio —
+    * the per-item accounting an incremental-sync or training-shard
+    * dedup stage reports. Shape: the same one-kernel-call chunking,
+    * one min-aggregate per chash (map-side combining), one hash join
+    * back on chash, one per-doc rollup. The ratio is a single
+    * identically-written division.
+    */
+  def ddChunkLedger(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_cdc(text, $CdcW, ${CdcMask + 1})")).as(Seq("ci", "c")))
+      .select(col("doc_id"), col("ci"),
+        col("c.chash").as("chash"), col("c.n_tok").as("n_tok"))
+    val firstOcc = chunks.groupBy("chash")
+      .agg(min(struct(col("doc_id"), col("ci"))).as("first"))
+      .select(col("chash"), col("first.doc_id").as("fdoc"), col("first.ci").as("fci"))
+    chunks.join(firstOcc, "chash")
+      .withColumn("stored", col("doc_id") === col("fdoc") && col("ci") === col("fci"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("stored"), 1L).otherwise(0L)).as("stored_chunks"),
+        sum(when(col("stored"), col("n_tok")).otherwise(0L)).as("stored_tokens"),
+        sum(when(!col("stored"), col("n_tok")).otherwise(0L)).as("deduped_tokens"))
+      .select(col("doc_id"), col("n_chunks"), col("stored_chunks"),
+        col("stored_tokens"), col("deduped_tokens"),
+        (col("deduped_tokens").cast(DoubleType)
+          / (col("stored_tokens") + col("deduped_tokens"))).as("savings"))
+      .orderBy("doc_id")
+  }
+
+  private val ddChunkLedgerSql = {
+    val winExpr = s"array_to_string(d.toks[i - ${CdcW - 1}:i], ' ')"
+    s"""WITH t AS (
+       |  SELECT d.doc_id, i AS p, d.toks[i] AS tok,
+       |    CASE WHEN i >= $CdcW
+       |      AND ${PortableHash.sql(winExpr)} % ${CdcMask + 1} = 0
+       |    THEN 1 ELSE 0 END AS cut
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)) d),
+       |c AS (SELECT doc_id, p, tok,
+       |    CAST(SUM(cut) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS UNBOUNDED PRECEDING) - cut AS BIGINT) AS ci
+       |  FROM t),
+       |ch AS (SELECT doc_id, ci, COUNT(*) AS n_tok,
+       |    md5(string_agg(tok, ' ' ORDER BY p)) AS chash
+       |  FROM c GROUP BY doc_id, ci),
+       |fo AS (SELECT chash, min(ROW(doc_id, ci)) AS first FROM ch GROUP BY chash),
+       |led AS (SELECT ch.doc_id, ch.n_tok,
+       |    (ch.doc_id = fo.first[1] AND ch.ci = fo.first[2]) AS stored
+       |  FROM ch JOIN fo ON ch.chash = fo.chash)
+       |SELECT doc_id, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN stored THEN 1 ELSE 0 END) AS BIGINT) AS stored_chunks,
+       |  CAST(SUM(CASE WHEN stored THEN n_tok ELSE 0 END) AS BIGINT) AS stored_tokens,
+       |  CAST(SUM(CASE WHEN NOT stored THEN n_tok ELSE 0 END) AS BIGINT) AS deduped_tokens,
+       |  CAST(SUM(CASE WHEN NOT stored THEN n_tok ELSE 0 END) AS DOUBLE)
+       |    / (CAST(SUM(CASE WHEN stored THEN n_tok ELSE 0 END) AS BIGINT)
+       |       + CAST(SUM(CASE WHEN NOT stored THEN n_tok ELSE 0 END) AS BIGINT)) AS savings
+       |FROM led GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_length_buckets" -> (qLengthBuckets(_, _)),
     "q_cdc_chunks" -> (qCdcChunks(_, _)),
+    "dd_chunk_ledger" -> (ddChunkLedger(_, _)),
     "dd_prefix_dup" -> (ddPrefixDup(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_length_buckets" -> qLengthBucketsSql,
     "q_cdc_chunks" -> qCdcChunksSql,
+    "dd_chunk_ledger" -> ddChunkLedgerSql,
     "dd_prefix_dup" -> ddPrefixDupSql)
 }

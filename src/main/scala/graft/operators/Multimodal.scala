@@ -332,6 +332,71 @@ object Multimodal {
        |ORDER BY nf.doc_id""".stripMargin
   }
 
+  private val SceneMaxFrames = 240L
+  private val SceneCutDelta = 12L // |Δ feature| > this ⇒ new scene
+
+  /** Shot/scene segmentation over the video stand-in: per-frame
+    * features are the mm_frame_sample synthesis at stride 1, a scene
+    * cut falls wherever the feature jumps by more than
+    * [[SceneCutDelta]] against the previous frame (the content-delta
+    * heuristic real shot detectors threshold on histogram distance),
+    * and the running cut count is the scene id — same islands shape as
+    * mm_audio_vad, partitioned per doc. Output: per-video scene stats
+    * (count, longest, first cut), the metadata a frame-sampler uses to
+    * pick one keyframe per scene instead of a blind stride.
+    */
+  def mmSceneSplit(s: SparkSession, dir: String): DataFrame = {
+    val byIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    val frames = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), least(col("n_chars"), lit(SceneMaxFrames)) - 1)).as("frame_idx"),
+        col("text"))
+      .select(col("doc_id"), col("frame_idx"),
+        ascii(col("text").substr(col("frame_idx").cast(IntegerType) + 1, lit(1)))
+          .cast(LongType).as("f"))
+    val cuts = frames
+      .withColumn("prev", lag("f", 1).over(byIdx))
+      .withColumn("cut",
+        when(col("prev").isNotNull && abs(col("f") - col("prev")) > SceneCutDelta, 1L)
+          .otherwise(0L))
+      .withColumn("scene", sum("cut").over(byIdx))
+    val scenes = cuts.groupBy("doc_id", "scene")
+      .agg(count(lit(1)).as("scene_len"), min("frame_idx").as("scene_start"))
+    scenes.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scenes"),
+        sum("scene_len").as("n_frames"),
+        max("scene_len").as("longest_scene"),
+        min(when(col("scene_start") > 0, col("scene_start"))).as("first_cut"))
+      .select(col("doc_id"), col("n_frames"), col("n_scenes"),
+        col("longest_scene"), coalesce(col("first_cut"), lit(-1L)).as("first_cut"))
+      .orderBy("doc_id")
+  }
+
+  private val mmSceneSplitSql =
+    s"""WITH fr AS (
+       |  SELECT doc_id, frame_idx,
+       |    CAST(ord(substr(text, CAST(frame_idx AS INT) + 1, 1)) AS BIGINT) AS f
+       |  FROM documents CROSS JOIN range(0, $SceneMaxFrames) r(frame_idx)
+       |  WHERE frame_idx < least(n_chars, $SceneMaxFrames)),
+       |cuts AS (
+       |  SELECT doc_id, frame_idx, f,
+       |    CASE WHEN lag(f) OVER w IS NOT NULL
+       |              AND abs(f - lag(f) OVER w) > $SceneCutDelta
+       |         THEN 1 ELSE 0 END AS cut
+       |  FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+       |sc AS (
+       |  SELECT doc_id, frame_idx,
+       |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS scene
+       |  FROM cuts),
+       |scenes AS (
+       |  SELECT doc_id, scene, COUNT(*) AS scene_len, min(frame_idx) AS scene_start
+       |  FROM sc GROUP BY doc_id, scene)
+       |SELECT doc_id, CAST(SUM(scene_len) AS BIGINT) AS n_frames,
+       |  COUNT(*) AS n_scenes, max(scene_len) AS longest_scene,
+       |  coalesce(min(CASE WHEN scene_start > 0 THEN scene_start END), -1) AS first_cut
+       |FROM scenes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val JitterEpochs = 3
   private val CropSize = 12 // stub dims are 16..31 — a 12² crop always fits
 
@@ -392,6 +457,7 @@ object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_audio_vad" -> (mmAudioVad(_, _)),
+    "mm_scene_split" -> (mmSceneSplit(_, _)),
     "mm_crop_jitter" -> (mmCropJitter(_, _)),
     "mm_binary_stats" -> (mmBinaryStats(_, _)),
     "mm_decode_features" -> (mmDecodeFeatures(_, _)),
@@ -436,6 +502,7 @@ object Multimodal {
 
   def oracles: Map[String, String] = Map(
     "mm_audio_vad" -> mmAudioVadSql,
+    "mm_scene_split" -> mmSceneSplitSql,
     "mm_crop_jitter" -> mmCropJitterSql,
     "mm_binary_stats" -> mmBinaryStatsSql,
     "mm_decode_features" -> mmDecodeSql,
