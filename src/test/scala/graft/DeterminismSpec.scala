@@ -29,7 +29,12 @@ class DeterminismSpec extends SparkSuite {
     "ta_dsir", "dd_simhash", "dd_embed_cosine", "dd_url_dedup",
     // two-phase rank + quantized regression sums
     "q_zipf_fit", "q_global_shuffle", "ta_textrank", "q_label_prop",
-    "mm_resize")
+    "mm_resize",
+    // round-8c: quantized RAKE sums, sketch set algebra, IVF-bounded
+    // votes, windowed first/last mining, chunk first-occurrence argmin,
+    // weighted relaxation, kernel tokenization
+    "ta_rake", "q_kmv_set_ops", "q_knn_ivf", "q_seq_mining",
+    "dd_chunk_ledger", "q_sssp", "ta_wordpiece")
 
   test("results are identical under different shuffle partitionings") {
     val conf = spark.conf

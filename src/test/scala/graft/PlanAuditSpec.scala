@@ -61,4 +61,37 @@ class PlanAuditSpec extends SparkSuite {
     // the old driver-collect kernel surfaced as Scan ExistingRDD
     assert(!p.contains("Scan ExistingRDD"), p.take(1200))
   }
+
+  test("q_seq_mining joins per-type aggregates, never raw events") {
+    // the pair join must run on the checkpointed (user, win, type)
+    // relation — a cartesian or a join with the events scan below it
+    // means the collapse-before-join contract broke
+    val p = plan("q_seq_mining")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    val joinIdx = p.indexOf("SortMergeJoin") max p.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0, p.take(1200))
+    assert(!p.substring(joinIdx).contains("Scan parquet"), p.substring(joinIdx).take(1500))
+  }
+
+  test("ta_rake broadcasts the vocabulary-sized word-score table") {
+    assert(plan("ta_rake").contains("BroadcastHashJoin"), plan("ta_rake").take(1200))
+  }
+
+  test("ta_wordpiece tokenizes inside the scan projection — no per-position relation") {
+    val p = plan("ta_wordpiece")
+    // exactly one Generate (the piece explode); the kernel call itself
+    // is a projection expression, so no join/extra shuffle beyond the
+    // two aggregates
+    assert("Generate".r.findAllIn(p).length == 1, p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
+  test("q_knn_ivf candidate generation is a hash join on the cell id") {
+    val p = plan("q_knn_ivf")
+    // the only nested-loop product allowed is queries × centroids (a
+    // broadcast of the tiny centroid table); the corpus side must meet
+    // probes through an equi-join
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(1200))
+  }
 }
