@@ -312,7 +312,16 @@ object GraphOps {
     * vocab-sized aggregates; `localCheckpoint` truncates the iterative
     * lineage exactly like PageRank. Output: community sizes.
     */
-  def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+  def qLabelProp(s: SparkSession, dir: String): DataFrame =
+    labelAssignments(s, dir)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"))
+      .orderBy(desc("n_nodes"), asc("community"))
+
+  /** The (node, label) assignment [[qLabelProp]] rolls up — shared with
+    * [[qModularity]], which scores the same communities.
+    */
+  private[operators] def labelAssignments(s: SparkSession, dir: String): DataFrame = {
     val pairs = coPairCounts(s, dir).select("src", "dst")
     var lab = pairs.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -331,12 +340,13 @@ object GraphOps {
         .select(col("node"), col("b.label").as("label"))
         .localCheckpoint()
     }
-    lab.groupBy(col("label").as("community"))
-      .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"))
-      .orderBy(desc("n_nodes"), asc("community"))
+    lab
   }
 
-  private val qLabelPropSql = {
+  /** The label-prop recurrence as a CTE chain ending in `l{LpIters}` —
+    * the shared WITH-body of the qLabelProp and qModularity oracles.
+    */
+  private val lpChainSql = {
     val iters = (1 to LpIters).map { i =>
       s"""l$i AS (
          |  SELECT node, label FROM (
@@ -346,16 +356,77 @@ object GraphOps {
          |    FROM pairs e JOIN l${i - 1} l ON e.src = l.node
          |    GROUP BY e.dst, l.label) WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
+    s"""pairs AS (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
        |  WHERE a.l_partkey <> b.l_partkey),
        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM pairs),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private val qLabelPropSql =
+    s"""WITH $lpChainSql
        |SELECT label AS community, COUNT(*) AS n_nodes, min(node) AS min_node
        |FROM l$LpIters GROUP BY label
        |ORDER BY n_nodes DESC, community ASC""".stripMargin
+
+  /** Newman modularity per label-prop community: contribution =
+    * e2_c/2m − (d_c/2m)², with e2_c the directed intra-community edge
+    * count, d_c the community degree sum, 2m the directed edge count —
+    * all integers from two joins against the (vocab-sized, broadcast-
+    * gated) assignment table and one degree aggregate, so the only
+    * floats are the four IEEE ops in the contribution itself (written
+    * operand-for-operand identically in the oracle; no epsilon, no
+    * rounding). The community-quality check a dedup/community pipeline
+    * runs before trusting its partitioning at 100 TB: every stage is a
+    * hash aggregate or an equi-join keyed by the edge list's resident
+    * partitioning.
+    */
+  def qModularity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coPairCounts(s, dir).select("src", "dst")
+    val lab = labelAssignments(s, dir)
+    val m2 = pairs.count() // directed edge count = 2m (scalar)
+    val gate: DataFrame => DataFrame =
+      if (lab.count() <= BroadcastNodeCap) broadcast else identity
+    val deg = pairs.groupBy("src").agg(count(lit(1)).as("d"))
+    val dsum = deg.join(gate(lab.withColumnRenamed("node", "src")), "src")
+      .groupBy("label").agg(sum("d").as("d_c"), count(lit(1)).as("n_nodes"))
+    val intra = pairs
+      .join(gate(lab.withColumnRenamed("node", "src")
+        .withColumnRenamed("label", "ls")), "src")
+      .join(gate(lab.withColumnRenamed("node", "dst")
+        .withColumnRenamed("label", "ld")), "dst")
+      .where(col("ls") === col("ld"))
+      .groupBy(col("ls").as("label")).agg(count(lit(1)).as("e2_c"))
+    val dOverM = col("d_c").cast("double") / m2
+    dsum.join(intra, Seq("label"), "left")
+      .select(col("label").as("community"), col("n_nodes"),
+        coalesce(col("e2_c"), lit(0L)).as("intra_dir_edges"), col("d_c"),
+        (coalesce(col("e2_c"), lit(0L)).cast("double") / m2 - dOverM * dOverM)
+          .as("contribution"))
+      .orderBy(desc("contribution"), asc("community"))
   }
+
+  private val qModularitySql =
+    s"""WITH $lpChainSql,
+       |m2 AS (SELECT COUNT(*) AS m2 FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS d FROM pairs GROUP BY src),
+       |dsum AS (
+       |  SELECT l.label, CAST(SUM(deg.d) AS BIGINT) AS d_c, COUNT(*) AS n_nodes
+       |  FROM deg JOIN l$LpIters l ON deg.src = l.node GROUP BY l.label),
+       |intra AS (
+       |  SELECT ls.label, COUNT(*) AS e2_c
+       |  FROM pairs e
+       |  JOIN l$LpIters ls ON e.src = ls.node
+       |  JOIN l$LpIters ld ON e.dst = ld.node
+       |  WHERE ls.label = ld.label GROUP BY ls.label)
+       |SELECT d.label AS community, d.n_nodes,
+       |  coalesce(i.e2_c, 0) AS intra_dir_edges, d.d_c,
+       |  CAST(coalesce(i.e2_c, 0) AS DOUBLE) / m2.m2
+       |    - (CAST(d.d_c AS DOUBLE) / m2.m2) * (CAST(d.d_c AS DOUBLE) / m2.m2)
+       |      AS contribution
+       |FROM dsum d LEFT JOIN intra i ON d.label = i.label CROSS JOIN m2
+       |ORDER BY contribution DESC, community ASC""".stripMargin
 
   // ---------------------------------------------------------------------
   // Component-representative selection (the dedup pipeline's output)
@@ -489,6 +560,7 @@ object GraphOps {
     "q_pagerank" -> (qPageRank(_, _)),
     "ta_textrank" -> (taTextrank(_, _)),
     "q_label_prop" -> (qLabelProp(_, _)),
+    "q_modularity" -> (qModularity(_, _)),
     "q_triangle_count" -> (qTriangleCount(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -497,5 +569,6 @@ object GraphOps {
     "q_pagerank" -> qPageRankSql,
     "ta_textrank" -> taTextrankSql,
     "q_label_prop" -> qLabelPropSql,
+    "q_modularity" -> qModularitySql,
     "q_triangle_count" -> qTriangleCountSql)
 }

@@ -34,7 +34,10 @@ class DeterminismSpec extends SparkSuite {
     // votes, windowed first/last mining, chunk first-occurrence argmin,
     // weighted relaxation, kernel tokenization
     "ta_rake", "q_kmv_set_ops", "q_knn_ivf", "q_seq_mining",
-    "dd_chunk_ledger", "q_sssp", "ta_wordpiece")
+    "dd_chunk_ledger", "q_sssp", "ta_wordpiece",
+    // round-8d: integer intra-edge/degree aggregates under the float
+    // contribution expression
+    "q_modularity")
 
   test("results are identical under different shuffle partitionings") {
     val conf = spark.conf

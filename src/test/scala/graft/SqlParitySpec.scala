@@ -28,7 +28,7 @@ class SqlParitySpec extends SparkSuite {
     "q4_priority_exists", "q5_region_revenue", "q6_selective_agg",
     "q7_bi_nation_volume", "q8_market_share", "q9_product_profit",
     "q_anomaly_zscore", "q_anti_join", "q_assoc_rules", "q_bucketed_join",
-    "q_label_prop", "q_cond_funcs",
+    "q_label_prop", "q_modularity", "q_cond_funcs",
     "q_context_chunks", "q_cross_join", "q_cube", "q_dedup_keep_latest",
     "q_distinct_agg", "q_empty_agg", "q_full_outer_join", "q_funnel",
     "q_geomean", "q_grouping_sets", "q_having", "q_hist_quantiles",
