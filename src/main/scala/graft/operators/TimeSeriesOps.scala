@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Per-series diagnostics over the event log, plus the table-maintenance
+  * planner a 100 TB lakehouse runs nightly. Reference scope: the
+  * reference engine (an ETL loader) has none of these; they extend the
+  * analytics surface the way `q_anomaly_zscore`/`q_ohlc` do.
+  *
+  * Shared determinism technique (COVERAGE.md "quantized sums"): event
+  * values carry two decimals, so `floor(value·100 + 0.5)` is an exact
+  * integer "cents" representation computed by the identical IEEE ops on
+  * both engines. Every per-series moment is then a BIGINT aggregate
+  * (order-independent under any partitioning), and the final statistic
+  * is one fixed chain of double ops over those exact integers — written
+  * operand-for-operand identically in the oracle SQL, so results are
+  * byte-exact without any epsilon.
+  *
+  * Scale: all three queries partition by their natural key (user series
+  * / table partition). The windows scan one series or one partition's
+  * file list — bounded units of work that shard across any number of
+  * executors; no global sort, no driver loop. The BIGINT moments keep
+  * exact headroom to ~1e5 rows per series at this quantization; past
+  * that the same shapes carry with DECIMAL(38,0) sums.
+  */
+object TimeSeriesOps {
+
+  /** value → exact integer cents (two-decimal source data). */
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100d + 0.5d).cast(LongType)
+
+  private val CentsSql = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+  // ------------------------------------------------------- autocorrelation
+
+  /** Lag-k autocorrelation (k = 1, 2) of each user's event-value series
+    * — the "is this signal self-similar / is my sampling cadence right"
+    * diagnostic run before modeling a series. Pearson correlation over
+    * the lagged pairs: every sum feeding it is a BIGINT over exact
+    * cents (sums, squares, cross products), aggregated per user in one
+    * map-side-combinable pass after a per-series lag window. sqrt and
+    * the divisions are IEEE-exact ops on identical operands, so no
+    * rounding is needed.
+    */
+  def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), cents(col("value")).as("q"))
+      .withColumn("q1", lag("q", 1).over(byTs))
+      .withColumn("q2", lag("q", 2).over(byTs))
+    def corrCols(lagc: String, out: String) = {
+      val nk = count(col(lagc)).cast(DoubleType)
+      val sa = sum(when(col(lagc).isNotNull, col("q"))).cast(DoubleType)
+      val sb = sum(col(lagc)).cast(DoubleType)
+      val sab = sum(col("q") * col(lagc)).cast(DoubleType)
+      val sa2 = sum(when(col(lagc).isNotNull, col("q") * col("q"))).cast(DoubleType)
+      val sb2 = sum(col(lagc) * col(lagc)).cast(DoubleType)
+      ((nk * sab - sa * sb) /
+        nullif(sqrt((nk * sa2 - sa * sa) * (nk * sb2 - sb * sb)), lit(0d))).as(out)
+    }
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        corrCols("q1", "r_lag1"), corrCols("q2", "r_lag2"))
+      .orderBy("user_id")
+  }
+
+  private val qAutocorrSql = {
+    def corr(l: String): String =
+      s"""(CAST(COUNT(q$l) AS DOUBLE) * CAST(SUM(q * q$l) AS DOUBLE)
+         |   - CAST(SUM(CASE WHEN q$l IS NOT NULL THEN q END) AS DOUBLE)
+         |     * CAST(SUM(q$l) AS DOUBLE))
+         | / nullif(sqrt(
+         |     (CAST(COUNT(q$l) AS DOUBLE)
+         |        * CAST(SUM(CASE WHEN q$l IS NOT NULL THEN q * q END) AS DOUBLE)
+         |      - CAST(SUM(CASE WHEN q$l IS NOT NULL THEN q END) AS DOUBLE)
+         |        * CAST(SUM(CASE WHEN q$l IS NOT NULL THEN q END) AS DOUBLE))
+         |     * (CAST(COUNT(q$l) AS DOUBLE)
+         |          * CAST(SUM(q$l * q$l) AS DOUBLE)
+         |        - CAST(SUM(q$l) AS DOUBLE) * CAST(SUM(q$l) AS DOUBLE))), 0)""".stripMargin
+    s"""WITH t AS (
+       |  SELECT user_id, $CentsSql AS q,
+       |    lag($CentsSql, 1) OVER w AS q1,
+       |    lag($CentsSql, 2) OVER w AS q2
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id, COUNT(*) AS n_events,
+       |  ${corr("1")} AS r_lag1,
+       |  ${corr("2")} AS r_lag2
+       |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- changepoint
+
+  /** Single-changepoint (AMOC) detection per user series via the CUSUM
+    * statistic max_t |n·S_t − t·S| over centered partial sums — the
+    * classic mean-shift estimator, here in the form whose argmax is an
+    * EXACT integer comparison: S_t and S are BIGINT cents prefix/total
+    * sums, so the per-row statistic is a BIGINT and the winning split
+    * needs no float compare at all (ties broken on the earliest
+    * position). Only the reported before/after means divide the exact
+    * integers down to doubles. One per-series prefix-sum window + one
+    * per-series rank — both shard by user.
+    */
+  def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val rows = Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), cents(col("value")).as("q"))
+      .withColumn("t", row_number().over(byTs))
+      .withColumn("st", sum("q").over(byTs.rowsBetween(Window.unboundedPreceding, 0)))
+    val series = rows.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("q").as("stot"))
+    val scored = rows.join(series, "user_id")
+      .where(col("t") < col("n")) // split AFTER position t; needs both sides non-empty
+      .withColumn("stat", abs(col("n") * col("st") - col("t") * col("stot")))
+    val best = Window.partitionBy("user_id").orderBy(desc("stat"), asc("t"))
+    scored.withColumn("rk", row_number().over(best))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("n").as("n_events"), col("t").as("cp_pos"),
+        col("stat").as("cusum_stat"),
+        (col("st").cast(DoubleType) / col("t") / 100d).as("mean_before"),
+        ((col("stot") - col("st")).cast(DoubleType) / (col("n") - col("t")) / 100d)
+          .as("mean_after"))
+      .orderBy("user_id")
+  }
+
+  private val qChangepointSql =
+    s"""WITH r AS (
+       |  SELECT user_id, $CentsSql AS q,
+       |    row_number() OVER w AS t,
+       |    SUM($CentsSql) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |ser AS (SELECT user_id, COUNT(*) AS n, SUM(q) AS stot FROM r GROUP BY user_id),
+       |scored AS (
+       |  SELECT r.user_id, ser.n, r.t, r.st, ser.stot,
+       |    abs(ser.n * r.st - r.t * ser.stot) AS stat,
+       |    row_number() OVER (PARTITION BY r.user_id
+       |      ORDER BY abs(ser.n * r.st - r.t * ser.stot) DESC, r.t ASC) AS rk
+       |  FROM r JOIN ser ON r.user_id = ser.user_id
+       |  WHERE r.t < ser.n)
+       |SELECT user_id, n AS n_events, t AS cp_pos, stat AS cusum_stat,
+       |  CAST(st AS DOUBLE) / t / 100 AS mean_before,
+       |  CAST(stot - st AS DOUBLE) / (n - t) / 100 AS mean_after
+       |FROM scored WHERE rk = 1 ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------- compaction plan
+
+  private val TargetBytes = 2048L
+
+  /** Small-file compaction planning — the nightly maintenance pass a
+    * 100 TB parquet lake runs to keep scans off thousand-file
+    * partitions. Files (here: documents, sized by `n_chars`) are packed
+    * per table-partition (`source`) into target-size output bins by
+    * size-descending first-fit: a deterministic total order (size DESC,
+    * id ASC), one prefix-sum window over the PARTITION'S FILE LIST (a
+    * metadata-scale relation — file counts, not file bytes), and
+    * `cum div target` as the bin id. Output is the per-bin manifest a
+    * rewrite job would execute. Everything shards by partition; no
+    * global sort, and the integer division makes bin assignment exact.
+    */
+  def qCompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(desc("n_chars"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("cum_before", coalesce(sum("n_chars").over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $TargetBytes"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_files"), sum("n_chars").as("bytes"),
+        max("n_chars").as("max_file"),
+        (sum("n_chars").cast(DoubleType) / TargetBytes).as("fill_ratio"))
+      .orderBy("source", "bin")
+  }
+
+  private val qCompactionPlanSql =
+    s"""WITH f AS (
+       |  SELECT doc_id, source, n_chars,
+       |    coalesce(SUM(n_chars) OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM documents)
+       |SELECT source, cum_before // $TargetBytes AS bin,
+       |  COUNT(*) AS n_files, SUM(n_chars) AS bytes, MAX(n_chars) AS max_file,
+       |  CAST(SUM(n_chars) AS DOUBLE) / $TargetBytes AS fill_ratio
+       |FROM f GROUP BY source, bin ORDER BY source, bin""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_autocorr" -> (qAutocorr(_, _)),
+    "q_changepoint" -> (qChangepoint(_, _)),
+    "q_compaction_plan" -> (qCompactionPlan(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_autocorr" -> qAutocorrSql,
+    "q_changepoint" -> qChangepointSql,
+    "q_compaction_plan" -> qCompactionPlanSql)
+}

@@ -36,8 +36,9 @@ class DeterminismSpec extends SparkSuite {
     "ta_rake", "q_kmv_set_ops", "q_knn_ivf", "q_seq_mining",
     "dd_chunk_ledger", "q_sssp", "ta_wordpiece",
     // round-8d: integer intra-edge/degree aggregates under the float
-    // contribution expression
-    "q_modularity")
+    // contribution expression; cents-quantized series moments; exact
+    // integer CUSUM argmax
+    "q_modularity", "q_autocorr", "q_changepoint", "q_compaction_plan")
 
   test("results are identical under different shuffle partitionings") {
     val conf = spark.conf
