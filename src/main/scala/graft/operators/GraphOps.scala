@@ -319,9 +319,19 @@ object GraphOps {
       .orderBy(desc("n_nodes"), asc("community"))
 
   /** The (node, label) assignment [[qLabelProp]] rolls up — shared with
-    * [[qModularity]], which scores the same communities.
+    * [[qModularity]], which scores the same communities. Memoized per
+    * (session, dir) like [[labelsCache]]: the loop's output is a chain
+    * of localCheckpoints, so plan-identity caching cannot dedup two
+    * runs — without the memo qModularity re-runs the whole
+    * [[LpIters]]-round propagation qLabelProp already paid for.
     */
-  private[operators] def labelAssignments(s: SparkSession, dir: String): DataFrame = {
+  private val assignCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[operators] def labelAssignments(s: SparkSession, dir: String): DataFrame =
+    assignCache.getOrElseUpdate((s, dir), computeLabelAssignments(s, dir))
+
+  private def computeLabelAssignments(s: SparkSession, dir: String): DataFrame = {
     val pairs = coPairCounts(s, dir).select("src", "dst")
     var lab = pairs.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))

@@ -246,15 +246,73 @@ object Similarity3 {
        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr ASC) <= $KnnK
        |ORDER BY vec_id ASC, cosine DESC, nbr ASC""".stripMargin
 
+  // --------------------------------------------------- centroid filter
+
+  private val FilterLabel = 0
+  // keeps ≈ the top decile of the synthetic corpus (cos ∈ [−0.36, 0.39])
+  private val FilterThreshold = 0.18
+  private val Pow2_48 = 281474976710656.0
+
+  /** CLIP-score-style curation filter (the LAION recipe): keep only
+    * vectors whose cosine against a prompt-class centroid clears a
+    * threshold. The "prompt" here is the exact mean of the
+    * label-[[FilterLabel]] vectors — per-dimension sums quantized at
+    * 2^48 (the KMeansIvf centroid discipline) so the centroid is
+    * bit-identical on both engines — and the score pass is one
+    * broadcast of the single centroid row against a straight scan:
+    * no shuffle at all beyond the tiny centroid aggregate, which is
+    * the right shape when the scan is 100 TB and the centroid is 256
+    * bytes. Cosines are left unrounded: dot, norms, and the division
+    * are the same left-to-right IEEE chains on both engines.
+    */
+  def annCentroidFilter(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(s)
+    val e = Tables(s, dir, "embeddings")
+    val cent = e.where(col("label") === FilterLabel)
+      .select(posexplode(col("embedding")))
+      .groupBy("pos")
+      .agg((sum(floor(col("col").cast("double") * lit(Pow2_48))).cast("double") /
+        count(lit(1)) / lit(Pow2_48)).as("v"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        x => x.getField("v")).as("ce"))
+    val cn = sqrt(call_function("graft_norm_sq", col("ce")))
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"),
+        (call_function("graft_dot", col("embedding"), col("ce")) /
+          (sqrt(call_function("graft_norm_sq", col("embedding"))) * cn)).as("cosine"))
+      .where(col("cosine") >= FilterThreshold)
+      .orderBy("vec_id")
+  }
+
+  private val annCentroidFilterSql =
+    s"""WITH cent AS (
+       |  SELECT list(v ORDER BY pos) AS ce FROM (
+       |    SELECT pos,
+       |      CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * $Pow2_48) AS BIGINT)) AS DOUBLE)
+       |        / COUNT(*) / $Pow2_48 AS v
+       |    FROM (SELECT generate_subscripts(embedding, 1) AS pos,
+       |                 unnest(embedding) AS v
+       |          FROM embeddings WHERE label = $FilterLabel)
+       |    GROUP BY pos)),
+       |scored AS (
+       |  SELECT e.vec_id, e.label,
+       |    ${dotSql("e.embedding", "c.ce")} /
+       |      (${normSql("e.embedding")} * sqrt(list_aggregate(list_transform(c.ce, x -> x * x), 'sum'))) AS cosine
+       |  FROM embeddings e CROSS JOIN cent c)
+       |SELECT vec_id, label, cosine FROM scored
+       |WHERE cosine >= $FilterThreshold ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_pq" -> (annIvfPq(_, _)),
     "ann_maxsim" -> (annMaxSim(_, _)),
     "ann_knn_join" -> (annKnnJoin(_, _)),
-    "ann_recall_eval" -> (annRecallEval(_, _)))
+    "ann_recall_eval" -> (annRecallEval(_, _)),
+    "ann_centroid_filter" -> (annCentroidFilter(_, _)))
 
   def oracles: Map[String, String] = Map(
     "ann_ivf_pq" -> annIvfPqSql,
     "ann_maxsim" -> annMaxSimSql,
     "ann_knn_join" -> annKnnJoinSql,
-    "ann_recall_eval" -> annRecallEvalSql)
+    "ann_recall_eval" -> annRecallEvalSql,
+    "ann_centroid_filter" -> annCentroidFilterSql)
 }

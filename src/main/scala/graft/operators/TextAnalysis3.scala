@@ -102,9 +102,66 @@ object TextAnalysis3 {
        |ORDER BY score DESC, phrase ASC LIMIT $RakeTopK""".stripMargin
   }
 
+  // ------------------------------------------------------- lexicon sentiment
+
+  /** (term, polarity) lexicon — the VADER/AFINN shape, scored over the
+    * corpus vocabulary. Weights are small integers so every per-doc
+    * aggregate stays in BIGINT.
+    */
+  private val SentLexicon = Seq(
+    "fast" -> 2L, "big" -> 1L, "merge" -> 1L, "value" -> 1L,
+    "slow" -> -2L, "small" -> -1L, "error" -> -3L, "filter" -> -1L)
+
+  /** Lexicon-based sentiment scoring (the AFINN/VADER-style pass a
+    * curation pipeline runs to tag tone): explode tokens, inner-join
+    * the broadcast lexicon, per-doc integer polarity sum and hit
+    * count, then re-attach every document (zero-hit docs score 0).
+    * Score = polarity / n_tokens — one exact IEEE division over
+    * integers. One corpus scan, one hash aggregate keyed by doc, one
+    * broadcast join: the aggregate fan-in is bounded by lexicon hits,
+    * not corpus size, and nothing shuffles except the doc-keyed sums.
+    */
+  def taSentiment(s: SparkSession, dir: String): DataFrame = {
+    val lex = s.createDataFrame(SentLexicon).toDF("tok", "w")
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"),
+        split(col("text"), " ").as("toks"))
+    val hits = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(broadcast(lex), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), sum("w").as("polarity"))
+    docs.select("doc_id", "n_tokens")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("polarity"), lit(0L)).as("polarity"),
+        (coalesce(col("polarity"), lit(0L)).cast(DoubleType) / col("n_tokens"))
+          .as("score"))
+      .orderBy("doc_id")
+  }
+
+  private val taSentimentSql = {
+    val lexRows = SentLexicon.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    s"""WITH lex(tok, w) AS (VALUES $lexRows),
+       |d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+       |hits AS (
+       |  SELECT t.doc_id, COUNT(*) AS n_hits, SUM(lex.w) AS polarity
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+       |  JOIN lex ON t.tok = lex.tok
+       |  GROUP BY t.doc_id)
+       |SELECT d.doc_id, d.n_tokens,
+       |  coalesce(h.n_hits, 0) AS n_hits,
+       |  coalesce(h.polarity, 0) AS polarity,
+       |  CAST(coalesce(h.polarity, 0) AS DOUBLE) / d.n_tokens AS score
+       |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ta_rake" -> (taRake(_, _)))
+    "ta_rake" -> (taRake(_, _)),
+    "ta_sentiment" -> (taSentiment(_, _)))
 
   def oracles: Map[String, String] = Map(
-    "ta_rake" -> taRakeSql)
+    "ta_rake" -> taRakeSql,
+    "ta_sentiment" -> taSentimentSql)
 }

@@ -189,13 +189,134 @@ object TimeSeriesOps {
        |  CAST(SUM(n_chars) AS DOUBLE) / $TargetBytes AS fill_ratio
        |FROM f GROUP BY source, bin ORDER BY source, bin""".stripMargin
 
+  // ------------------------------------------------------- truncated EWMA
+
+  private val EwmaW = 8 // window: lags 0..7, weight 2^(7-k) (α = 1/2)
+
+  /** Exponentially-weighted moving average per user series, α = 1/2,
+    * truncated at [[EwmaW]] lags — the smoothing pass behind every
+    * "current rate" monitor. The α = 1/2 choice makes every weight a
+    * power of two, so numerator and denominator are exact BIGINT
+    * window sums over cents (one window pass, [[EwmaW]] `lag` reads,
+    * no self-join / no explode) and the only float op is the final
+    * division — identical single IEEE ops on both engines. Series
+    * heads renormalize automatically: absent lags contribute to
+    * neither sum. One window per user series; shards by user.
+    */
+  def qEwma(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val rows = Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), cents(col("value")).as("q"))
+      .withColumn("rn", row_number().over(byTs))
+    val lagged = (0 until EwmaW).foldLeft(rows) { (df, k) =>
+      if (k == 0) df.withColumn("l0", col("q"))
+      else df.withColumn(s"l$k", lag("q", k).over(byTs))
+    }
+    val num = (0 until EwmaW)
+      .map(k => coalesce(col(s"l$k") * lit(1L << (EwmaW - 1 - k)), lit(0L)))
+      .reduce(_ + _)
+    val den = (0 until EwmaW)
+      .map(k => when(col(s"l$k").isNotNull, lit(1L << (EwmaW - 1 - k))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    lagged
+      .select(col("user_id"), col("rn"), col("q"),
+        (num.cast(DoubleType) / den / 100d).as("ewma"))
+      .orderBy("user_id", "rn")
+  }
+
+  private val qEwmaSql = {
+    val lagDefs = (1 until EwmaW).map(k => s"lag(q, $k) OVER w AS l$k").mkString(",\n    ")
+    val num = (0 until EwmaW)
+      .map(k => s"coalesce(l$k * ${1L << (EwmaW - 1 - k)}, 0)").mkString(" + ")
+    val den = (0 until EwmaW)
+      .map(k => s"(CASE WHEN l$k IS NOT NULL THEN ${1L << (EwmaW - 1 - k)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT user_id, ts, event_id, $CentsSql AS q FROM events),
+       |t AS (
+       |  SELECT user_id, q,
+       |    row_number() OVER w AS rn,
+       |    q AS l0,
+       |    $lagDefs
+       |  FROM base
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id, rn, q,
+       |  CAST($num AS DOUBLE) / ($den) / 100 AS ewma
+       |FROM t ORDER BY user_id, rn""".stripMargin
+  }
+
+  // ------------------------------------------------------- A/B test report
+
+  /** Two-sample experiment readout per event type: users split into
+    * arms by `user_id % 2` (the deterministic stand-in for a hash
+    * assignment), Welch z-statistic on mean event value. Every moment
+    * (count, sum, sum-of-squares) is a BIGINT over exact cents —
+    * one map-side-combinable aggregate over the fact table, arms
+    * folded in via conditional aggregation so there is no self-join —
+    * and the z-score is one fixed chain of double ops written
+    * operand-for-operand identically in the oracle. The shape a
+    * training-data pipeline uses to compare ablation cohorts.
+    */
+  def qAbTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"), (col("user_id") % 2).as("arm"), cents(col("value")).as("q"))
+    def m(arm: Int, e: org.apache.spark.sql.Column) = sum(when(col("arm") === arm, e))
+    val agg = ev.groupBy("event_type").agg(
+      m(0, lit(1L)).as("n0"), m(0, col("q")).as("s0"), m(0, col("q") * col("q")).as("ss0"),
+      m(1, lit(1L)).as("n1"), m(1, col("q")).as("s1"), m(1, col("q") * col("q")).as("ss1"))
+    def mean(s0: String, n: String) =
+      col(s0).cast(DoubleType) / col(n) / 100d
+    // sample variance in value units: (ss − s²/n) / (n−1) / 100²
+    def variance(ss: String, sv: String, n: String) =
+      (col(ss).cast(DoubleType) - col(sv).cast(DoubleType) * col(sv) / col(n)) /
+        (col(n) - 1) / 10000d
+    agg
+      .withColumn("mean_a", mean("s0", "n0"))
+      .withColumn("mean_b", mean("s1", "n1"))
+      .withColumn("z", (col("mean_a") - col("mean_b")) /
+        sqrt(variance("ss0", "s0", "n0") / col("n0") +
+          variance("ss1", "s1", "n1") / col("n1")))
+      .select(col("event_type"), col("n0").as("n_a"), col("n1").as("n_b"),
+        col("mean_a"), col("mean_b"), col("z"),
+        (abs(col("z")) > 1.96).as("significant"))
+      .orderBy("event_type")
+  }
+
+  private val qAbTestSql = {
+    def m(arm: Int, e: String) = s"SUM(CASE WHEN arm = $arm THEN $e END)"
+    def mean(s0: String, n: String) = s"CAST($s0 AS DOUBLE) / $n / 100"
+    def variance(ss: String, sv: String, n: String) =
+      s"(CAST($ss AS DOUBLE) - CAST($sv AS DOUBLE) * $sv / $n) / ($n - 1) / 10000"
+    s"""WITH ev AS (
+       |  SELECT event_type, user_id % 2 AS arm, $CentsSql AS q FROM events),
+       |agg AS (
+       |  SELECT event_type,
+       |    ${m(0, "1")} AS n0, ${m(0, "q")} AS s0, ${m(0, "q * q")} AS ss0,
+       |    ${m(1, "1")} AS n1, ${m(1, "q")} AS s1, ${m(1, "q * q")} AS ss1
+       |  FROM ev GROUP BY event_type),
+       |z AS (
+       |  SELECT event_type, n0, n1,
+       |    ${mean("s0", "n0")} AS mean_a, ${mean("s1", "n1")} AS mean_b,
+       |    (${mean("s0", "n0")} - ${mean("s1", "n1")}) /
+       |      sqrt(${variance("ss0", "s0", "n0")} / n0 +
+       |           ${variance("ss1", "s1", "n1")} / n1) AS z
+       |  FROM agg)
+       |SELECT event_type, n0 AS n_a, n1 AS n_b, mean_a, mean_b, z,
+       |  abs(z) > 1.96 AS significant
+       |FROM z ORDER BY event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_autocorr" -> (qAutocorr(_, _)),
     "q_changepoint" -> (qChangepoint(_, _)),
-    "q_compaction_plan" -> (qCompactionPlan(_, _)))
+    "q_compaction_plan" -> (qCompactionPlan(_, _)),
+    "q_ewma" -> (qEwma(_, _)),
+    "q_ab_test" -> (qAbTest(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_autocorr" -> qAutocorrSql,
     "q_changepoint" -> qChangepointSql,
-    "q_compaction_plan" -> qCompactionPlanSql)
+    "q_compaction_plan" -> qCompactionPlanSql,
+    "q_ewma" -> qEwmaSql,
+    "q_ab_test" -> qAbTestSql)
 }

@@ -38,7 +38,10 @@ class DeterminismSpec extends SparkSuite {
     // round-8d: integer intra-edge/degree aggregates under the float
     // contribution expression; cents-quantized series moments; exact
     // integer CUSUM argmax
-    "q_modularity", "q_autocorr", "q_changepoint", "q_compaction_plan")
+    "q_modularity", "q_autocorr", "q_changepoint", "q_compaction_plan",
+    // round-9: integer-weight EWMA / Welch moments / lexicon sums; the
+    // centroid filter's quantized per-dim means
+    "q_ewma", "q_ab_test", "ta_sentiment", "ann_centroid_filter")
 
   test("results are identical under different shuffle partitionings") {
     val conf = spark.conf

@@ -27,8 +27,8 @@ class SqlParitySpec extends SparkSuite {
     "q2_min_cost_supplier", "q2_topk_orders", "q3_shipping_priority",
     "q4_priority_exists", "q5_region_revenue", "q6_selective_agg",
     "q7_bi_nation_volume", "q8_market_share", "q9_product_profit",
-    "q_anomaly_zscore", "q_anti_join", "q_assoc_rules", "q_autocorr",
-    "q_bucketed_join", "q_changepoint",
+    "q_ab_test", "q_anomaly_zscore", "q_anti_join", "q_assoc_rules",
+    "q_autocorr", "q_bucketed_join", "q_changepoint", "q_ewma",
     "q_label_prop", "q_modularity", "q_cond_funcs",
     "q_context_chunks", "q_cross_join", "q_cube", "q_dedup_keep_latest",
     "q_distinct_agg", "q_empty_agg", "q_full_outer_join", "q_funnel",
