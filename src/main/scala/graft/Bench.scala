@@ -20,6 +20,12 @@ object Bench {
     // min-of-2 for quick queries (first run often pays codegen JIT; the
     // min is the steady-state figure). Long queries are dominated by
     // real work, so they run once and the total stays bounded.
+    // Threshold 12s: whichever query alphabetically-first touches a
+    // shared session relation (the dedup family's shingle hashes, the
+    // graph family's pair list) pays its one-per-session build — a
+    // 8-10s first pass at 4 threads — and would otherwise skip the
+    // steady-state re-run and report the build as ITS cost. The total
+    // still pays every cold build exactly once either way.
     def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -34,9 +40,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val t1 = time(fn)
-      // re-run threshold 8s: queries paying one-off codegen/JIT on a
-      // 5-7s first pass still report their steady-state figure
-      name -> (if (t1 < 8.0) math.min(t1, time(fn)) else t1)
+      name -> (if (t1 < 12.0) math.min(t1, time(fn)) else t1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

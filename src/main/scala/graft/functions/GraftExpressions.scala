@@ -686,6 +686,70 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** `graft_shingle_hashes(text)`: the distinct 60-bit 3-token-shingle
+    * hashes of a document as array<long> — one linear pass in
+    * [[ShingleHashes]], replacing the interpreted transform/slice
+    * lambda chain and per-occurrence explode the dedup family used to
+    * pay on its cold path. Single static call; stays in whole-stage
+    * codegen.
+    */
+  case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects string, got $other")
+      }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_shingle_hashes"
+
+    override def nullSafeEval(input: Any): Any =
+      ShingleHashes.hashes(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.ShingleHashes.hashes($s);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `graft_trigram_counts(text)`: the distinct char trigrams of a
+    * document with multiplicities as array<struct<tg,k>> — one linear
+    * pass in [[TrigramCounts]], replacing the interpreted-HOF
+    * transform/sequence explode and the corpus-sized per-occurrence
+    * aggregate the langid family used to pay. Single static call, so
+    * the projection stays in whole-stage codegen.
+    */
+  case class TrigramCountsExpr(child: Expression) extends UnaryExpression {
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects string, got $other")
+      }
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("tg", StringType, nullable = false),
+      StructField("k", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "graft_trigram_counts"
+
+    override def nullSafeEval(input: Any): Any =
+      TrigramCounts.counts(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.TrigramCounts.counts($s);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `graft_wordpiece(text)`: greedy longest-match WordPiece tokens of
     * a document as array<string> — one linear pass in [[WordPiece]];
     * the generated code is a single static call.
@@ -758,6 +822,8 @@ object GraftExpressions {
     "graft_norm_sq" -> (es => L2NormSq(es.head)),
     "graft_dist_sq" -> (es => DistSq(es(0), es(1))),
     "graft_wordpiece" -> (es => WordPieceTokens(es.head)),
+    "graft_shingle_hashes" -> (es => ShingleHashesExpr(es(0))),
+    "graft_trigram_counts" -> (es => TrigramCountsExpr(es(0))),
     "graft_winnow" -> (es => WinnowFingerprints(es(0),
       es(1).eval(null).toString.toInt, es(2).eval(null).toString.toInt)),
     "graft_cdc" -> (es => CdcChunks(es(0),

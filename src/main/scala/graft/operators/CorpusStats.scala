@@ -137,18 +137,22 @@ object CorpusStats {
     * (CacheManager dedupes by plan) and read by 2 branches per query ×
     * 2 queries. Occurrence counts reconstruct exactly as Σk.
     */
-  private[operators] def trigrams(s: SparkSession, dir: String): DataFrame =
-    // repartition the (small) doc rows BEFORE the explode: the harness
-    // parquet is a single split, and without this the whole char-level
-    // explode + partial aggregation runs in one task; on a real cluster
-    // the scan has thousands of splits and this shuffle is doc-row-sized
-    // noise either way
+  private[operators] def trigrams(s: SparkSession, dir: String): DataFrame = {
+    // repartition the (small) doc rows BEFORE the kernel call: the
+    // harness parquet is a single split, and without this the whole
+    // char-level pass runs in one task; on a real cluster the scan has
+    // thousands of splits and this shuffle is doc-row-sized noise
+    // either way. The per-doc counting happens INSIDE graft_trigram_
+    // counts (one codegen'd linear pass per document), so the
+    // occurrence-sized relation and its aggregate never exist — the
+    // explode emits distinct-gram rows with multiplicities directly.
+    graft.functions.GraftExpressions.register(s)
     Tables(s, dir, "documents").repartition(col("doc_id"))
       .select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-          .as("tg"))
-      .groupBy("doc_id", "lang", "tg").agg(count(lit(1)).as("k"))
+        explode(expr("graft_trigram_counts(text)")).as("c"))
+      .select(col("doc_id"), col("lang"), col("c.tg").as("tg"), col("c.k").as("k"))
       .cache()
+  }
 
   def taLangidProfile(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")

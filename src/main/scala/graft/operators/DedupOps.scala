@@ -51,31 +51,21 @@ object DedupOps {
   // ---------------------------------------------------------------------
 
   /** Distinct word-3-gram shingles per document. */
-  private def shingles(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    // <3 tokens → empty array → explode emits no rows (mirrors the
-    // oracle's range-filter producing no shingle rows)
-    val arr = when(size(toks) < 3, array().cast(ArrayType(StringType)))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), size(toks) - 3),
-          i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
-    docs.select(col("doc_id"), explode(arr).as("shingle"))
-  }
-
   /** Distinct shingles carried as their 60-bit hash: joins and minhash
     * run on a bigint key instead of a ~30-char string (half the shuffle
-    * bytes, cheap equality). Hash collisions would merge shingles —
-    * probability ~n²/2^61, and the oracle hashes identically, so even a
-    * collision stays oracle-exact.
+    * bytes, cheap equality). The whole tokenize→shingle→hash→distinct
+    * pass runs inside the codegen'd `graft_shingle_hashes` kernel
+    * ([[graft.functions.ShingleHashes]]) — the per-occurrence string
+    * relation never exists, and the distinct is on the hash, exactly
+    * what the oracle's `SELECT DISTINCT doc_id, md5-prefix(shingle)`
+    * computes. The repartition spreads the md5-heavy pass across cores
+    * when the input is a single parquet split (NOTES #27); at real
+    * scale the scan's own splits make it doc-row-sized noise.
     */
   private def shingleHashes(docs: DataFrame): DataFrame =
-    // shingles are already distinct per doc (array_distinct) — hashing
-    // preserves that short of an intra-doc 60-bit collision
-    // (~100²/2^61 per doc ≈ 4e-18; the oracle's DISTINCT would merge
-    // such a pair, and the driver's compare would surface it), so no
-    // global distinct shuffle is spent here
-    shingles(docs).select(col("doc_id"),
-      PortableHash.hash64(col("shingle")).as("h"))
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(call_function("graft_shingle_hashes", col("text"))).as("h"))
 
   /** DuckDB mirror: lateral `range` is unsupported in 1.0, so the
     * position index comes from `unnest(range(...))` with a per-row

@@ -49,10 +49,16 @@ object GraphOps {
     // plan tree is exponential in k. Checkpointing truncates lineage to
     // the materialized partitions; a cluster deployment would use
     // reliable checkpoint() against the cluster FS instead.
+    val nodes = pairs.select(col("a").as("n"))
+      .union(pairs.select(col("b").as("n"))).distinct()
+      .localCheckpoint()
+    // self-loops fold the "keep own label" least() into the neighbor
+    // min aggregate — one join per round instead of two
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .union(nodes.select(col("n").as("src"), col("n").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    var labels = nodes.select(col("n").as("doc_id"))
       .withColumn("lbl", col("doc_id"))
       .localCheckpoint()
     // labels only ever decrease, so Σlbl is strictly monotone until the
@@ -62,11 +68,10 @@ object GraphOps {
     var converged = false
     var iter = 0
     while (!converged && iter < MaxIters) {
-      val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .groupBy(col("dst").as("doc_id")).agg(min("lbl").as("nlbl"))
-      // every node in the graph has ≥1 edge, so the inner join is total
-      val oneHop = labels.join(nbrMin, "doc_id")
-        .select(col("doc_id"), least(col("lbl"), col("nlbl")).as("lbl1"))
+      // self-loops make the neighbor min already include the node's own
+      // label, so this single aggregate is the one-hop update
+      val oneHop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id")).agg(min("lbl").as("lbl1"))
       // pointer jumping: also adopt the label OF the current label
       // (lbl1 is always a node of the same component, so this is safe
       // and cuts rounds from O(diameter) to O(log diameter))
