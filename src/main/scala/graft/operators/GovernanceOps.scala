@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Data-governance operators — the constraint-audit and
+  * deletion-propagation passes a production lakehouse runs beside its
+  * analytics (the Deequ / right-to-be-forgotten shapes). Reference
+  * scope: the reference engine has none of these; they extend the
+  * pipeline-operations surface the way `q_compaction_plan` does.
+  *
+  * Scale: every check is a whole-table aggregate or an anti-join on
+  * the table's natural key — map-side-combinable, no windows, no
+  * collects — and the report rows are constant-sized. The checks run
+  * as independent jobs over independently-scannable tables, so a
+  * 100 TB audit shards by table and by check.
+  */
+object GovernanceOps {
+
+  // --------------------------------------------------------- dq checks
+
+  /** Deequ-style data-quality constraint report: one row per declared
+    * check with row/violation counts and a pass verdict. Checks are
+    * the four production staples — referential integrity (orphan
+    * foreign keys, via anti-join counts), key uniqueness (count vs
+    * count-distinct), range/domain conformance, and null-rate — each
+    * an integer aggregate, so the report is engine-exact with no
+    * floats anywhere.
+    */
+  def qDqChecks(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val ord = Tables(s, dir, "orders")
+    val cust = Tables(s, dir, "customer")
+    val ev = Tables(s, dir, "events")
+
+    def report(table: String, check: String, agg: DataFrame): DataFrame =
+      agg.select(lit(table).as("table_name"), lit(check).as("check_name"),
+        col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+
+    val liOrphans = report("lineitem", "fk_orderkey_exists",
+      li.select(col("l_orderkey"))
+        .join(ord.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(li.agg(count(lit(1)).as("n_rows"))))
+    val ordOrphans = report("orders", "fk_custkey_exists",
+      ord.select(col("o_custkey"))
+        .join(cust.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(ord.agg(count(lit(1)).as("n_rows"))))
+    val ordUnique = report("orders", "pk_orderkey_unique",
+      ord.agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations")))
+    val qtyRange = report("lineitem", "quantity_in_1_50",
+      li.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("n_violations")))
+    val priceDomain = report("orders", "totalprice_positive",
+      ord.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("n_violations")))
+    val evNulls = report("events", "props_not_null",
+      ev.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_violations")))
+
+    liOrphans.union(ordOrphans).union(ordUnique).union(qtyRange)
+      .union(priceDomain).union(evNulls)
+      .orderBy("table_name", "check_name")
+  }
+
+  private val qDqChecksSql =
+    """SELECT table_name, check_name, n_rows, n_violations,
+      |  n_violations = 0 AS pass
+      |FROM (
+      |  SELECT 'lineitem' AS table_name, 'fk_orderkey_exists' AS check_name,
+      |    (SELECT COUNT(*) FROM lineitem) AS n_rows,
+      |    (SELECT COUNT(*) FROM lineitem l
+      |      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+      |  UNION ALL
+      |  SELECT 'orders', 'fk_custkey_exists',
+      |    (SELECT COUNT(*) FROM orders),
+      |    (SELECT COUNT(*) FROM orders r
+      |      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey))
+      |  UNION ALL
+      |  SELECT 'orders', 'pk_orderkey_unique',
+      |    (SELECT COUNT(*) FROM orders),
+      |    (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+      |  UNION ALL
+      |  SELECT 'lineitem', 'quantity_in_1_50',
+      |    (SELECT COUNT(*) FROM lineitem),
+      |    (SELECT CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'orders', 'totalprice_positive',
+      |    (SELECT COUNT(*) FROM orders),
+      |    (SELECT CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
+      |  UNION ALL
+      |  SELECT 'events', 'props_not_null',
+      |    (SELECT COUNT(*) FROM events),
+      |    (SELECT CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events))
+      |ORDER BY table_name, check_name""".stripMargin
+
+  // ---------------------------------------------------- forget user
+
+  private val ForgetMod = 97L
+
+  /** Right-to-be-forgotten propagation report: given a deletion
+    * cohort (here the deterministic stand-in `key % 97 = 0`), count
+    * per table what a purge job would delete vs keep. The real purge
+    * is the same anti-join shape writing the kept rows back — this
+    * report IS its dry run, one aggregate per table, no joins at all
+    * since membership is a key predicate (with an uploaded deletion
+    * list it becomes a broadcast semi/anti join on the same key).
+    */
+  def qForgetUser(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .agg(sum(when(col("user_id") % ForgetMod === 0, 1L).otherwise(0L)).as("n_purged"),
+        sum(when(col("user_id") % ForgetMod === 0, 0L).otherwise(1L)).as("n_kept"))
+      .select(lit("events").as("table_name"), col("n_purged"), col("n_kept"))
+    val ord = Tables(s, dir, "orders")
+      .agg(sum(when(col("o_custkey") % ForgetMod === 0, 1L).otherwise(0L)).as("n_purged"),
+        sum(when(col("o_custkey") % ForgetMod === 0, 0L).otherwise(1L)).as("n_kept"))
+      .select(lit("orders").as("table_name"), col("n_purged"), col("n_kept"))
+    val cust = Tables(s, dir, "customer")
+      .agg(sum(when(col("c_custkey") % ForgetMod === 0, 1L).otherwise(0L)).as("n_purged"),
+        sum(when(col("c_custkey") % ForgetMod === 0, 0L).otherwise(1L)).as("n_kept"))
+      .select(lit("customer").as("table_name"), col("n_purged"), col("n_kept"))
+    ev.union(ord).union(cust).orderBy("table_name")
+  }
+
+  private val qForgetUserSql =
+    s"""SELECT * FROM (
+       |  SELECT 'events' AS table_name,
+       |    CAST(SUM(CASE WHEN user_id % $ForgetMod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+       |    CAST(SUM(CASE WHEN user_id % $ForgetMod = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+       |  FROM events
+       |  UNION ALL
+       |  SELECT 'orders',
+       |    CAST(SUM(CASE WHEN o_custkey % $ForgetMod = 0 THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(SUM(CASE WHEN o_custkey % $ForgetMod = 0 THEN 0 ELSE 1 END) AS BIGINT)
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT 'customer',
+       |    CAST(SUM(CASE WHEN c_custkey % $ForgetMod = 0 THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(SUM(CASE WHEN c_custkey % $ForgetMod = 0 THEN 0 ELSE 1 END) AS BIGINT)
+       |  FROM customer)
+       |ORDER BY table_name""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_checks" -> (qDqChecks(_, _)),
+    "q_forget_user" -> (qForgetUser(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_dq_checks" -> qDqChecksSql,
+    "q_forget_user" -> qForgetUserSql)
+}

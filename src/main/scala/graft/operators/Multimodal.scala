@@ -455,7 +455,82 @@ object Multimodal {
        |FROM fan ORDER BY doc_id, epoch""".stripMargin
   }
 
+  // ------------------------------------------- audio fingerprinting
+
+  private val FpMaxDt = 6L // anchor→target pairing horizon (frames)
+  private val FpTopK = 40
+
+  /** Shazam-style constellation fingerprinting over the synthesized
+    * frame energies (the same deterministic RMS-extractor seam as
+    * [[mmAudioVad]]): landmark frames are local energy maxima
+    * (strictly above both neighbors), each anchor pairs with the NEXT
+    * landmark within [[FpMaxDt]] frames, and the (quantized-energy,
+    * quantized-energy, Δt) triple hashes to the fingerprint. The
+    * corpus rollup counts how often each fingerprint recurs and in
+    * how many documents — the bucket join a recognition query would
+    * probe. Everything is per-document windows + one hash aggregate;
+    * the landmark relation is peaks-only, far smaller than frames.
+    */
+  def mmAudioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val byFi = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("fi")
+    val checksum = aggregate(
+      transform(split(col("text"), ""), c => ascii(c).cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
+    val frames = Tables(s, dir, "documents")
+      .select(col("doc_id"), checksum.as("cs"))
+      .select(col("doc_id"), (lit(8) + col("cs") % 24).cast(IntegerType).as("nf"))
+      .select(col("doc_id"), explode(sequence(lit(0), col("nf") - 1)).as("fi"))
+      .withColumn("energy", graft.functions.PortableHash.hash64(
+        concat(col("doc_id").cast(StringType), lit(":"), col("fi").cast(StringType))) % 1000L)
+    val peaks = frames
+      .withColumn("prev", lag("energy", 1).over(byFi))
+      .withColumn("next", lead("energy", 1).over(byFi))
+      .where(col("prev").isNotNull && col("next").isNotNull &&
+        col("energy") > col("prev") && col("energy") > col("next"))
+    val pairs = peaks
+      .withColumn("t_fi", lead("fi", 1).over(byFi))
+      .withColumn("t_energy", lead("energy", 1).over(byFi))
+      .where(col("t_fi").isNotNull && col("t_fi") - col("fi") <= FpMaxDt)
+    val fps = pairs.select(col("doc_id"),
+      graft.functions.PortableHash.hash64(concat(
+        (col("energy") % 64).cast(StringType), lit(":"),
+        (col("t_energy") % 64).cast(StringType), lit(":"),
+        (col("t_fi") - col("fi")).cast(StringType))).as("fp"))
+    fps.groupBy("fp")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct("doc_id").as("n_docs"))
+      .orderBy(desc("n_pairs"), asc("fp"))
+      .limit(FpTopK)
+  }
+
+  private val mmAudioFingerprintSql = {
+    import graft.functions.{PortableHash => PH}
+    val energy = PH.sql("CAST(doc_id AS VARCHAR) || ':' || CAST(fi AS VARCHAR)") + " % 1000"
+    val fp = PH.sql("CAST(energy % 64 AS VARCHAR) || ':' || CAST(t_energy % 64 AS VARCHAR) || ':' || CAST(t_fi - fi AS VARCHAR)")
+    s"""WITH s AS (SELECT doc_id,
+       |    CAST(list_aggregate(list_transform(regexp_split_to_array(text, ''), c -> ord(c)), 'sum') AS BIGINT) AS cs
+       |  FROM documents),
+       |nf AS (SELECT doc_id, CAST(8 + cs % 24 AS BIGINT) AS n_frames FROM s),
+       |fr AS (SELECT doc_id, unnest(range(0, n_frames)) AS fi FROM nf),
+       |en AS (SELECT doc_id, fi, $energy AS energy FROM fr),
+       |nb AS (SELECT doc_id, fi, energy,
+       |    lag(energy, 1) OVER w AS prev, lead(energy, 1) OVER w AS next
+       |  FROM en WINDOW w AS (PARTITION BY doc_id ORDER BY fi)),
+       |peaks AS (SELECT doc_id, fi, energy FROM nb
+       |  WHERE prev IS NOT NULL AND next IS NOT NULL
+       |    AND energy > prev AND energy > next),
+       |pairs AS (SELECT doc_id, fi, energy,
+       |    lead(fi, 1) OVER w AS t_fi, lead(energy, 1) OVER w AS t_energy
+       |  FROM peaks WINDOW w AS (PARTITION BY doc_id ORDER BY fi)),
+       |fps AS (SELECT doc_id, $fp AS fp FROM pairs
+       |  WHERE t_fi IS NOT NULL AND t_fi - fi <= $FpMaxDt)
+       |SELECT fp, COUNT(*) AS n_pairs, COUNT(DISTINCT doc_id) AS n_docs
+       |FROM fps GROUP BY fp
+       |ORDER BY n_pairs DESC, fp ASC LIMIT $FpTopK""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_fingerprint" -> (mmAudioFingerprint(_, _)),
     "mm_audio_vad" -> (mmAudioVad(_, _)),
     "mm_scene_split" -> (mmSceneSplit(_, _)),
     "mm_crop_jitter" -> (mmCropJitter(_, _)),
@@ -501,6 +576,7 @@ object Multimodal {
       |ORDER BY doc_id, prow, pcol""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "mm_audio_fingerprint" -> mmAudioFingerprintSql,
     "mm_audio_vad" -> mmAudioVadSql,
     "mm_scene_split" -> mmSceneSplitSql,
     "mm_crop_jitter" -> mmCropJitterSql,

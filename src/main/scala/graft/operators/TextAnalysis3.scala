@@ -157,11 +157,64 @@ object TextAnalysis3 {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ quality classifier
+
+  // fixed published-model weights (the fastText-quality inference
+  // shape: a linear model over the ta_quality feature family)
+  private val W0 = -1.0; private val WStop = 2.0; private val WTtr = 1.5
+  private val WLen = 1.0; private val WPunct = -3.0
+  private val QlrStop = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  /** Quality-classifier INFERENCE at corpus scale — the pass a
+    * pretraining pipeline runs with a trained quality model (fastText /
+    * logistic) to keep high-quality documents: featurize each doc
+    * (stopword ratio, type-token ratio, length saturation, punctuation
+    * density — the ta_quality family), apply fixed weights, sigmoid.
+    * One narrow projection per document, no shuffle at all except the
+    * final ORDER BY; the model is 5 constants, the 100 TB cost is the
+    * scan. The logit z is a fixed chain of IEEE ops (exact both
+    * engines; `keep` compares the exact z against 0); the sigmoid is
+    * rounded at 1e-6 — exp's last ulp is a platform assumption, same
+    * standing as the ln-based oracles (NOTES.md).
+    */
+  def taQualityLr(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nToks = size(toks).cast(DoubleType)
+    val stopRatio = size(filter(toks,
+      t => t.isin(QlrStop.map(x => x: Any): _*))).cast(DoubleType) / nToks
+    val ttr = size(array_distinct(toks)).cast(DoubleType) / nToks
+    val lenSat = least(nToks / 100.0, lit(1.0))
+    val punct = regexp_count(col("text"), lit("[.,;:!?]")).cast(DoubleType) /
+      length(col("text"))
+    val z = lit(W0) + lit(WStop) * stopRatio + lit(WTtr) * ttr +
+      lit(WLen) * lenSat + lit(WPunct) * punct
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), round(z, 6).as("logit"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"),
+        (z >= 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val taQualityLrSql = {
+    val stop = QlrStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    val z = s"($W0 + $WStop * (CAST(len(list_filter(toks, t -> list_contains($stop, t))) AS DOUBLE) / len(toks))" +
+      s" + $WTtr * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))" +
+      s" + $WLen * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)" +
+      s" + $WPunct * (CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)))"
+    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+       |SELECT doc_id, round($z, 6) AS logit,
+       |  round(1.0 / (1.0 + exp(-$z)), 6) AS score,
+       |  $z >= 0 AS keep
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_rake" -> (taRake(_, _)),
-    "ta_sentiment" -> (taSentiment(_, _)))
+    "ta_sentiment" -> (taSentiment(_, _)),
+    "ta_quality_lr" -> (taQualityLr(_, _)))
 
   def oracles: Map[String, String] = Map(
     "ta_rake" -> taRakeSql,
-    "ta_sentiment" -> taSentimentSql)
+    "ta_sentiment" -> taSentimentSql,
+    "ta_quality_lr" -> taQualityLrSql)
 }

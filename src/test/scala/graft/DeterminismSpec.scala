@@ -41,7 +41,10 @@ class DeterminismSpec extends SparkSuite {
     "q_modularity", "q_autocorr", "q_changepoint", "q_compaction_plan",
     // round-9: integer-weight EWMA / Welch moments / lexicon sums; the
     // centroid filter's quantized per-dim means
-    "q_ewma", "q_ab_test", "ta_sentiment", "ann_centroid_filter")
+    "q_ewma", "q_ab_test", "ta_sentiment", "ann_centroid_filter",
+    // round-9b: integer constraint/purge counters; fixed-weight logit
+    // chains; landmark-pair hash buckets
+    "q_dq_checks", "q_forget_user", "ta_quality_lr", "mm_audio_fingerprint")
 
   test("results are identical under different shuffle partitionings") {
     val conf = spark.conf

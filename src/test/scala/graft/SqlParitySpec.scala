@@ -31,7 +31,8 @@ class SqlParitySpec extends SparkSuite {
     "q_autocorr", "q_bucketed_join", "q_changepoint", "q_ewma",
     "q_label_prop", "q_modularity", "q_cond_funcs",
     "q_context_chunks", "q_cross_join", "q_cube", "q_dedup_keep_latest",
-    "q_distinct_agg", "q_empty_agg", "q_full_outer_join", "q_funnel",
+    "q_distinct_agg", "q_dq_checks", "q_empty_agg", "q_forget_user",
+    "q_full_outer_join", "q_funnel",
     "q_geomean", "q_grouping_sets", "q_having", "q_hist_quantiles",
     "q_histogram", "q_in_subquery", "q_incr_agg", "q_lateral_topn",
     "q_map_struct_funcs", "q_math_extended", "q_math_funcs", "q_merge_upsert",
