@@ -35,37 +35,42 @@ object GovernanceOps {
     val cust = Tables(s, dir, "customer")
     val ev = Tables(s, dir, "events")
 
-    def report(table: String, check: String, agg: DataFrame): DataFrame =
-      agg.select(lit(table).as("table_name"), lit(check).as("check_name"),
-        col("n_rows"), col("n_violations"),
-        (col("n_violations") === 0L).as("pass"))
+    // Every SCALAR check on a table folds into that table's single
+    // aggregation pass (one 100 TB scan buys the whole per-table
+    // checklist); only referential checks pay a join, and they probe
+    // with the key column alone so the scan prunes to one column.
+    val liStats = li.agg(count(lit(1)).as("n_rows"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("qty_v"))
+    val ordStats = ord.agg(count(lit(1)).as("n_rows"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_v"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("price_v"))
+    val evStats = ev.agg(count(lit(1)).as("n_rows"),
+      sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_v"))
+    val liOrphans = li.select(col("l_orderkey"))
+      .join(ord.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("fk_v"))
+    val ordOrphans = ord.select(col("o_custkey"))
+      .join(cust.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("fk_v"))
 
-    val liOrphans = report("lineitem", "fk_orderkey_exists",
-      li.select(col("l_orderkey"))
-        .join(ord.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
-        .agg(count(lit(1)).as("n_violations"))
-        .crossJoin(li.agg(count(lit(1)).as("n_rows"))))
-    val ordOrphans = report("orders", "fk_custkey_exists",
-      ord.select(col("o_custkey"))
-        .join(cust.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
-        .agg(count(lit(1)).as("n_violations"))
-        .crossJoin(ord.agg(count(lit(1)).as("n_rows"))))
-    val ordUnique = report("orders", "pk_orderkey_unique",
-      ord.agg(count(lit(1)).as("n_rows"),
-        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations")))
-    val qtyRange = report("lineitem", "quantity_in_1_50",
-      li.agg(count(lit(1)).as("n_rows"),
-        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
-          .otherwise(0L)).as("n_violations")))
-    val priceDomain = report("orders", "totalprice_positive",
-      ord.agg(count(lit(1)).as("n_rows"),
-        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("n_violations")))
-    val evNulls = report("events", "props_not_null",
-      ev.agg(count(lit(1)).as("n_rows"),
-        sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_violations")))
+    // one row per check, fanned out of the SINGLE stats row by an
+    // in-row explode — a union of per-check selects would re-execute
+    // the table-scanning aggregate once per check
+    def rows(stats: DataFrame, table: String, checks: (String, Column)*): DataFrame =
+      stats.select(explode(array(checks.map { case (name, v) =>
+        struct(lit(table).as("table_name"), lit(name).as("check_name"),
+          col("n_rows"), v.as("n_violations"), (v === 0L).as("pass"))
+      }: _*)).as("r")).select(col("r.*"))
 
-    liOrphans.union(ordOrphans).union(ordUnique).union(qtyRange)
-      .union(priceDomain).union(evNulls)
+    rows(liStats.crossJoin(liOrphans), "lineitem",
+        "fk_orderkey_exists" -> col("fk_v"),
+        "quantity_in_1_50" -> col("qty_v"))
+      .union(rows(ordStats.crossJoin(ordOrphans), "orders",
+        "fk_custkey_exists" -> col("fk_v"),
+        "pk_orderkey_unique" -> col("dup_v"),
+        "totalprice_positive" -> col("price_v")))
+      .union(rows(evStats, "events", "props_not_null" -> col("null_v")))
       .orderBy("table_name", "check_name")
   }
 

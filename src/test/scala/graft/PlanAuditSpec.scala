@@ -94,4 +94,15 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(1200))
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(1200))
   }
+
+  test("q_dq_checks folds all scalar checks into one scan per table") {
+    val p = plan("q_dq_checks")
+    def scans(t: String): Int = s"$t\\.parquet".r.findAllIn(p).length
+    // lineitem: stats pass + fk probe side; orders: stats pass + fk
+    // build side + its own fk probe; events: stats only. A regression
+    // to one-aggregate-per-check would double these.
+    assert(scans("lineitem") <= 2, s"lineitem scanned ${scans("lineitem")}x")
+    assert(scans("orders") <= 3, s"orders scanned ${scans("orders")}x")
+    assert(scans("events") == 1, s"events scanned ${scans("events")}x")
+  }
 }
