@@ -306,17 +306,171 @@ object TimeSeriesOps {
        |FROM z ORDER BY event_type""".stripMargin
   }
 
+  // ------------------------------------------------------- Kaplan-Meier
+
+  private val GapBucketUs = 60000000L // gap buckets: whole minutes
+  private val SurvZeroLq = -50L * 1073741824L // ln-quantum for survival == 0
+
+  /** Kaplan–Meier survival over inter-event gaps ("time to next
+    * activity", the return-time curve a product-analytics pipeline
+    * publishes): each event's gap to the user's next event is an
+    * observed duration; the final open gap (last event → corpus end)
+    * is right-censored. Durations bucket to whole minutes by exact
+    * integer division of epoch micros. The risk-set table is one
+    * integer prefix window over the DISTINCT-minute relation (never
+    * the fact table: n_at_risk = total − cumulative earlier-gap
+    * count); the product-limit estimator runs as the exact quantized
+    * ln-sum chain (the ta_ngram_lm discipline): per-step ln(1−d/n)
+    * rounded at 1e-6, 2^30-quantized cumulative integer sums, one exp
+    * at the end — engine-exact under any partitioning, with ln/exp
+    * last-ulp agreement the documented platform assumption.
+    */
+  def qSurvival(s: SparkSession, dir: String): DataFrame = {
+    val Pow2_30 = 1073741824.0
+    val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = Tables(s, dir, "events")
+    val horizon = ev.agg(max(unix_micros(col("ts"))).as("maxus"))
+    val gaps = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("nxt", lead("us", 1).over(byTs))
+      .crossJoin(broadcast(horizon))
+      .select(
+        // integral `div` (not `/`): double division + cast could land
+        // one ulp under an integer and truncate differently than the
+        // oracle's exact `//`
+        expr(s"CASE WHEN nxt IS NOT NULL THEN (nxt - us) div $GapBucketUs" +
+          s" ELSE (maxus - us) div $GapBucketUs END").as("gap_min"),
+        col("nxt").isNull.as("censored"))
+    val byGap = gaps.groupBy("gap_min")
+      .agg(count(lit(1)).as("n_ending"),
+        sum(when(!col("censored"), 1L).otherwise(0L)).as("n_deaths"))
+    val total = gaps.count()
+    val w = Window.orderBy("gap_min").rowsBetween(Window.unboundedPreceding, -1)
+    val risk = byGap
+      .withColumn("n_at_risk", lit(total) - coalesce(sum("n_ending").over(w), lit(0L)))
+      .where(col("n_deaths") > 0)
+    val lnf = round(log(lit(1.0) -
+      col("n_deaths").cast(DoubleType) / col("n_at_risk")), 6)
+    val ws = Window.orderBy("gap_min").rowsBetween(Window.unboundedPreceding, 0)
+    risk
+      // d == n (risk set fully dies) → ln(0); a fixed −50·2^30 quantum
+      // makes exp round to 0 at 1e-6, identically on both engines
+      .withColumn("lq", when(col("n_deaths") < col("n_at_risk"),
+        floor(lnf * Pow2_30).cast(LongType)).otherwise(lit(SurvZeroLq)))
+      .withColumn("survival",
+        round(exp(sum("lq").over(ws).cast(DoubleType) / Pow2_30), 6))
+      .select(col("gap_min"), col("n_at_risk"), col("n_deaths"), col("survival"))
+      .orderBy("gap_min")
+  }
+
+  private val qSurvivalSql =
+    s"""WITH horizon AS (SELECT max(epoch_us(ts)) AS maxus FROM events),
+       |g AS (
+       |  SELECT user_id, epoch_us(ts) AS us,
+       |    lead(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+       |  FROM events),
+       |gaps AS (
+       |  SELECT CASE WHEN nxt IS NOT NULL THEN (nxt - us) // $GapBucketUs
+       |         ELSE ((SELECT maxus FROM horizon) - us) // $GapBucketUs END AS gap_min,
+       |    nxt IS NULL AS censored
+       |  FROM g),
+       |bygap AS (
+       |  SELECT gap_min, COUNT(*) AS n_ending,
+       |    CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS n_deaths
+       |  FROM gaps GROUP BY gap_min),
+       |risk AS (
+       |  SELECT gap_min, n_deaths,
+       |    (SELECT COUNT(*) FROM gaps) - coalesce(SUM(n_ending) OVER (ORDER BY gap_min
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+       |  FROM bygap),
+       |steps AS (
+       |  SELECT gap_min, n_at_risk, n_deaths,
+       |    CASE WHEN n_deaths < n_at_risk THEN
+       |      CAST(floor(round(ln(1.0 - CAST(n_deaths AS DOUBLE) / n_at_risk), 6)
+       |        * 1073741824.0) AS BIGINT) ELSE $SurvZeroLq END AS lq
+       |  FROM risk WHERE n_deaths > 0)
+       |SELECT gap_min, n_at_risk, n_deaths,
+       |  round(exp(CAST(SUM(lq) OVER (ORDER BY gap_min
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    / 1073741824.0), 6) AS survival
+       |FROM steps ORDER BY gap_min""".stripMargin
+
+  // ------------------------------------------------------- attribution
+
+  private val AttrWindowDays = 7
+
+  /** First/last-touch marketing attribution: every `purchase` credits
+    * the earliest and latest non-purchase touchpoint of the same user
+    * within the preceding [[AttrWindowDays]] days. The touch↔conversion
+    * join is keyed by user (co-partitioned, per-user bounded) and each
+    * conversion picks its first/last touch as min/max(struct(ts,
+    * event_id, type)) — map-side-combining aggregates, no windows over
+    * the fact table. Output: per-channel credit counts.
+    */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val conv = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid"))
+    val touch = ev.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts").as("tts"), col("event_id").as("tid"),
+        col("event_type").as("channel"))
+    val attributed = conv.join(touch, Seq("user_id"))
+      .where(col("tts") <= col("cts") &&
+        col("tts") >= col("cts") - expr(s"INTERVAL $AttrWindowDays DAYS"))
+      .groupBy("cid")
+      .agg(min(struct(col("tts"), col("tid"), col("channel"))).as("first"),
+        max(struct(col("tts"), col("tid"), col("channel"))).as("last"))
+    val firstCredits = attributed.groupBy(col("first.channel").as("channel"))
+      .agg(count(lit(1)).as("first_touch"))
+    val lastCredits = attributed.groupBy(col("last.channel").as("channel"))
+      .agg(count(lit(1)).as("last_touch"))
+    firstCredits.join(lastCredits, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"))
+      .orderBy("channel")
+  }
+
+  private val qAttributionSql =
+    s"""WITH conv AS (
+       |  SELECT user_id, ts AS cts, event_id AS cid FROM events
+       |  WHERE event_type = 'purchase'),
+       |touch AS (
+       |  SELECT user_id, ts AS tts, event_id AS tid, event_type AS channel
+       |  FROM events WHERE event_type <> 'purchase'),
+       |attributed AS (
+       |  SELECT c.cid,
+       |    min(struct_pack(tts := t.tts, tid := t.tid, channel := t.channel)) AS first,
+       |    max(struct_pack(tts := t.tts, tid := t.tid, channel := t.channel)) AS last
+       |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+       |  WHERE t.tts <= c.cts AND t.tts >= c.cts - INTERVAL $AttrWindowDays DAY
+       |  GROUP BY c.cid),
+       |fc AS (SELECT first.channel AS channel, COUNT(*) AS first_touch
+       |  FROM attributed GROUP BY first.channel),
+       |lc AS (SELECT last.channel AS channel, COUNT(*) AS last_touch
+       |  FROM attributed GROUP BY last.channel)
+       |SELECT coalesce(fc.channel, lc.channel) AS channel,
+       |  coalesce(fc.first_touch, 0) AS first_touch,
+       |  coalesce(lc.last_touch, 0) AS last_touch
+       |FROM fc FULL OUTER JOIN lc ON fc.channel = lc.channel
+       |ORDER BY channel""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_autocorr" -> (qAutocorr(_, _)),
     "q_changepoint" -> (qChangepoint(_, _)),
     "q_compaction_plan" -> (qCompactionPlan(_, _)),
     "q_ewma" -> (qEwma(_, _)),
-    "q_ab_test" -> (qAbTest(_, _)))
+    "q_ab_test" -> (qAbTest(_, _)),
+    "q_survival" -> (qSurvival(_, _)),
+    "q_attribution" -> (qAttribution(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_autocorr" -> qAutocorrSql,
     "q_changepoint" -> qChangepointSql,
     "q_compaction_plan" -> qCompactionPlanSql,
     "q_ewma" -> qEwmaSql,
-    "q_ab_test" -> qAbTestSql)
+    "q_ab_test" -> qAbTestSql,
+    "q_survival" -> qSurvivalSql,
+    "q_attribution" -> qAttributionSql)
 }
