@@ -42,10 +42,32 @@ object Bench {
       val t1 = time(fn)
       name -> (if (t1 < 12.0) math.min(t1, time(fn)) else t1)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The harness captures only a ~2KB tail of sbt stdout, and the full
+    // per-query map (~220 queries) is ~6KB — so the one-line contract
+    // was always truncated and the driver recorded "parsed": null four
+    // rounds running. Persist the full JSON to a file next to the build,
+    // and make the FINAL stdout line a compact one that fits the tail:
+    // total + per-family rollups + a pointer to the full file.
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULT.json"))
+    java.nio.file.Files.write(outFile, (full + "\n").getBytes("UTF-8"))
+    // compact "queries": slowest-first entries until a ~1.4KB budget —
+    // same schema as the full line, so a tail-parser that json-loads the
+    // last line always succeeds and sees the queries that matter most.
+    val slowest = results.sortBy(-_._2)
+    val sb = new StringBuilder
+    var used = 0
+    slowest.foreach { case (k, v) =>
+      val piece = s"\"" + k + "\":" + fmt(v)
+      if (used + piece.length + 1 < 1400) { if (used > 0) sb.append(','); sb.append(piece); used += piece.length + 1 }
+    }
+    println(full)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":{${sb.toString}},"queries_file":"${outFile.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,6 +28,44 @@ import graft.sources.{HfpCsvSource, JdbcSink}
   */
 object HfpLoadJob {
 
+  /** X2 — CLI date validation (reference index.ts:9-21): the job takes
+    * one operating-day argument, which must be a real `YYYY-MM-DD`
+    * calendar date; anything else aborts before any Spark work. Returns
+    * the normalized ISO date or a Left(reason).
+    */
+  def validateDate(arg: String): Either[String, String] =
+    if (!arg.matches("\\d{4}-\\d{2}-\\d{2}"))
+      Left(s"invalid date '$arg': expected YYYY-MM-DD")
+    else
+      try Right(java.time.LocalDate.parse(arg).toString)
+      catch { case e: java.time.format.DateTimeParseException =>
+        Left(s"invalid date '$arg': ${e.getMessage}") }
+
+  /** CLI entry: `HfpLoadJob <csvRoot> <sinkDir> <date>` — validates the
+    * date (X2), then runs [[loadDay]] and prints per-table row counts.
+    */
+  def main(args: Array[String]): Unit = {
+    if (args.length != 3) {
+      System.err.println("usage: HfpLoadJob <csvRoot> <sinkDir> <YYYY-MM-DD>")
+      sys.exit(2)
+    }
+    validateDate(args(2)) match {
+      case Left(reason) =>
+        System.err.println(reason)
+        sys.exit(2)
+      case Right(date) =>
+        val spark = SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .getOrCreate()
+        try loadDay(spark, args(0), args(1), date)
+          .foreach { case (t, n) => println(s"$t: $n") }
+        finally spark.stop()
+    }
+  }
+
   /** Fixed group order and group→table map (utils/hfp.ts:54-58). */
   val groups: Seq[(String, String)] = Seq(
     "StopEvent" -> "stopevent",

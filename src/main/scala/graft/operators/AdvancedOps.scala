@@ -226,9 +226,9 @@ object AdvancedOps {
     """WITH b AS (SELECT quantile_cont(value, 0.25) AS b1,
       |                  quantile_cont(value, 0.5) AS b2,
       |                  quantile_cont(value, 0.75) AS b3 FROM events)
-      |SELECT (CASE WHEN value > b1 THEN 1 ELSE 0 END
+      |SELECT CAST(CASE WHEN value > b1 THEN 1 ELSE 0 END
       |      + CASE WHEN value > b2 THEN 1 ELSE 0 END
-      |      + CASE WHEN value > b3 THEN 1 ELSE 0 END) AS bucket,
+      |      + CASE WHEN value > b3 THEN 1 ELSE 0 END AS BIGINT) AS bucket,
       |  COUNT(*) AS n, min(value) AS mn, max(value) AS mx
       |FROM events, b GROUP BY 1 ORDER BY bucket""".stripMargin
 

@@ -116,10 +116,15 @@ object TextAnalysis3 {
     * curation pipeline runs to tag tone): explode tokens, inner-join
     * the broadcast lexicon, per-doc integer polarity sum and hit
     * count, then re-attach every document (zero-hit docs score 0).
-    * Score = polarity / n_tokens — one exact IEEE division over
-    * integers. One corpus scan, one hash aggregate keyed by doc, one
-    * broadcast join: the aggregate fan-in is bounded by lexicon hits,
-    * not corpus size, and nothing shuffles except the doc-keyed sums.
+    * Score is fixed-point — `floor(polarity·2^30 / n_tokens)` as
+    * BIGINT — the `ta_rake` quantization pattern: the 2^30 multiply is
+    * exact (|polarity·2^30| < 2^53), the divide is ONE IEEE op
+    * identical on both engines, and floor of an identical double is an
+    * identical integer — so the hashed output is engine-portable, which
+    * a raw double ratio was not (r3/r4 hash mismatch). One corpus scan,
+    * one hash aggregate keyed by doc, one broadcast join: the aggregate
+    * fan-in is bounded by lexicon hits, not corpus size, and nothing
+    * shuffles except the doc-keyed sums.
     */
   def taSentiment(s: SparkSession, dir: String): DataFrame = {
     val lex = s.createDataFrame(SentLexicon).toDF("tok", "w")
@@ -135,8 +140,8 @@ object TextAnalysis3 {
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         coalesce(col("polarity"), lit(0L)).as("polarity"),
-        (coalesce(col("polarity"), lit(0L)).cast(DoubleType) / col("n_tokens"))
-          .as("score"))
+        floor(coalesce(col("polarity"), lit(0L)).cast(DoubleType) * lit(RakeScale)
+          / col("n_tokens")).cast(LongType).as("score_q"))
       .orderBy("doc_id")
   }
 
@@ -151,8 +156,8 @@ object TextAnalysis3 {
        |  GROUP BY t.doc_id)
        |SELECT d.doc_id, d.n_tokens,
        |  coalesce(h.n_hits, 0) AS n_hits,
-       |  coalesce(h.polarity, 0) AS polarity,
-       |  CAST(coalesce(h.polarity, 0) AS DOUBLE) / d.n_tokens AS score
+       |  CAST(coalesce(h.polarity, 0) AS BIGINT) AS polarity,
+       |  CAST(floor(CAST(coalesce(h.polarity, 0) AS DOUBLE) * $RakeScale / d.n_tokens) AS BIGINT) AS score_q
        |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
@@ -172,10 +177,14 @@ object TextAnalysis3 {
     * density — the ta_quality family), apply fixed weights, sigmoid.
     * One narrow projection per document, no shuffle at all except the
     * final ORDER BY; the model is 5 constants, the 100 TB cost is the
-    * scan. The logit z is a fixed chain of IEEE ops (exact both
-    * engines; `keep` compares the exact z against 0); the sigmoid is
-    * rounded at 1e-6 — exp's last ulp is a platform assumption, same
-    * standing as the ln-based oracles (NOTES.md).
+    * scan. The logit z is a fixed chain of IEEE ops evaluated in the
+    * same order on both engines — so `floor(z·2^30)` is a portable
+    * BIGINT and `keep` compares the exact z against 0. The sigmoid is
+    * deliberately NOT in the hashed output: exp's last ulp is a
+    * platform assumption (this query hash-mismatched in r3/r4 for
+    * exactly that reason — round(σ(z), 6) still flips at rounding
+    * boundaries), and σ is monotone in z so logit_q carries the full
+    * ranking information.
     */
   def taQualityLr(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
@@ -189,8 +198,8 @@ object TextAnalysis3 {
     val z = lit(W0) + lit(WStop) * stopRatio + lit(WTtr) * ttr +
       lit(WLen) * lenSat + lit(WPunct) * punct
     Tables(s, dir, "documents")
-      .select(col("doc_id"), round(z, 6).as("logit"),
-        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"),
+      .select(col("doc_id"),
+        floor(z * lit(RakeScale)).cast(LongType).as("logit_q"),
         (z >= 0).as("keep"))
       .orderBy("doc_id")
   }
@@ -202,8 +211,8 @@ object TextAnalysis3 {
       s" + $WLen * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)" +
       s" + $WPunct * (CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)))"
     s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
-       |SELECT doc_id, round($z, 6) AS logit,
-       |  round(1.0 / (1.0 + exp(-$z)), 6) AS score,
+       |SELECT doc_id,
+       |  CAST(floor($z * $RakeScale) AS BIGINT) AS logit_q,
        |  $z >= 0 AS keep
        |FROM d ORDER BY doc_id""".stripMargin
   }

@@ -143,7 +143,7 @@ object TimeSeriesOps {
        |      ORDER BY abs(ser.n * r.st - r.t * ser.stot) DESC, r.t ASC) AS rk
        |  FROM r JOIN ser ON r.user_id = ser.user_id
        |  WHERE r.t < ser.n)
-       |SELECT user_id, n AS n_events, t AS cp_pos, stat AS cusum_stat,
+       |SELECT user_id, n AS n_events, t AS cp_pos, CAST(stat AS BIGINT) AS cusum_stat,
        |  CAST(st AS DOUBLE) / t / 100 AS mean_before,
        |  CAST(stot - st AS DOUBLE) / (n - t) / 100 AS mean_after
        |FROM scored WHERE rk = 1 ORDER BY user_id""".stripMargin
@@ -184,8 +184,9 @@ object TimeSeriesOps {
        |      ORDER BY n_chars DESC, doc_id ASC
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
        |  FROM documents)
-       |SELECT source, cum_before // $TargetBytes AS bin,
-       |  COUNT(*) AS n_files, SUM(n_chars) AS bytes, MAX(n_chars) AS max_file,
+       |SELECT source, CAST(cum_before // $TargetBytes AS BIGINT) AS bin,
+       |  COUNT(*) AS n_files, CAST(SUM(n_chars) AS BIGINT) AS bytes,
+       |  MAX(n_chars) AS max_file,
        |  CAST(SUM(n_chars) AS DOUBLE) / $TargetBytes AS fill_ratio
        |FROM f GROUP BY source, bin ORDER BY source, bin""".stripMargin
 
@@ -301,7 +302,8 @@ object TimeSeriesOps {
        |      sqrt(${variance("ss0", "s0", "n0")} / n0 +
        |           ${variance("ss1", "s1", "n1")} / n1) AS z
        |  FROM agg)
-       |SELECT event_type, n0 AS n_a, n1 AS n_b, mean_a, mean_b, z,
+       |SELECT event_type, CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+       |  mean_a, mean_b, z,
        |  abs(z) > 1.96 AS significant
        |FROM z ORDER BY event_type""".stripMargin
   }
@@ -381,8 +383,8 @@ object TimeSeriesOps {
        |  FROM gaps GROUP BY gap_min),
        |risk AS (
        |  SELECT gap_min, n_deaths,
-       |    (SELECT COUNT(*) FROM gaps) - coalesce(SUM(n_ending) OVER (ORDER BY gap_min
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+       |    CAST((SELECT COUNT(*) FROM gaps) - coalesce(SUM(n_ending) OVER (ORDER BY gap_min
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
        |  FROM bygap),
        |steps AS (
        |  SELECT gap_min, n_at_risk, n_deaths,

@@ -18,22 +18,29 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The driver's `events` table stores TIMESTAMP(NANOS), which Spark 4
-    // rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as Long and
-    // rebuild a microsecond TimestampType column — the same truncation
-    // DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, so oracle
-    // comparisons stay exact.
+    // `events.ts` has shipped as both TIMESTAMP(NANOS) (Spark 4 reads it
+    // only via nanosAsLong → INT64) and TIMESTAMP(MICROS) (read as
+    // TIMESTAMP_NTZ) across driver testdata generations. Branch on the
+    // type the file actually carries so either generation resolves to a
+    // session-TZ TimestampType column with identical instants (session TZ
+    // is pinned to UTC, so NTZ→TZ is a reinterpretation, not a shift —
+    // matching DuckDB's TIMESTAMP semantics for the oracle).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // every query path enters through here, so the session always has
     // the graft function registry (PortableHash resolves graft_hash64
     // by name); idempotent and cheap
     graft.functions.GraftExpressions.register(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // integral `div` — a double division would lose precision at 1e18 ns
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      df.schema("ts").dataType match {
+        // integral `div` — double division loses precision at 1e18 ns
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
+    } else df
   }
 
   /** Register every table as a temp view (for spark.sql entry points). */

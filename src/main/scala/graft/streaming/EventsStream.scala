@@ -21,21 +21,36 @@ import org.apache.spark.sql.Row
   */
 object EventsStream {
 
-  val eventSchema: StructType = StructType(Seq(
+  def eventSchema(tsType: DataType = TimestampType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long at the wire (TESTDATA)
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet. */
-  def readEvents(spark: SparkSession, dir: String, glob: String = "*.parquet"): DataFrame =
-    spark.readStream
-      .schema(eventSchema)
+  /** File-source stream over a directory of events parquet.
+    *
+    * A streaming source needs its schema up front, but `ts` has shipped
+    * as both TIMESTAMP(NANOS) (→ INT64 via nanosAsLong) and
+    * TIMESTAMP(MICROS) across driver testdata generations — so peek at
+    * the parquet footer with a batch read (metadata-only, no data scan)
+    * and declare the matching wire schema, normalizing to a session-TZ
+    * TimestampType event-time column either way (session TZ is UTC, so
+    * the micros path is a pure reinterpretation).
+    */
+  def readEvents(spark: SparkSession, dir: String, glob: String = "*.parquet"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val wireTs = spark.read.option("pathGlobFilter", glob).parquet(dir)
+      .schema("ts").dataType
+    val raw = spark.readStream
+      .schema(eventSchema(if (wireTs == LongType) LongType else TimestampType))
       .option("pathGlobFilter", glob)
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (wireTs == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
 
   /** Tumbling-window aggregation with a watermark: the streaming twin
     * of Analytics.qTumblingWindow. Late rows beyond 10 minutes are

@@ -115,4 +115,16 @@ class HfpLoadJobSpec extends SparkSuite {
     assert(rows.length == 2)
     assert(HfpLoadJob.loadDay(sc, root, sink, date) == Map("stopevent" -> 0L))
   }
+
+  test("X2: CLI date validation accepts real dates, rejects malformed ones") {
+    assert(HfpLoadJob.validateDate("2024-01-15") == Right("2024-01-15"))
+    assert(HfpLoadJob.validateDate("2024-02-29") == Right("2024-02-29")) // leap
+    assert(HfpLoadJob.validateDate("2023-02-29").isLeft) // not a leap year
+    assert(HfpLoadJob.validateDate("2024-13-01").isLeft)
+    assert(HfpLoadJob.validateDate("2024-00-10").isLeft)
+    assert(HfpLoadJob.validateDate("15-01-2024").isLeft)
+    assert(HfpLoadJob.validateDate("2024-1-5").isLeft)
+    assert(HfpLoadJob.validateDate("").isLeft)
+    assert(HfpLoadJob.validateDate("not-a-date").isLeft)
+  }
 }
