@@ -247,37 +247,47 @@ object DedupOps {
   // n-gram Jaccard (all candidate pairs sharing any shingle)
   // ---------------------------------------------------------------------
 
+  /** Document-frequency cap for the shingle pairing base: a shingle in
+    * more than this many documents contributes df² candidate rows to
+    * the self-join — corpus boilerplate (headers, license blurbs) makes
+    * that quadratic at 100 TB. Shingles above the cap are excluded from
+    * CANDIDATE GENERATION only; the Jaccard verify still runs over the
+    * full shingle sets, so a capped pair's score is exact. The cap sits
+    * far above this corpus's max df (25 at sf0.1) — output-identical at
+    * every test scale, bounded at real scale.
+    */
+  private val ShingleDfCap = 128
+
   def ddNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // intersections come straight off the shingle self-join — no
-    // separate candidate pass (the oracle has the same single-pass
-    // shape). Prefix filtering (Bayardo et al., WWW'07) was measured
-    // here and LOST: this corpus's document frequencies are flat
-    // (df̄≈9.6, max 25 at sf0.1), so Σdf² is only ~11× the shingle
-    // count and the naive join never explodes, while the prefix pass
-    // adds two windows and a candidate distinct. On a corpus with
-    // skewed df (real text at 100 TB), switch candidates to
-    // dd_minhash_lsh — already the indexed scale path.
+    // Pairing runs on the df-capped shingle base (see [[ShingleDfCap]]):
+    // per-shingle fan-out is ≤ cap², so the join is linear in shingle
+    // count with a bounded constant, not quadratic in boilerplate df.
+    // Exact |A∩B| is then recomputed over the FULL sets for the
+    // surviving candidates (jaccardFor), so reported scores are the
+    // true Jaccard. The oracle applies the same cap, same verify.
     val sh = shingleHashes(Tables(s, dir, "documents")).cache()
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("a"), col("h"))
-      .join(sh.select(col("doc_id").as("b"), col("h")), "h")
+    val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") <= ShingleDfCap).select("h")
+    val shR = sh.join(rare, "h")
+    val cands = shR.select(col("doc_id").as("a"), col("h"))
+      .join(shR.select(col("doc_id").as("b"), col("h")), "h")
       .where(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("ni"))
-    inter
-      .join(cnt.select(col("doc_id").as("a"), col("n").as("na")), "a")
-      .join(cnt.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-      .select(col("a"), col("b"),
-        (col("ni").cast(DoubleType) / (col("na") + col("nb") - col("ni"))).as("jaccard"))
+      .select("a", "b").distinct()
+    jaccardFor(cands, sh)
       .where(col("jaccard") >= JaccardThreshold)
       .orderBy("a", "b")
   }
 
   private val ddNgramSql =
     s"""WITH sh AS ($shinglesSql),
+       |rare AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= $ShingleDfCap),
+       |shr AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+       |cands AS (SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b FROM shr sa
+       |  JOIN shr sb ON sa.h = sb.h AND sa.doc_id < sb.doc_id),
        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-       |inter AS (SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS ni FROM sh sa
-       |  JOIN sh sb ON sa.h = sb.h AND sa.doc_id < sb.doc_id
-       |  GROUP BY 1, 2)
+       |inter AS (SELECT c.a, c.b, COUNT(*) AS ni FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sa.h = sb.h
+       |  GROUP BY c.a, c.b)
        |SELECT i.a, i.b, CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jaccard
        |FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
        |WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= $JaccardThreshold
@@ -437,10 +447,14 @@ object DedupOps {
   /** Containment similarity |A∩B| / min(|A|,|B|) over the shared LSH
     * candidate set — the detector for near-SUBSET duplicates (a short
     * doc embedded in a longer one scores low Jaccard but high
-    * containment). Same shingle-intersection machinery as the Jaccard
-    * verify; at scale a containment-tuned recall pass additionally
-    * bands on the SMALLER document's signature alone (asymmetric LSH)
-    * — the verify tier shown here is unchanged by that swap.
+    * containment). Candidates come from [[lshCandidates]] (banded
+    * minhash buckets), NOT a raw shingle self-join — the per-pair
+    * shingle joins below only compute |A∩B| for that bounded candidate
+    * set, costing |A|+|A∩B| probe rows per pair. Same
+    * shingle-intersection machinery as the Jaccard verify; at scale a
+    * containment-tuned recall pass additionally bands on the SMALLER
+    * document's signature alone (asymmetric LSH) — the verify tier
+    * shown here is unchanged by that swap.
     */
   def ddContainment(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleHashes(Tables(s, dir, "documents")).cache()

@@ -105,4 +105,13 @@ class PlanAuditSpec extends SparkSuite {
     assert(scans("orders") <= 3, s"orders scanned ${scans("orders")}x")
     assert(scans("events") == 1, s"events scanned ${scans("events")}x")
   }
+
+  test("dd_ngram_jaccard pairs on the df-capped shingle base") {
+    // candidate generation must go through the ShingleDfCap filter —
+    // without it, one boilerplate shingle in df documents contributes
+    // df² rows to the self-join and the pass goes quadratic at scale
+    val p = plan("dd_ngram_jaccard")
+    assert(p.contains("<= 128"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
 }
