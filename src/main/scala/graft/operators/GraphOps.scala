@@ -181,19 +181,23 @@ object GraphOps {
     // The quantized arithmetic is partitioning-independent either way.
     val gate: DataFrame => DataFrame =
       if (n <= BroadcastNodeCap) broadcast else identity
+    // degree rides ON the edge list, attached once outside the loop —
+    // each round is then a single edges⋈pr join + one map-side-combined
+    // aggregate, instead of pr⋈deg followed by edges⋈contrib (two joins
+    // per round). floor(pr/d·Q) per EDGE equals the per-node
+    // contribution exactly (pr and d are constant per src), so the
+    // quantized sum — and therefore every emitted double — is
+    // bit-identical to the two-join form and to the oracle.
+    val edges = pairs.join(deg, "src")
+      .select(col("src"), col("dst"), col("d")).cache()
     var pr = deg.select(col("src").as("node")).withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to PrIters) {
-      // fold pr/deg into a |nodes|-row contribution table FIRST — the
-      // edges never re-shuffle and the only exchange per round is the
-      // map-side-combined |nodes|-row aggregate
-      val contrib = pr.join(deg.withColumnRenamed("src", "node"), "node")
-        .select(col("node").as("src"),
-          floor(col("pr") / col("d") * PrQ).cast("long").as("cq"))
-      pr = pairs
-        .join(gate(contrib), "src")
+      pr = edges
+        .join(gate(pr.withColumnRenamed("node", "src")), "src")
         .groupBy(col("dst").as("node"))
-        .agg((lit(0.15 / n) +
-          lit(Damping) * (sum("cq").cast("double") / PrQ)).as("pr"))
+        .agg((lit(0.15 / n) + lit(Damping) *
+          (sum(floor(col("pr") / col("d") * PrQ).cast("long"))
+            .cast("double") / PrQ)).as("pr"))
         // eager per-round materialization: the next round's broadcast
         // would otherwise re-execute every prior round's chain
         .localCheckpoint()
