@@ -17,13 +17,23 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Dev-only subset filter (driver sets no env → full run).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // A query that throws writes no parquet and would otherwise VANISH
+    // from the driver's correctness report (this hid a 44-query drop
+    // for two rounds) — so collect failures and leave a loud marker in
+    // the output dir alongside the per-query parquet.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    var nOk = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        nOk += 1
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(3).mkString(" | ")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -41,6 +51,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
+    println(s"[verify] $nOk ok, ${failures.size} failed" +
+      (if (failures.nonEmpty) s": ${failures.keys.mkString(", ")}" else ""))
     spark.stop()
   }
 }

@@ -25,6 +25,10 @@ def main(sfdir, outdir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    fpath = f"{outdir}/failures.json"
+    if os.path.exists(fpath):
+        for name, err in sorted(json.load(open(fpath)).items()):
+            print(f"[FAIL] {name}: Verify threw: {err}")
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
