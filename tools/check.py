@@ -41,6 +41,16 @@ def main(sfdir, outdir):
             gcols = [d[0] for d in con.description]
             want = con.execute(sql).fetchall()
             wcols = [d[0] for d in con.description]
+            # The driver's hash is type-sensitive: DuckDB SUM over ints
+            # widens to HUGEINT (int128) and mismatches Spark's BIGINT
+            # even with identical values (NOTES.md #13). Python equality
+            # below can't see that, so flag it separately.
+            orel = con.sql(sql)
+            hug = [c for c, t in zip(orel.columns, orel.types)
+                   if str(t) in ("HUGEINT", "UHUGEINT") or str(t).startswith("DECIMAL")]
+            if hug:
+                print(f"[WARN] {name}: oracle columns {hug} are "
+                      f"HUGEINT/DECIMAL — CAST to BIGINT or the driver hash will mismatch")
         except Exception as e:
             print(f"[FAIL] {name}: exec error: {e}"); n_fail += 1; continue
         # driver sorts columns by name before hashing
