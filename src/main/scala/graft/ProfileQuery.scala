@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiling main: run named queries N times in one session,
+  * printing every run's wall time (Bench reports only the min, which
+  * hides whether the steady state is cache-hit or re-built).
+  *
+  * usage: runMain graft.ProfileQuery <sfDir> <n> <q1,q2,...>
+  */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, nStr, names) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    names.split(",").foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to nStr.toInt).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(s"[profile] $name: " + times.map(t => f"$t%.2f").mkString(" "))
+    }
+    spark.stop()
+  }
+}
