@@ -515,7 +515,10 @@ object GraphOps {
     // localCheckpoint: the oriented edge list is read three times
     // (both wedge sides + the closing probe) — materialize the small
     // filtered relation once instead of re-scanning the cached pair
-    // table per use
+    // table per use. A/B'd against .cache(): the InMemoryRelation's
+    // size estimate pushes the wedge joins off their broadcast plan and
+    // the whole query runs 2.5x SLOWER than the unknown-stats
+    // LogicalRDD + AQE runtime sizing — keep the checkpoint.
     val und = coPairCounts(s, dir)
       .where(col("src") < col("dst") && col("cnt") >= TriMinSupport)
       .select(col("src").as("u"), col("dst").as("v"))
