@@ -28,8 +28,8 @@ class SqlParitySpec extends SparkSuite {
     "q4_priority_exists", "q5_region_revenue", "q6_selective_agg",
     "q7_bi_nation_volume", "q8_market_share", "q9_product_profit",
     "q_ab_test", "q_anomaly_zscore", "q_anti_join", "q_assoc_rules",
-    "q_autocorr", "q_bucketed_join", "q_changepoint", "q_ewma",
-    "q_label_prop", "q_modularity", "q_cond_funcs",
+    "q_autocorr", "q_bfs_dist", "q_bucketed_join", "q_changepoint", "q_ewma",
+    "q_kcore", "q_link_predict", "q_label_prop", "q_modularity", "q_cond_funcs",
     "q_context_chunks", "q_cross_join", "q_cube", "q_dedup_keep_latest",
     "q_distinct_agg", "q_dq_checks", "q_empty_agg", "q_forget_user",
     "q_full_outer_join", "q_funnel",
