@@ -62,7 +62,7 @@ object DedupOps {
     * when the input is a single parquet split (NOTES #27); at real
     * scale the scan's own splits make it doc-row-sized noise.
     */
-  private def shingleHashes(docs: DataFrame): DataFrame =
+  private[graft] def shingleHashes(docs: DataFrame): DataFrame =
     docs.repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(call_function("graft_shingle_hashes", col("text"))).as("h"))
@@ -100,7 +100,7 @@ object DedupOps {
   // ---------------------------------------------------------------------
 
   private val NumPerms = 16
-  private val NumBands = 4 // 4 rows per band
+  private[graft] val NumBands = 4 // 4 rows per band
   private val JaccardThreshold = 0.5
 
   /** One base hash per shingle + affine permutations `(a·h+b) mod p`
@@ -108,15 +108,15 @@ object DedupOps {
     * same minhash guarantees, still exactly mirrored by the oracle.
     * p = 2^31-1 keeps every product inside a Long.
     */
-  private val MersenneP = 2147483647L
-  private[operators] val perms: Seq[(Long, Long)] = (0 until NumPerms).map { i =>
+  private[graft] val MersenneP = 2147483647L
+  private[graft] val perms: Seq[(Long, Long)] = (0 until NumPerms).map { i =>
     val a = (1103515245L * (2 * i + 1) + 12345L) % (MersenneP - 1) + 1
     val b = (1103515245L * (2 * i + 2) + 54321L) % MersenneP
     (a, b)
   }
 
   /** doc_id + sig0..sig15 columns. */
-  private def minhashSigs(sh: DataFrame): DataFrame = {
+  private[graft] def minhashSigs(sh: DataFrame): DataFrame = {
     val base = col("h") % MersenneP
     val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
       min((base * a + b) % MersenneP).as(s"sig$i")
@@ -124,7 +124,7 @@ object DedupOps {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  private def bandKeys(sigs: DataFrame): DataFrame = {
+  private[graft] def bandKeys(sigs: DataFrame): DataFrame = {
     val bands = (0 until NumBands).map { b =>
       val parts = (0 until NumPerms / NumBands)
         .map(r => col(s"sig${b * (NumPerms / NumBands) + r}").cast(StringType))
@@ -136,7 +136,7 @@ object DedupOps {
   /** LSH candidate pairs (a < b) — shared by the Jaccard verify and the
     * edit-distance verify.
     */
-  private[operators] def lshCandidates(sh: DataFrame): DataFrame = {
+  private[graft] def lshCandidates(sh: DataFrame): DataFrame = {
     val banded = bandKeys(minhashSigs(sh))
     (0 until NumBands).map { b =>
       val l = banded.select(col("doc_id").as("a"), col(s"band$b").as("bk"))
