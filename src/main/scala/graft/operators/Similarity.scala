@@ -38,7 +38,7 @@ object Similarity {
     * oracles are unchanged; the hot loop is a plain generated `for`
     * over the unsafe float array.
     */
-  private[operators] def withNorm(s: SparkSession, df: DataFrame): DataFrame = {
+  private[graft] def withNorm(s: SparkSession, df: DataFrame): DataFrame = {
     graft.functions.GraftExpressions.register(s)
     df.select(col("vec_id"), col("embedding"),
       sqrt(expr("graft_norm_sq_f(embedding)")).as("nrm"))
@@ -81,7 +81,7 @@ object Similarity {
     * cross product through a window sort (the vector/norm columns ride
     * the grouped row instead).
     */
-  private[operators] def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
+  private[graft] def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
     e.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
         (dotE("embedding", "ce") / (col("nrm") * col("cn"))).as("cos_c"))
