@@ -15,6 +15,9 @@ object ProfileQuery {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC") // match Bench/Verify:
+      // event instants shift on a non-UTC host otherwise, changing
+      // filter/window selectivity vs the runs being compared against
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

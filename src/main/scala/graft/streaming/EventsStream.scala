@@ -41,8 +41,13 @@ object EventsStream {
     */
   def readEvents(spark: SparkSession, dir: String, glob: String = "*.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val wireTs = spark.read.option("pathGlobFilter", glob).parquet(dir)
-      .schema("ts").dataType
+    // an initially-EMPTY ingest directory is the normal streaming
+    // cold-start: the peek then has no footer to read, so default to
+    // the TIMESTAMP wire type instead of failing stream setup
+    val wireTs =
+      try spark.read.option("pathGlobFilter", glob).parquet(dir)
+        .schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => TimestampType }
     val raw = spark.readStream
       .schema(eventSchema(if (wireTs == LongType) LongType else TimestampType))
       .option("pathGlobFilter", glob)
