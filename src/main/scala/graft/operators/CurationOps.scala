@@ -148,6 +148,19 @@ object CurationOps {
 
   private val NbQ = 1073741824L // 2^30 quantizer (NOTES #4b: |terms| ≪ 2^23)
 
+  /** Language-count gate between the two NB scoring shapes (both
+    * built, both A/B'd at sf0.1): at ≤ this many candidate languages
+    * the ×|langs| fan-out of the per-doc fact relation wins (1.8 s vs
+    * 3.5 s — the vector path's model-side pivot jobs dominate); beyond
+    * it the fan-out's |facts|·|langs| rows dominate instead and the
+    * pivoted score-vector path streams the fact relation ONCE — the
+    * production-langid shape at 100+ languages. The 2^30 quantization
+    * makes the two algebraically interchangeable (bit-identical
+    * output); `NbLangidShapeSpec` pins that and the plan shapes.
+    * Overridable via `spark.graft.langid.fanoutLangCap` for tests.
+    */
+  private val FanOutLangCap = 16
+
   def taNbLangid(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     // char-trigram features, not words: this corpus draws every lang
@@ -164,19 +177,27 @@ object CurationOps {
     val vocab = wc.select("w").distinct().agg(count(lit(1)).as("v"))
     val prior = docs.groupBy("lang").agg(count(lit(1)).as("nd"))
       .crossJoin(docs.agg(count(lit(1)).as("ntot")))
-    // score: per-doc WORD COUNTS × candidate langs, left-joined against
-    // the model; the per-(w, lang) log-likelihood is quantized before
-    // the k-weighted per-doc sum so the reduction is order-independent.
-    // The ×|langs| fan-out of the fact relation is the measured-faster
-    // shape AT THIS LANGUAGE COUNT (5): a pivoted per-trigram score
-    // vector (precompute floor(log·2^30) on the vocab×lang model,
-    // pivot by lang, stream dw once, coalesce misses to the per-lang
-    // smoothed-zero constant) was built and A/B'd — exact-identical
-    // output, but its extra model-side jobs cost 2× here (3.5s vs 1.8s
-    // at sf0.1). At a production langid's 100+ languages the fan-out
-    // dominates instead and the score-vector form is the scale path —
-    // the quantization makes the two algebraically interchangeable.
     val dw = toks.select("doc_id", "w", "k")
+    val cap = s.conf.getOption("spark.graft.langid.fanoutLangCap")
+      .map(_.toInt).getOrElse(FanOutLangCap)
+    // the gate itself: one pruned single-column distinct-count —
+    // trivial next to the model build either branch runs
+    val nLangs = docs.select("lang").distinct().count()
+    val pred =
+      if (nLangs <= cap) nbFanOutPred(dw, wc, lc, vocab, prior)
+      else nbScoreVectorPred(dw, wc, lc, vocab, prior)
+    docs.select("doc_id", "lang").join(pred, "doc_id")
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Fan-out scoring: per-doc WORD COUNTS × candidate langs,
+    * left-joined against the model; the per-(w, lang) log-likelihood
+    * is quantized before the k-weighted per-doc sum so the reduction
+    * is order-independent. The winner at small language counts.
+    */
+  private def nbFanOutPred(dw: DataFrame, wc: DataFrame, lc: DataFrame,
+      vocab: DataFrame, prior: DataFrame): DataFrame = {
     val langs = lc.select(col("lang").as("plang"), col("n_l"))
       .crossJoin(vocab)
     val ll = dw.crossJoin(broadcast(langs))
@@ -192,12 +213,63 @@ object CurationOps {
         floor(log(col("nd").cast(DoubleType) / col("ntot")) * NbQ)
           .cast(LongType).as("pq"))), "plang")
       .select(col("doc_id"), col("plang"), (col("sq") + col("pq")).as("score"))
-    val pred = scored.groupBy("doc_id")
+    scored.groupBy("doc_id")
       .agg(min(struct((-col("score")).as("ns"), col("plang").as("plang"))).as("b"))
       .select(col("doc_id"), col("b.plang").as("predicted"))
-    docs.select("doc_id", "lang").join(pred, "doc_id")
-      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
-      .orderBy("lang", "predicted")
+  }
+
+  /** Score-vector scoring — the 100+-language scale path: quantized
+    * log-likelihoods are pivoted into one |langs|-wide model row per
+    * trigram (misses filled with the per-lang smoothed-zero constant),
+    * the fact relation streams ONCE through a broadcast-hash join, and
+    * the per-doc reduction is |langs| map-side-combined sums instead of
+    * a ×|langs| row fan-out. Per-lang totals/priors are collected to
+    * the driver first — |langs| rows of model metadata, bounded at any
+    * corpus scale (they are what a served langid model ships with).
+    * Each per-slot double op (`(c+1)/(n_l+v)`, `log`, `*NbQ`, `floor`)
+    * is written operand-for-operand as in [[nbFanOutPred]], so the
+    * quantized longs — and therefore the argmin — are bit-identical.
+    */
+  private def nbScoreVectorPred(dw: DataFrame, wc: DataFrame, lc: DataFrame,
+      vocab: DataFrame, prior: DataFrame): DataFrame = {
+    // |langs| rows + one vocab scalar to the driver (NOT corpus data)
+    val v = vocab.head().getLong(0)
+    val stats = lc.join(prior, "lang").collect()
+      .map { r =>
+        val nl = r.getAs[Long]("n_l")
+        val nd = r.getAs[Long]("nd")
+        val ntot = r.getAs[Long]("ntot")
+        (r.getAs[String]("lang"), nl + v,
+          // same IEEE ops as the engine-side expressions: Math.log on
+          // a double quotient, scaled and floored to a long
+          math.floor(math.log(nd.toDouble / ntot) * NbQ).toLong)
+      }.sortBy(_._1)
+    // pivot: one row per trigram, one quantized-log slot per language;
+    // max(when(...)) selects the unique (w, lang) cell, coalesce fills
+    // model misses with the smoothed-zero constant floor(log(1/(n_l+v))·Q)
+    val slots = stats.zipWithIndex.map { case ((lang, den, _), i) =>
+      val zq = math.floor(math.log(1.0 / den) * NbQ).toLong
+      coalesce(
+        max(when(col("lang") === lang,
+          floor(log((col("c") + lit(1L)).cast(DoubleType) / lit(den)) * NbQ)
+            .cast(LongType))),
+        lit(zq)).as(s"lq_$i")
+    }
+    val vec = wc.groupBy("w").agg(slots.head, slots.tail: _*)
+    // ONE pass over the facts: broadcast-hash join on the trigram,
+    // |langs| per-doc sums (inner join — every observed w has a model
+    // row by construction; a doc-lang slot miss is already the zq fill)
+    val sums = stats.indices.map(i =>
+      sum(col("k") * col(s"lq_$i")).as(s"sq_$i"))
+    val perDoc = dw.join(broadcast(vec), "w")
+      .groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    // argmin over (−score, lang) structs — the same tiebreak as the
+    // fan-out's min(struct(ns, plang))
+    val cands = stats.zipWithIndex.map { case ((lang, _, pq), i) =>
+      struct((-(col(s"sq_$i") + lit(pq))).as("ns"), lit(lang).as("plang"))
+    }
+    val best = if (cands.size == 1) cands.head else least(cands: _*)
+    perDoc.select(col("doc_id"), best.getField("plang").as("predicted"))
   }
 
   private val taNbLangidSql =
