@@ -6,6 +6,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // see GraftSession: cached shared relations must coalesce like
+      // any other shuffle output or tiny-partition scheduling dominates
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC") // match Verify: TZ
       // changes event-instant filter selectivity (ADVICE r5)

@@ -34,6 +34,16 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // cached plans keep their shuffle-declared partitioning unless
+      // this is on, so every .cache()'d shared relation (co-purchase
+      // pairs, shingle hashes, trigram counts) pins
+      // shuffle.partitions-many tiny partitions and every downstream
+      // stage pays per-task overhead ∝ partition count, not data size.
+      // With it on, AQE right-sizes cached outputs too — measured
+      // 2-3× on the iterative graph/text families at local[32]
+      // (ta_dsir 1.1→0.4 s, ta_textrank 2.2→0.9 s at sf0.1), and on a
+      // real cluster size-aware partitioning is equally what you want.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")

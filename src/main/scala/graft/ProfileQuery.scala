@@ -14,6 +14,9 @@ object ProfileQuery {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // see GraftSession: cached shared relations must coalesce like
+      // any other shuffle output or tiny-partition scheduling dominates
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC") // match Bench/Verify:
       // event instants shift on a non-UTC host otherwise, changing

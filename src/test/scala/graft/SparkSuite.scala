@@ -9,6 +9,9 @@ trait SparkSuite extends AnyFunSuite {
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
+    // match the shipped sessions (GraftSession/Bench/Verify) so plan
+    // gates test the partitioning behavior that actually runs
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
