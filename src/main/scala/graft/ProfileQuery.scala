@@ -16,7 +16,9 @@ object ProfileQuery {
       .master(s"local[$cpus]")
       // see GraftSession: cached shared relations must coalesce like
       // any other shuffle output or tiny-partition scheduling dominates
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // (env-overridable here only, for conf A/Bs)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_CACHE", "true"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC") // match Bench/Verify:
       // event instants shift on a non-UTC host otherwise, changing

@@ -363,8 +363,21 @@ object DedupOps {
     val bandArr = array(segs.map { case (st, w) =>
       shiftright(col("fingerprint"), st).bitwiseAND(lit((1L << w) - 1))
     }: _*)
+    // EXPLICIT parallelism for the band self-join: the banded relation
+    // is byte-small (two longs + two ints per row) but the join is
+    // CPU-heavy (bucket-occupancy products + hamming verify), which is
+    // exactly where AQE's size-based sizing misjudges — with cached-
+    // plan coalescing on, fps compacts to ~1 partition and the whole
+    // join ran serially (measured 4.3 s vs 1.0 s at sf0.1/local[32]).
+    // A fixed-count hash repartition on the join key keeps the join
+    // co-partitioned (no extra exchange) and saturates the cores; the
+    // count tracks the session's declared shuffle width, so a cluster
+    // deployment scales it the same way as every other shuffle.
+    val nPart = math.max(s.sparkContext.defaultParallelism,
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val banded = fps.select(col("doc_id"), col("fingerprint"),
       posexplode(bandArr).as(Seq("band", "seg")))
+      .repartition(nPart, col("band"), col("seg"))
     val l = banded.select(col("band"), col("seg"),
       col("doc_id").as("a"), col("fingerprint").as("fa"))
     val r = banded.select(col("band").as("rband"), col("seg").as("rseg"),
