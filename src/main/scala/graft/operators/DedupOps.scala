@@ -290,7 +290,13 @@ object DedupOps {
     val sh = shingleHashes(Tables(s, dir, "documents")).cache()
     val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") <= ShingleDfCap).select("h")
-    val shR = sh.join(rare, "h").cache()
+    // explicit join-key parallelism, same rationale as ddSimhash: the
+    // capped shingle relation is byte-small but the pairing self-join
+    // is CPU-heavy, and AQE's size-based sizing would run it near-
+    // serial once cached-plan coalescing compacts shR
+    val nPart = math.max(s.sparkContext.defaultParallelism,
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val shR = sh.join(rare, "h").repartition(nPart, col("h")).cache()
     val cnt = shR.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = shR.select(col("doc_id").as("a"), col("h"))
       .join(shR.select(col("doc_id").as("b"), col("h")), "h")

@@ -543,6 +543,13 @@ object GraphOps {
           .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
           .as("o"))
       .select(col("o.s").as("s"), col("o.t").as("t"), col("o.dt").as("dt"))
+      // explicit wedge-join parallelism (same rationale as ddSimhash's
+      // band join): the oriented edge list is byte-small but the wedge
+      // fan-out is the query's CPU core — hash-partition it on the
+      // wedge center so the self-join is co-partitioned AND parallel,
+      // instead of whatever AQE's byte-sizing coalesced the upstream to
+      .repartition(math.max(s.sparkContext.defaultParallelism,
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt), col("s"))
     // wedges at the low endpoint, one per unordered neighbor pair
     val wedges = e.as("e1").join(e.as("e2"), col("e1.s") === col("e2.s"))
       .where(col("e1.dt") < col("e2.dt") ||
