@@ -338,7 +338,13 @@ object CurationOps {
     // a<b pair, so dropping them shrinks the join input by ~the corpus
     // while leaving `shared` counts (and sizes above) unchanged
     val shared2 = df.where(col("df") >= 2 && col("df") <= WinMaxDf).select("fp")
+    // explicit join-key parallelism (ddSimhash rationale): the shared-
+    // fingerprint relation is byte-small but the pair fan-out is the
+    // query's CPU core — pin the self-join width instead of letting
+    // AQE's byte-sizing under-partition it
     val fj = fps.join(shared2, "fp")
+      .repartition(math.max(s.sparkContext.defaultParallelism,
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt), col("fp"))
     val a = fj.select(col("doc_id").as("a"), col("fp"))
     val b = fj.select(col("doc_id").as("b"), col("fp"))
     a.join(b, "fp").where(col("a") < col("b"))
