@@ -207,7 +207,10 @@ object GraphOps {
           (sum(floor(col("pr") / col("d") * PrQ).cast("long"))
             .cast("double") / PrQ)).as("pr"))
         // eager per-round materialization: the next round's broadcast
-        // would otherwise re-execute every prior round's chain
+        // would otherwise re-execute every prior round's chain —
+        // A/B'd (r6): checkpointing only even rounds ran the cold pass
+        // 8× slower (broadcast re-execution compounds) and the steady
+        // state no better; keep every-round checkpoints
         .localCheckpoint()
     }
     pr.join(deg.select(col("src").as("node"), col("d").as("degree")), "node")
