@@ -212,10 +212,15 @@ object GraphOps2 {
     * matter how the distance distribution spreads.
     */
   def qSssp(s: SparkSession, dir: String): DataFrame = {
+    // materialize the weighted edge list once: each of the 4 relax
+    // rounds joins it, and re-deriving it from the cached pair table
+    // per round re-plans the filter+projection under whatever AQE
+    // sized the cache to — a measured source of run-to-run variance
     val e = GraphOps.coPairCounts(s, dir)
       .where(col("cnt") >= MinSupport)
       .select(col("src"), col("dst"),
         (lit(100L) - least(col("cnt"), lit(50L))).as("w"))
+      .localCheckpoint()
     // one distinct-node materialization serves BOTH the seed set and
     // the broadcast gate's node count (the gate used to run its own
     // distinct().count() job per invocation — VERDICT r5 §what's-wrong 5)
