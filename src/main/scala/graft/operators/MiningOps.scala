@@ -56,6 +56,11 @@ object MiningOps {
         .select(col("p_partkey"), col("p_brand").as("item")),
         col("l_partkey") === col("p_partkey"))
       .select("oid", "item").distinct()
+    // deliberately NOT cached: the four consuming branches share the
+    // distinct's exchange via ReusedExchange already, and a cache
+    // A/B'd 1.7x SLOWER (r6) — the coalesced InMemoryRelation starves
+    // the pairing self-join of partitions (the ddSimhash pathology)
+    // while the broadcast branches lose their runtime-sized plans
     val nOrders = baskets.select("oid").distinct()
       .agg(count(lit(1)).as("n_orders"))
     val items = baskets.groupBy("item").agg(count(lit(1)).as("n_item"))
