@@ -3,7 +3,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the driver contract pins the bench env at local[32] with 32
+    // shuffle partitions; SPARK_GRAFT_CPUS is a dev-only override (the
+    // old default of 4 meant the DRIVER's official runs measured a
+    // 4-thread engine against a 32-thread floor)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // see GraftSession: cached shared relations must coalesce like

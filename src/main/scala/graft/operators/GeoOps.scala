@@ -62,7 +62,7 @@ object GeoOps {
   private val RefLng = 24.9384
 
   /** Deterministic portable coordinates for an event row. */
-  private def withCoords(df: DataFrame): DataFrame =
+  private[graft] def withCoords(df: DataFrame): DataFrame =
     df.select(col("event_id"),
       (lit(LatBase) + (PortableHash.hash64(col("event_id").cast(StringType)) % LatModulus)
         .cast(DoubleType) * lit(CoordScale)).as("lat"),
@@ -77,7 +77,7 @@ object GeoOps {
     * rendered into both engines with identical association so every
     * intermediate double matches bit-for-bit.
     */
-  private def haversineM(lat1: Column, lng1: Column, lat2: Column, lng2: Column): Column = {
+  private[graft] def haversineM(lat1: Column, lng1: Column, lat2: Column, lng2: Column): Column = {
     val dLat = radians(lat2 - lat1) / 2.0
     val dLng = radians(lng2 - lng1) / 2.0
     val a = sin(dLat) * sin(dLat) +
@@ -176,6 +176,18 @@ object GeoOps {
     * product. Distances are rounded at 1e-6 BEFORE the argmin so the
     * tie order (then lowest stop_id) is engine-exact.
     */
+  /** Deterministic synthetic stop dimension (hash-placed around the
+    * reference point) — shared by the batch nearest-stop query and its
+    * streaming twin so the two cannot drift.
+    */
+  private[graft] def stopsDim(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "nation").select(
+      col("n_nationkey").as("stop_id"),
+      (lit(LatBase) + (PortableHash.hash64(concat(lit("s:"), col("n_nationkey").cast(StringType))) % 40000L)
+        .cast(DoubleType) * lit(1e-5)).as("slat"),
+      (lit(LngBase) + (PortableHash.hash64(concat(lit("s:"), col("n_nationkey").cast(StringType)), 7) % 50000L)
+        .cast(DoubleType) * lit(1e-5)).as("slng"))
+
   def qNearestStop(s: SparkSession, dir: String): DataFrame = {
     // events is one input split at test scale — spread the trig-heavy
     // |events|×|stops| scoring pass across cores (#27). Explicit
@@ -184,12 +196,7 @@ object GeoOps {
     // for a compute-bound stage
     val events = withCoords(Tables(s, dir, "events"))
       .repartition(s.sparkContext.defaultParallelism, col("event_id"))
-    val stops = Tables(s, dir, "nation").select(
-      col("n_nationkey").as("stop_id"),
-      (lit(LatBase) + (PortableHash.hash64(concat(lit("s:"), col("n_nationkey").cast(StringType))) % 40000L)
-        .cast(DoubleType) * lit(1e-5)).as("slat"),
-      (lit(LngBase) + (PortableHash.hash64(concat(lit("s:"), col("n_nationkey").cast(StringType)), 7) % 50000L)
-        .cast(DoubleType) * lit(1e-5)).as("slng"))
+    val stops = stopsDim(s, dir)
     events.crossJoin(broadcast(stops))
       .select(col("event_id"),
         round(haversineM(col("lat"), col("lng"), col("slat"), col("slng")), 6).as("d"),

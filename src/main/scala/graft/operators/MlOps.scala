@@ -1,0 +1,455 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.PortableHash
+import graft.sources.Tables
+
+/** In-engine ML primitives — the model-adjacent operators a training-
+  * data pipeline runs NEXT to its curation passes: closed-form
+  * regression diagnostics, sketch-based frequency estimation,
+  * co-occurrence recommenders, declarative gradient-descent probes and
+  * density clustering. Reference scope: the reference engine
+  * (HSLdevcom/hfp-loader) has none of these; they extend the
+  * LLM-pipeline surface the brief mandates, alongside DedupOps/
+  * Similarity/CurationOps.
+  *
+  * Exactness strategy (NOTES.md techniques): every floating-point
+  * output is either (a) a chain of individually-rounded IEEE ops over
+  * integers that both engines hold exactly (sums are quantized
+  * fixed-point in BIGINT/DECIMAL), or (b) an integer. No
+  * transcendentals except IEEE-correctly-rounded sqrt.
+  */
+object MlOps {
+
+  // ------------------------------------------------------------- q_ols
+
+  /** Fixed-point scale for event values (2^20): values ≤ 561 ⇒
+    * yq ≤ 2^30; with n ≤ 2^17 rows/group every plain sum fits BIGINT
+    * and Σyq² needs DECIMAL (≈2^75). Power-of-two multiply is exact
+    * (NOTES technique 4b).
+    */
+  private val OlsQ = 1048576.0
+
+  /** Per-group closed-form simple linear regression (OLS): value vs
+    * hour-of-day per event_type — slope, intercept, R². The textbook
+    * normal-equation scalars, computed as ONE map-side-combinable
+    * aggregation pass (six sums), then constant-time arithmetic per
+    * group: the 100 TB cost is exactly one scan, no shuffle beyond the
+    * 5-group aggregate, no second pass for means (the centered moments
+    * are expanded into raw-sum form).
+    *
+    * Engine-exact: x ∈ [0,23] and quantized y keep all six sums
+    * integer-exact (DECIMAL where they exceed BIGINT); slope/intercept/
+    * R² are then short chains of individually-rounded IEEE ops spelled
+    * identically in the oracle.
+    */
+  def qOls(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = Tables(s, dir, "events").select(
+      col("event_type"),
+      hour(col("ts")).cast(LongType).as("x"),
+      floor(col("value") * OlsQ).as("yq"))
+    val agg = base.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("yq")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("yq")).as("sxy"),
+      sum(col("yq").cast(dec) * col("yq").cast(dec)).as("syy"))
+    val d = agg.select(col("event_type"), col("n"), col("sx"), col("sy"),
+      (col("n").cast(dec) * col("sxy").cast(dec) -
+        col("sx").cast(dec) * col("sy").cast(dec)).as("num"),
+      (col("n").cast(dec) * col("sxx").cast(dec) -
+        col("sx").cast(dec) * col("sx").cast(dec)).as("den"),
+      (col("n").cast(dec) * col("syy") -
+        col("sy").cast(dec) * col("sy").cast(dec)).as("syyn"))
+    val slopeQ = col("num").cast(DoubleType) / col("den").cast(DoubleType)
+    d.select(col("event_type"), col("n"),
+        (slopeQ / OlsQ).as("slope"),
+        ((col("sy").cast(DoubleType) - slopeQ * col("sx").cast(DoubleType)) /
+          col("n").cast(DoubleType) / OlsQ).as("intercept"),
+        ((col("num").cast(DoubleType) * col("num").cast(DoubleType)) /
+          (col("den").cast(DoubleType) * col("syyn").cast(DoubleType))).as("r2"))
+      .orderBy("event_type")
+  }
+
+  private val qOlsSql =
+    s"""WITH b AS (
+       |  SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS x,
+       |         CAST(floor(value * 1048576.0) AS BIGINT) AS yq
+       |  FROM events),
+       |a AS (
+       |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(yq) AS sy,
+       |         SUM(x * x) AS sxx, SUM(x * yq) AS sxy,
+       |         SUM(CAST(yq AS HUGEINT) * yq) AS syy
+       |  FROM b GROUP BY event_type),
+       |d AS (
+       |  SELECT event_type, n, sx, sy,
+       |         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+       |         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+       |         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS syyn
+       |  FROM a)
+       |SELECT event_type, CAST(n AS BIGINT) AS n,
+       |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1048576.0 AS slope,
+       |  (CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * CAST(sx AS DOUBLE))
+       |    / CAST(n AS DOUBLE) / 1048576.0 AS intercept,
+       |  (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+       |    / (CAST(den AS DOUBLE) * CAST(syyn AS DOUBLE)) AS r2
+       |FROM d ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------- q_cms_heavy
+
+  private val CmsW = 256 // buckets per row
+  private val CmsD = 4   // independent hash rows
+  private val CmsProbeK = 25
+
+  /** Count-Min sketch frequency estimation over the document token
+    * stream: build a d×w counter grid (4×256) with independent seeded
+    * hashes, then probe the top-25 true-frequency tokens and report
+    * estimated vs true counts (CMS guarantees est ≥ true; the gap is
+    * the collision mass). The sketch build is ONE map-side-combinable
+    * aggregate whose state is d·w = 1024 cells regardless of corpus
+    * size — the canonical fixed-memory answer to "token frequencies
+    * over 100 TB" when Misra-Gries candidates (ta_heavy_hitters) need
+    * an exactness re-scan and the CMS needs none. The probe side is a
+    * broadcast join against the 1024-row grid.
+    *
+    * Exact oracle: counts are integers and the seeded hash is
+    * [[PortableHash]], so DuckDB reproduces the grid bit-for-bit.
+    */
+  def qCmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(s)
+    val tc = Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val seeds = array((1 to CmsD).map(lit): _*)
+    def bucket(tok: org.apache.spark.sql.Column) =
+      pmod(PortableHash.hash64(
+        concat(col("seed").cast(StringType), lit(":"), tok)), lit(CmsW))
+    val counters = tc.select(col("tok"), col("cnt"), explode(seeds).as("seed"))
+      .groupBy(col("seed"), bucket(col("tok")).as("bucket"))
+      .agg(sum(col("cnt")).as("bsum"))
+    val probe = tc.orderBy(desc("cnt"), asc("tok")).limit(CmsProbeK)
+    probe.select(col("tok"), col("cnt"), explode(seeds).as("seed"))
+      .withColumn("bucket", bucket(col("tok")))
+      .join(broadcast(counters), Seq("seed", "bucket"))
+      .groupBy(col("tok"), col("cnt").as("true_cnt"))
+      .agg(min(col("bsum")).as("est_cnt"))
+      .select(col("tok"), col("true_cnt"), col("est_cnt"))
+      .orderBy(desc("true_cnt"), asc("tok"))
+  }
+
+  private def cmsHash(tokExpr: String) =
+    PortableHash.sql(s"CAST(seed AS VARCHAR) || ':' || $tokExpr")
+
+  private val qCmsHeavySql =
+    s"""WITH tc AS (
+       |  SELECT tok, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY tok),
+       |sd AS (SELECT unnest([1, 2, 3, 4]) AS seed),
+       |counters AS (
+       |  SELECT seed, ${cmsHash("tok")} % $CmsW AS bucket,
+       |         CAST(SUM(cnt) AS BIGINT) AS bsum
+       |  FROM tc CROSS JOIN sd GROUP BY 1, 2),
+       |probe AS (SELECT tok, cnt FROM tc ORDER BY cnt DESC, tok LIMIT $CmsProbeK),
+       |pb AS (
+       |  SELECT tok, cnt, seed, ${cmsHash("tok")} % $CmsW AS bucket
+       |  FROM probe CROSS JOIN sd)
+       |SELECT pb.tok, CAST(pb.cnt AS BIGINT) AS true_cnt,
+       |       CAST(MIN(c.bsum) AS BIGINT) AS est_cnt
+       |FROM pb JOIN counters c ON c.seed = pb.seed AND c.bucket = pb.bucket
+       |GROUP BY pb.tok, pb.cnt
+       |ORDER BY true_cnt DESC, tok""".stripMargin
+
+  // -------------------------------------------------------- q_item_cf
+
+  private val CfTopItems = 50
+  private val CfTopPeers = 5
+
+  /** Item-item collaborative filtering: cosine-normalized co-purchase
+    * similarity sim(a,b) = |a∩b| / √(|a|·|b|) over order baskets, top-5
+    * recommendations for each of the 50 most-purchased parts. Derives
+    * from the session-shared co-purchase pair relation
+    * ([[GraphOps.coPairCounts]] — the same one PageRank/triangles use,
+    * built once per session in Bench's untimed warmup), plus one
+    * per-part order-frequency aggregate; the candidate space is pairs
+    * that ACTUALLY co-occur, never all-pairs, so the pass scales with
+    * observed co-occurrence like the LSH dedups. Ranking is a per-item
+    * top-k window over ≤ CfTopItems partitions.
+    *
+    * Exact: sim = one IEEE division by one correctly-rounded sqrt of
+    * one product — three deterministic ops over exact integers.
+    */
+  def qItemCf(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val freq = op.groupBy("pk").agg(count(lit(1)).as("freq"))
+    val top = freq.orderBy(desc("freq"), asc("pk")).limit(CfTopItems)
+      .select(col("pk").as("src"), col("freq").as("fa"))
+    val sims = GraphOps.coPairCounts(s, dir)
+      .join(broadcast(top), "src")
+      .join(freq.select(col("pk").as("dst"), col("freq").as("fb")), "dst")
+      .select(col("src"), col("dst"),
+        (col("cnt").cast(DoubleType) /
+          sqrt(col("fa").cast(DoubleType) * col("fb").cast(DoubleType))).as("sim"))
+    sims.withColumn("rnk",
+        row_number().over(Window.partitionBy("src")
+          .orderBy(desc("sim"), asc("dst"))).cast(LongType))
+      .where(col("rnk") <= CfTopPeers)
+      .select(col("src"), col("dst"), col("sim"), col("rnk"))
+      .orderBy("src", "rnk")
+  }
+
+  private val qItemCfSql =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |pc AS (
+       |  SELECT a.pk AS src, b.pk AS dst, COUNT(*) AS cnt
+       |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk
+       |  GROUP BY 1, 2),
+       |f AS (SELECT pk, COUNT(*) AS freq FROM op GROUP BY pk),
+       |top AS (SELECT pk, freq FROM f ORDER BY freq DESC, pk LIMIT $CfTopItems),
+       |sims AS (
+       |  SELECT pc.src, pc.dst,
+       |         CAST(pc.cnt AS DOUBLE) / sqrt(CAST(t.freq AS DOUBLE) * CAST(fb.freq AS DOUBLE)) AS sim
+       |  FROM pc JOIN top t ON pc.src = t.pk JOIN f fb ON fb.pk = pc.dst),
+       |r AS (
+       |  SELECT src, dst, sim,
+       |         ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rnk
+       |  FROM sims)
+       |SELECT src, dst, sim, CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= $CfTopPeers ORDER BY src, rnk""".stripMargin
+
+  // ---------------------------------------------------------- ta_stem
+
+  private val StemTopK = 30
+
+  /** Rule-based suffix stemmer (the Porter step-1 shapes): plural strip
+    * (sses→ss, ies→i, s→∅ except ss) then participle strip (ing/ed on
+    * long-enough stems), reported as the top-30 stem frequencies. Both
+    * CASE chains are first-match and length-guarded, so the whole pass
+    * is per-row branch-free-ish codegen'd string ops — one scan, one
+    * aggregate, a top-k: the vocabulary-normalization primitive that
+    * sits in front of token-frequency curation at corpus scale.
+    */
+  def taStem(s: SparkSession, dir: String): DataFrame = {
+    val t = lower(col("tok"))
+    val l = length(t)
+    // step 1a: plural strip
+    val step1 =
+      when(t.endsWith("sses"), expr("substring(lower(tok), 1, length(lower(tok)) - 2)"))
+        .when(t.endsWith("ies"), expr("substring(lower(tok), 1, length(lower(tok)) - 2)"))
+        .when(t.endsWith("ss"), t)
+        .when(t.endsWith("s") && (l > 3), expr("substring(lower(tok), 1, length(lower(tok)) - 1)"))
+        .otherwise(t)
+    Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(step1.as("s1"))
+      .select(
+        when(col("s1").endsWith("ing") && length(col("s1")) > 5,
+            expr("substring(s1, 1, length(s1) - 3)"))
+          .when(col("s1").endsWith("ed") && length(col("s1")) > 4,
+            expr("substring(s1, 1, length(s1) - 2)"))
+          .otherwise(col("s1")).as("stem"))
+      .groupBy("stem").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("stem")).limit(StemTopK)
+  }
+
+  private val taStemSql =
+    s"""WITH tk AS (
+       |  SELECT lower(unnest(string_split(text, ' '))) AS t FROM documents),
+       |s1 AS (
+       |  SELECT CASE
+       |    WHEN t LIKE '%sses' THEN substr(t, 1, length(t) - 2)
+       |    WHEN t LIKE '%ies' THEN substr(t, 1, length(t) - 2)
+       |    WHEN t LIKE '%ss' THEN t
+       |    WHEN t LIKE '%s' AND length(t) > 3 THEN substr(t, 1, length(t) - 1)
+       |    ELSE t END AS s1
+       |  FROM tk),
+       |st AS (
+       |  SELECT CASE
+       |    WHEN s1 LIKE '%ing' AND length(s1) > 5 THEN substr(s1, 1, length(s1) - 3)
+       |    WHEN s1 LIKE '%ed' AND length(s1) > 4 THEN substr(s1, 1, length(s1) - 2)
+       |    ELSE s1 END AS stem
+       |  FROM s1)
+       |SELECT stem, COUNT(*) AS cnt FROM st GROUP BY stem
+       |ORDER BY cnt DESC, stem LIMIT $StemTopK""".stripMargin
+
+  // -------------------------------------------------------- q_gd_train
+
+  private val GdQ = 1073741824.0 // 2^30 per-round gradient quantization
+  private val GdEta = 0.25
+  private val GdSteps = 3
+
+  /** Declarative gradient descent: a 3-step batch-GD linear probe
+    * (squared loss) of `lang = 'en'` on normalized document length —
+    * the quality-classifier-training shape run INSIDE the engine, no
+    * driver-side loop state. Each step is one scan-and-aggregate whose
+    * gradient sums are 2^30-quantized (order-independent exact BIGINT,
+    * NOTES technique 19), and the weight update is a short chain of
+    * individually-rounded IEEE ops — so after any number of steps both
+    * engines hold bit-identical doubles. The 1-row weight state rides a
+    * broadcast cross join (the BPE-training pattern); nothing is
+    * collected to the driver, so the same plan trains on a 1000-
+    * executor corpus scan per step.
+    */
+  def qGdTrain(s: SparkSession, dir: String): DataFrame = {
+    val feats = Tables(s, dir, "documents").select(
+      (col("n_chars") / lit(1024.0)).as("x"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    var w = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"))
+    for (_ <- 1 to GdSteps) {
+      val resid = col("w0") + col("w1") * col("x") - col("y")
+      val grads = feats.crossJoin(broadcast(w))
+        .select(col("w0"), col("w1"), floor(resid * GdQ).as("g0q"),
+          floor((resid * col("x")) * GdQ).as("g1q"))
+        .groupBy("w0", "w1")
+        .agg(count(lit(1)).as("n"), sum("g0q").as("g0q"), sum("g1q").as("g1q"))
+      w = grads.select(
+        (col("w0") - lit(GdEta) * (col("g0q").cast(DoubleType) / GdQ /
+          col("n").cast(DoubleType))).as("w0"),
+        (col("w1") - lit(GdEta) * (col("g1q").cast(DoubleType) / GdQ /
+          col("n").cast(DoubleType))).as("w1"))
+    }
+    w.select(col("w0"), col("w1"))
+  }
+
+  private val qGdTrainSql = {
+    def step(prev: String, i: Int): String =
+      s"""s$i AS (
+         |  SELECT w0, w1, COUNT(*) AS n,
+         |    SUM(CAST(floor((w0 + w1 * x - y) * 1073741824.0) AS BIGINT)) AS g0q,
+         |    SUM(CAST(floor(((w0 + w1 * x - y) * x) * 1073741824.0) AS BIGINT)) AS g1q
+         |  FROM f, $prev GROUP BY w0, w1),
+         |w$i AS (
+         |  SELECT w0 - 0.25 * (CAST(g0q AS DOUBLE) / 1073741824.0 / CAST(n AS DOUBLE)) AS w0,
+         |         w1 - 0.25 * (CAST(g1q AS DOUBLE) / 1073741824.0 / CAST(n AS DOUBLE)) AS w1
+         |  FROM s$i)""".stripMargin
+    s"""WITH f AS (
+       |  SELECT n_chars / 1024.0 AS x,
+       |         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |wa AS (SELECT 0.0 AS w0, 0.0 AS w1),
+       |${step("wa", 1)},
+       |${step("w1", 2)},
+       |${step("w2", 3)}
+       |SELECT w0, w1 FROM w3""".stripMargin
+  }
+
+  // ----------------------------------------------------- q_dbscan_grid
+
+  private val DbCell = 0.03
+  private val DbMinPts = 6L
+
+  /** Grid-density clustering (cell-DBSCAN) over the first two embedding
+    * dimensions: bucket points into ε-cells, keep cells with ≥ minPts
+    * points as core, union 8-adjacent core cells into clusters via
+    * connected components, report per-cluster size. The scale shape:
+    * the corpus pass is ONE groupBy to cell counts (map-side
+    * combinable); everything after runs on the CELL table, whose size
+    * is bounded by the occupied-grid volume, not the corpus — and
+    * adjacency is an EQUI-join (each core cell fans out its 9 neighbor
+    * coordinates) rather than a nested-loop |Δ|≤1 predicate join, so
+    * the components loop inherits the dd_components design on a
+    * relation thousands of times smaller than the input.
+    */
+  def qDbscanGrid(s: SparkSession, dir: String): DataFrame = {
+    val cellsAll = Tables(s, dir, "embeddings").select(
+        floor(element_at(col("embedding"), 1).cast(DoubleType) / DbCell).as("cx"),
+        floor(element_at(col("embedding"), 2).cast(DoubleType) / DbCell).as("cy"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+    val core = cellsAll.where(col("n") >= DbMinPts)
+      .select(col("cx"), col("cy"),
+        ((col("cx") + 100) * 1000 + (col("cy") + 100)).as("cid"), col("n"))
+      .localCheckpoint() // small; used by probe fan-out, equi-join AND label loop
+    // 9-offset fan-out → equi-join: adjacency without a nested loop
+    val offs = Seq(-1L, 0L, 1L)
+    val probes = core.select(col("cid").as("ea"), explode(array(offs.map(lit): _*)).as("dx"), col("cx"), col("cy"))
+      .select(col("ea"), (col("cx") + col("dx")).as("nx"), col("cy"))
+      .select(col("ea"), col("nx"), explode(array(offs.map(lit): _*)).as("dy"), col("cy"))
+      .select(col("ea"), col("nx"), (col("cy") + col("dy")).as("ny"))
+    val edges = probes.join(core.select(col("cx").as("nx"), col("cy").as("ny"), col("cid").as("eb")),
+      Seq("nx", "ny")).select(col("ea"), col("eb"))
+    val labels = componentsOf(edges)
+    core.join(labels, col("cid") === col("node"))
+      .groupBy(col("lbl").as("cluster"))
+      .agg(sum("n").as("n_points"), count(lit(1)).as("n_cells"))
+      .orderBy("cluster")
+  }
+
+  /** Min-label propagation with pointer jumping over an (ea, eb) edge
+    * list that already contains self-loops (the 9-offset fan-out keeps
+    * dx=dy=0) — the [[GraphOps]] dd_components kernel, reusable for any
+    * small-relation graph stage. Σlbl is strictly monotone decreasing,
+    * so an unchanged sum is convergence.
+    */
+  private def componentsOf(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint()
+    var labels = e.select(col("ea").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    var prevSum = labels.agg(sum("lbl")).head().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val oneHop = e.join(labels.withColumnRenamed("node", "ea"), "ea")
+        .groupBy(col("eb").as("node")).agg(min("lbl").as("lbl1"))
+      val next = oneHop
+        .join(labels.select(col("node").as("p"), col("lbl").as("plbl")),
+          col("lbl1") === col("p"))
+        .select(col("node"), least(col("lbl1"), col("plbl")).as("lbl"))
+        .localCheckpoint()
+      val sm = next.agg(sum("lbl")).head().getLong(0)
+      labels = next
+      converged = sm == prevSum
+      prevSum = sm
+      iter += 1
+    }
+    labels
+  }
+
+  private val qDbscanGridSql =
+    s"""WITH p AS (
+       |  SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.03) AS BIGINT) AS cx,
+       |         CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.03) AS BIGINT) AS cy
+       |  FROM embeddings),
+       |cells AS (SELECT cx, cy, COUNT(*) AS n FROM p GROUP BY cx, cy),
+       |core AS (
+       |  SELECT cx, cy, (cx + 100) * 1000 + (cy + 100) AS cid, n
+       |  FROM cells WHERE n >= $DbMinPts),
+       |e AS (
+       |  SELECT a.cid AS ea, b.cid AS eb FROM core a JOIN core b
+       |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+       |comp AS (
+       |  SELECT node, least(node, min(peer)) AS lbl FROM (
+       |    WITH RECURSIVE reach AS (
+       |      SELECT ea AS node, eb AS peer FROM e
+       |      UNION
+       |      SELECT r.node, e.eb FROM reach r JOIN e ON r.peer = e.ea AND e.eb <> r.node)
+       |    SELECT node, peer FROM reach)
+       |  GROUP BY node)
+       |SELECT comp.lbl AS cluster, CAST(SUM(core.n) AS BIGINT) AS n_points,
+       |       COUNT(*) AS n_cells
+       |FROM core JOIN comp ON core.cid = comp.node
+       |GROUP BY comp.lbl ORDER BY cluster""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ols" -> (qOls(_, _)),
+    "q_cms_heavy" -> (qCmsHeavy(_, _)),
+    "q_item_cf" -> (qItemCf(_, _)),
+    "ta_stem" -> (taStem(_, _)),
+    "q_gd_train" -> (qGdTrain(_, _)),
+    "q_dbscan_grid" -> (qDbscanGrid(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_ols" -> qOlsSql,
+    "q_cms_heavy" -> qCmsHeavySql,
+    "q_item_cf" -> qItemCfSql,
+    "ta_stem" -> taStemSql,
+    "q_gd_train" -> qGdTrainSql,
+    "q_dbscan_grid" -> qDbscanGridSql)
+}
