@@ -129,6 +129,21 @@ object Graft {
     def labelPropCommunities(s: SparkSession, dir: String): DataFrame = operators.GraphOps.qLabelProp(s, dir)
   }
 
+  /** In-engine ML primitives (round 11): regression, sketches,
+    * recommenders, declarative training steps, density clustering.
+    */
+  object ml {
+    def ols(s: SparkSession, dir: String): DataFrame = operators.MlOps.qOls(s, dir)
+    def cmsHeavy(s: SparkSession, dir: String): DataFrame = operators.MlOps.qCmsHeavy(s, dir)
+    def itemCf(s: SparkSession, dir: String): DataFrame = operators.MlOps.qItemCf(s, dir)
+    def stemFrequencies(s: SparkSession, dir: String): DataFrame = operators.MlOps.taStem(s, dir)
+    def gdTrain(s: SparkSession, dir: String): DataFrame = operators.MlOps.qGdTrain(s, dir)
+    def dbscanGrid(s: SparkSession, dir: String): DataFrame = operators.MlOps.qDbscanGrid(s, dir)
+    def ucbBandit(s: SparkSession, dir: String): DataFrame = operators.MlOps2.qUcbBandit(s, dir)
+    def alsStep(s: SparkSession, dir: String): DataFrame = operators.MlOps2.qAlsStep(s, dir)
+    def seasonalProfile(s: SparkSession, dir: String): DataFrame = operators.MlOps2.qSeasonalProfile(s, dir)
+  }
+
   /** Multimodal (binary-column) operators. */
   object media {
     def binaryStats(s: SparkSession, dir: String): DataFrame = operators.Multimodal.mmBinaryStats(s, dir)

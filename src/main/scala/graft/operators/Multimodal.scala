@@ -529,7 +529,61 @@ object Multimodal {
        |ORDER BY n_pairs DESC, fp ASC LIMIT $FpTopK""".stripMargin
   }
 
+  // ------------------------------------------------------------- mfcc
+
+  private val MfccFrames = 16 // fixed analysis frames per clip
+  private val MfccCoefs = 8   // DCT-II coefficients kept
+  private val MfccQ = 1000000L // 1e-6-rounded terms → exact integer sums
+
+  /** MFCC-style spectral features over the stub audio decode: each
+    * clip's 16 deterministic frame energies pass through a DCT-II and
+    * the first 8 coefficients are kept — the classic compact audio
+    * descriptor (the mel filterbank + log of a real MFCC sit in the
+    * same per-frame position; the stub keeps the transform REAL while
+    * the decode is fake, like mm_resize/mm_decode_features). Shape:
+    * explode 16 frames × 8 coefficients per clip, one
+    * map-side-combinable groupBy — linear in clips, no windows, no
+    * state; at 100 TB the per-clip fan-out is a constant 128 rows.
+    *
+    * Engine-exact via the trajectory pattern: each cosine term is
+    * rounded at 1e-6 and quantized to an integer, so the per-
+    * coefficient sum is order-independent; cos/π agree bit-for-bit
+    * across engines on these arguments (the geo family's haversine
+    * relies on the same).
+    */
+  def mmMfcc(s: SparkSession, dir: String): DataFrame = {
+    val term = col("e") *
+      cos(lit(math.Pi) * col("k") * (lit(2) * col("fi") + 1) / lit(2 * MfccFrames))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(sequence(lit(0), lit(MfccFrames - 1))).as("fi"))
+      .withColumn("e", (graft.functions.PortableHash.hash64(
+        concat(col("doc_id").cast(StringType), lit(":"), col("fi").cast(StringType)))
+        % 1000L).cast(DoubleType))
+      .select(col("doc_id"), col("fi"), col("e"),
+        explode(sequence(lit(0), lit(MfccCoefs - 1))).as("k"))
+      .select(col("doc_id"), col("k"),
+        floor(round(term, 6) * MfccQ + 0.5).cast(LongType).as("tq"))
+      .groupBy("doc_id", "k")
+      .agg(round(sum("tq").cast(DoubleType) / MfccQ, 6).as("coef"))
+      .orderBy("doc_id", "k")
+  }
+
+  private val mmMfccSql = {
+    import graft.functions.{PortableHash => PH}
+    val energy = PH.sql("CAST(doc_id AS VARCHAR) || ':' || CAST(fi AS VARCHAR)") + " % 1000"
+    val term = s"CAST(e AS DOUBLE) * cos(pi() * k * (2 * fi + 1) / ${2 * MfccFrames})"
+    s"""WITH fr AS (
+       |  SELECT doc_id, unnest(range(0, $MfccFrames)) AS fi FROM documents),
+       |en AS (SELECT doc_id, fi, $energy AS e FROM fr),
+       |terms AS (
+       |  SELECT doc_id, k, CAST(floor(round($term, 6) * $MfccQ + 0.5) AS BIGINT) AS tq
+       |  FROM en CROSS JOIN (SELECT unnest(range(0, $MfccCoefs)) AS k))
+       |SELECT doc_id, k, round(CAST(SUM(tq) AS DOUBLE) / $MfccQ, 6) AS coef
+       |FROM terms GROUP BY doc_id, k ORDER BY doc_id, k""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_mfcc" -> (mmMfcc(_, _)),
     "mm_audio_fingerprint" -> (mmAudioFingerprint(_, _)),
     "mm_audio_vad" -> (mmAudioVad(_, _)),
     "mm_scene_split" -> (mmSceneSplit(_, _)),
@@ -576,6 +630,7 @@ object Multimodal {
       |ORDER BY doc_id, prow, pcol""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "mm_mfcc" -> mmMfccSql,
     "mm_audio_fingerprint" -> mmAudioFingerprintSql,
     "mm_audio_vad" -> mmAudioVadSql,
     "mm_scene_split" -> mmSceneSplitSql,
