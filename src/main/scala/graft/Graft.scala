@@ -142,6 +142,10 @@ object Graft {
     def ucbBandit(s: SparkSession, dir: String): DataFrame = operators.MlOps2.qUcbBandit(s, dir)
     def alsStep(s: SparkSession, dir: String): DataFrame = operators.MlOps2.qAlsStep(s, dir)
     def seasonalProfile(s: SparkSession, dir: String): DataFrame = operators.MlOps2.qSeasonalProfile(s, dir)
+    def auc(s: SparkSession, dir: String): DataFrame = operators.EvalOps.qAuc(s, dir)
+    def calibration(s: SparkSession, dir: String): DataFrame = operators.EvalOps.qCalibration(s, dir)
+    def rfmSegments(s: SparkSession, dir: String): DataFrame = operators.EvalOps.qRfm(s, dir)
+    def dpCounts(s: SparkSession, dir: String): DataFrame = operators.EvalOps.qDpCounts(s, dir)
   }
 
   /** Multimodal (binary-column) operators. */

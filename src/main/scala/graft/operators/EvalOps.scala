@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.PortableHash
+import graft.sources.Tables
+
+/** Model-evaluation and governed-release primitives — the readout side
+  * of the training pipeline: ranking quality (AUC), probability
+  * calibration, customer segmentation, and differentially-private
+  * aggregate release. Exactness: AUC is pure integer rank arithmetic;
+  * calibration/RFM are exact integer/decimal aggregates; the DP noise
+  * passes through ln and is rounded at 1e-6 (NOTES technique 3).
+  */
+object EvalOps {
+
+  // ------------------------------------------------------------- q_auc
+
+  /** Exact ROC-AUC of a score against a binary label (here: document
+    * length scoring "is English") via the rank-sum (Mann-Whitney U)
+    * identity with tie correction: AUC = (2·Σ avgrank⁺ − n⁺(n⁺+1)) /
+    * (2·n⁺·n⁻), where avgrank is the average rank of a tied score
+    * group. Everything up to the final division is INTEGER arithmetic
+    * (2·avgrank = min_rank + max_rank is always integral), so the AUC
+    * double is one exact IEEE division — no sampling, no approximation,
+    * and the only shuffle is the global rank sort, which at 100 TB is
+    * the same range-partitioned sort every global ranking pays (or is
+    * replaced by the two-phase q_global_shuffle rank pattern).
+    */
+  def qAuc(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(
+      col("n_chars").as("score"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val w = Window.orderBy("score")
+    val ranked = d
+      .withColumn("rmin", rank().over(w).cast(LongType))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("score")))
+      // 2·avgrank of a tie group spanning ranks [rmin, rmin+cnt-1]
+      .withColumn("r2", lit(2) * col("rmin") + col("cnt") - lit(1))
+    ranked.agg(
+        sum(when(col("y") === 1, col("r2")).otherwise(0L)).as("r2pos"),
+        sum(col("y")).as("npos"),
+        sum(lit(1L) - col("y")).as("nneg"))
+      .select(col("npos"), col("nneg"),
+        ((col("r2pos") - col("npos") * (col("npos") + 1)).cast(DoubleType) /
+          (lit(2.0) * col("npos").cast(DoubleType) * col("nneg").cast(DoubleType)))
+          .as("auc"))
+  }
+
+  private val qAucSql =
+    """WITH d AS (
+      |  SELECT n_chars AS score,
+      |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT y,
+      |    2 * CAST(rank() OVER (ORDER BY score) AS BIGINT)
+      |      + CAST(COUNT(*) OVER (PARTITION BY score) AS BIGINT) - 1 AS r2
+      |  FROM d),
+      |a AS (
+      |  SELECT CAST(SUM(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS BIGINT) AS r2pos,
+      |         CAST(SUM(y) AS BIGINT) AS npos,
+      |         CAST(SUM(1 - y) AS BIGINT) AS nneg
+      |  FROM ranked)
+      |SELECT npos, nneg,
+      |  CAST(r2pos - npos * (npos + 1) AS DOUBLE)
+      |    / (2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)) AS auc
+      |FROM a""".stripMargin
+
+  // ----------------------------------------------------- q_calibration
+
+  private val CalBins = 10
+
+  /** Probability-calibration (reliability) bins: decile-bucket the
+    * score, report per-bin observed positive rate vs mean score — the
+    * standard diagnostic before trusting a quality classifier's
+    * probabilities to gate a corpus. Deciles come from ntile over a
+    * total order (score, doc_id), so bins are deterministic; per-bin
+    * stats are integer counts and one exact division each.
+    */
+  def qCalibration(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(
+      col("doc_id"), col("n_chars").as("score"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    d.withColumn("bin",
+        ntile(CalBins).over(Window.orderBy("score", "doc_id")).cast(LongType))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum("score").as("score_sum"))
+      .select(col("bin"), col("n"),
+        (col("n_pos").cast(DoubleType) / col("n").cast(DoubleType)).as("pos_rate"),
+        (col("score_sum").cast(DoubleType) / col("n").cast(DoubleType)).as("mean_score"))
+      .orderBy("bin")
+  }
+
+  private val qCalibrationSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars AS score,
+       |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |b AS (
+       |  SELECT y, score,
+       |         CAST(ntile($CalBins) OVER (ORDER BY score, doc_id) AS BIGINT) AS bin
+       |  FROM d)
+       |SELECT bin, COUNT(*) AS n,
+       |  CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate,
+       |  CAST(CAST(SUM(score) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_score
+       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
+  // -------------------------------------------------------------- q_rfm
+
+  private val RfmTiles = 5
+
+  /** RFM segmentation: per customer recency (days since last order,
+    * against the corpus max date), frequency (order count) and
+    * monetary (exact decimal revenue), each quintile-scored over a
+    * total order, then segment-level population and revenue. Two
+    * aggregates and three window ranks over the CUSTOMER-sized
+    * relation — the corpus-sized pass is the first groupBy only.
+    */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 6)
+    val per = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast(dec)).as("monetary"))
+    val maxD = per.agg(max("last_order").as("maxd"))
+    def tile(c: String, asc: Boolean) = ntile(RfmTiles).over(
+      if (asc) Window.orderBy(col(c).asc, col("custkey").asc)
+      else Window.orderBy(col(c).desc, col("custkey").asc)).cast(LongType)
+    val scored = per.crossJoin(broadcast(maxD))
+      .withColumn("recency_days",
+        datediff(col("maxd").cast(DateType), col("last_order").cast(DateType)).cast(LongType))
+      .withColumn("r", tile("recency_days", asc = true))
+      .withColumn("f", tile("freq", asc = false))
+      .withColumn("m", tile("monetary", asc = false))
+    scored.groupBy(concat(col("r"), col("f"), col("m")).as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum("monetary").as("revenue"))
+      .select(col("segment"), col("n_customers"),
+        col("revenue").cast(DoubleType).as("revenue"))
+      .orderBy(desc("n_customers"), asc("segment"))
+      .limit(25)
+  }
+
+  private val qRfmSql =
+    s"""WITH per AS (
+       |  SELECT o_custkey AS custkey, max(o_orderdate) AS last_order,
+       |         COUNT(*) AS freq,
+       |         SUM(CAST(o_totalprice AS DECIMAL(38, 6))) AS monetary
+       |  FROM orders GROUP BY o_custkey),
+       |maxd AS (SELECT max(last_order) AS maxd FROM per),
+       |scored AS (
+       |  SELECT custkey, monetary,
+       |    CAST(ntile($RfmTiles) OVER (ORDER BY date_diff('day', CAST(last_order AS DATE), CAST(maxd AS DATE)) ASC, custkey ASC) AS BIGINT) AS r,
+       |    CAST(ntile($RfmTiles) OVER (ORDER BY freq DESC, custkey ASC) AS BIGINT) AS f,
+       |    CAST(ntile($RfmTiles) OVER (ORDER BY monetary DESC, custkey ASC) AS BIGINT) AS m
+       |  FROM per, maxd)
+       |SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS segment,
+       |  COUNT(*) AS n_customers,
+       |  CAST(SUM(monetary) AS DOUBLE) AS revenue
+       |FROM scored GROUP BY 1
+       |ORDER BY n_customers DESC, segment ASC LIMIT 25""".stripMargin
+
+  // --------------------------------------------------------- q_dp_counts
+
+  private val DpEps = 1.0
+  private val DpU = 1048576L // 2^20 uniform grid for the inverse-CDF draw
+
+  /** Differentially-private count release: per-group counts with
+    * Laplace(1/ε) noise drawn by inverse CDF from a deterministic
+    * per-group uniform (hash-seeded — reproducible releases, the
+    * audit-friendly deployment where the noise seed is a secret, not
+    * the mechanism). The true count never leaves the engine in the
+    * release row set; here the noised value is rounded at 1e-6 for the
+    * cross-engine oracle. One aggregation pass; noise is constant-time
+    * per released row.
+    */
+  def qDpCounts(s: SparkSession, dir: String): DataFrame = {
+    val u = ((PortableHash.hash64(concat(lit("dp:"), col("event_type"))) % (DpU - 1) + 1)
+      .cast(DoubleType) / DpU.toDouble) - 0.5
+    val noise = -signum(u) * log(lit(1.0) - lit(2.0) * abs(u)) / DpEps
+    Tables(s, dir, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        round(col("n").cast(DoubleType) + noise, 6).as("released_count"),
+        lit(DpEps).as("epsilon"))
+      .orderBy("event_type")
+  }
+
+  private val qDpCountsSql = {
+    val h = PortableHash.sql("'dp:' || event_type")
+    val u = s"(CAST($h % ${DpU - 1} + 1 AS DOUBLE) / $DpU.0) - 0.5"
+    s"""WITH g AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+       |u AS (SELECT event_type, n, $u AS u FROM g)
+       |SELECT event_type,
+       |  round(CAST(n AS DOUBLE) + (-sign(u) * ln(1.0 - 2.0 * abs(u)) / $DpEps), 6) AS released_count,
+       |  CAST($DpEps AS DOUBLE) AS epsilon
+       |FROM u ORDER BY event_type""".stripMargin
+  }
+
+  // ------------------------------------------------------------ registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_auc" -> (qAuc(_, _)),
+    "q_calibration" -> (qCalibration(_, _)),
+    "q_rfm" -> (qRfm(_, _)),
+    "q_dp_counts" -> (qDpCounts(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_auc" -> qAucSql,
+    "q_calibration" -> qCalibrationSql,
+    "q_rfm" -> qRfmSql,
+    "q_dp_counts" -> qDpCountsSql)
+}

@@ -44,7 +44,14 @@ class DeterminismSpec extends SparkSuite {
     "q_ewma", "q_ab_test", "ta_sentiment", "ann_centroid_filter",
     // round-9b: integer constraint/purge counters; fixed-weight logit
     // chains; landmark-pair hash buckets
-    "q_dq_checks", "q_forget_user", "ta_quality_lr", "mm_audio_fingerprint")
+    "q_dq_checks", "q_forget_user", "ta_quality_lr", "mm_audio_fingerprint",
+    // round-11: decimal regression sums, CMS grid, GD quantized
+    // gradients, cell-graph label loop, ALS quantized normal equations,
+    // DCT quantized term sums, UCB rounded argmax
+    "q_ols", "q_cms_heavy", "q_item_cf", "q_gd_train", "q_dbscan_grid",
+    "q_als_step", "q_ucb_bandit", "q_seasonal_profile", "mm_mfcc",
+    // round-11b: global rank sums, ntile bucketing, hash-seeded noise
+    "q_auc", "q_calibration", "q_rfm", "q_dp_counts")
 
   test("results are identical under different shuffle partitionings") {
     val conf = spark.conf

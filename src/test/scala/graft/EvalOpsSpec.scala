@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EvalOps
+
+/** Semantics tests for the evaluation / governed-release primitives. */
+class EvalOpsSpec extends SparkSuite {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("q_auc: matches a brute-force pairwise AUC computation") {
+    val s = sc
+    val row = EvalOps.qAuc(s, sf001).collect().head
+    val auc = row.getDouble(2)
+    assert(auc >= 0.0 && auc <= 1.0)
+    // brute force: P(score+ > score-) + 0.5 P(tie) over all +/- pairs
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("n_chars"), (col("lang") === "en").as("y")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val pos = d.filter(_._2).map(_._1)
+    val neg = d.filterNot(_._2).map(_._1)
+    var num = 0.0
+    for (p <- pos; n <- neg)
+      num += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    val brute = num / (pos.length.toDouble * neg.length.toDouble)
+    assert(math.abs(auc - brute) < 1e-9, s"rank AUC $auc vs brute $brute")
+  }
+
+  test("q_calibration: bins partition the corpus, rates within [0,1]") {
+    val rows = EvalOps.qCalibration(sc, sf001).collect()
+    assert(rows.length == 10)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == spark.read.parquet(s"$sf001/documents.parquet").count())
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) > 0.0)
+    }
+  }
+
+  test("q_rfm: segments cover all customers with orders; digits in 1..5") {
+    val s = sc
+    val rows = EvalOps.qRfm(s, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { r =>
+      val seg = r.getString(0)
+      assert(seg.length == 3 && seg.forall(c => c >= '1' && c <= '5'), seg)
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) > 0.0)
+    }
+    // top-25 segments are ordered by population
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_dp_counts: released counts are noised but within Laplace tail bounds") {
+    val s = sc
+    val rows = EvalOps.qDpCounts(s, sf001).collect()
+    assert(rows.length == 5)
+    val truth = spark.read.parquet(s"$sf001/events.parquet")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (arm, released) = (r.getString(0), r.getDouble(1))
+      val diff = math.abs(released - truth(arm))
+      // Laplace(1/eps=1): |noise| > 14 has probability < 1e-6 — the
+      // deterministic inverse-CDF draw is bounded by ln(2^20) ≈ 13.9
+      assert(diff <= 14.0, s"$arm: |noise| = $diff")
+      assert(r.getDouble(2) == 1.0)
+    }
+  }
+}
