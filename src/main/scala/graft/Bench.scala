@@ -40,9 +40,13 @@ object Bench {
     // §what's-wrong 3); with the shared builds attributed to the
     // untimed warmup above, no query legitimately crosses a threshold
     // and the gate is simply gone.
-    def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def time(name: String)(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // a throwing query must not kill the whole bench, but it must be
+      // LOUD — a swallowed error reports a near-zero time that reads
+      // as a speedup (the Verify failures.json lesson)
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}") }
       (System.nanoTime() - t0) / 1e9
     }
     // Dev-only subset filter (driver sets no env → full run).
@@ -52,7 +56,7 @@ object Bench {
     // making per-query numbers incomparable across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) => name -> math.min(time(fn), time(fn)) }
+      .map { case (name, fn) => name -> math.min(time(name)(fn), time(name)(fn)) }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -110,6 +110,7 @@ object Graft {
     def zorderKey(s: SparkSession, dir: String): DataFrame = operators.ScaleOps.qZorder(s, dir)
     def gapFill(s: SparkSession, dir: String): DataFrame = operators.Analytics5.qGapFill(s, dir)
     def bucketedJoin(s: SparkSession, dir: String): DataFrame = operators.ScaleOps.qBucketedJoin(s, dir)
+    def dataCard(s: SparkSession, dir: String): DataFrame = operators.GovernanceOps.qDataCard(s, dir)
   }
 
   /** Geospatial (the reference's vehicle-positioning domain). */
@@ -146,6 +147,8 @@ object Graft {
     def calibration(s: SparkSession, dir: String): DataFrame = operators.EvalOps.qCalibration(s, dir)
     def rfmSegments(s: SparkSession, dir: String): DataFrame = operators.EvalOps.qRfm(s, dir)
     def dpCounts(s: SparkSession, dir: String): DataFrame = operators.EvalOps.qDpCounts(s, dir)
+    def forecastBacktest(s: SparkSession, dir: String): DataFrame = operators.TimeSeriesOps.qForecastSnaive(s, dir)
+    def clusterTopics(s: SparkSession, dir: String): DataFrame = operators.TopicOps.taClusterTopics(s, dir)
   }
 
   /** Multimodal (binary-column) operators. */
@@ -156,5 +159,7 @@ object Graft {
     def patchify(s: SparkSession, dir: String): DataFrame = operators.Multimodal.mmPatchify(s, dir)
     def modalityRoute(s: SparkSession, dir: String): DataFrame = operators.Multimodal.mmModalityRoute(s, dir)
     def phashBuckets(s: SparkSession, dir: String): DataFrame = operators.Multimodal.mmPhashBuckets(s, dir)
+    def mfcc(s: SparkSession, dir: String): DataFrame = operators.Multimodal.mmMfcc(s, dir)
+    def clipFilter(s: SparkSession, dir: String): DataFrame = operators.Multimodal.mmClipFilter(s, dir)
   }
 }

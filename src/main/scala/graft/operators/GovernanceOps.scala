@@ -151,11 +151,79 @@ object GovernanceOps {
        |  FROM customer)
        |ORDER BY table_name""".stripMargin
 
+  // ----------------------------------------------------- q_data_card
+
+  /** Per-source dataset card — the release documentation a training
+    * corpus ships with, computed from the corpus itself: document and
+    * character volume, language spread and its entropy, and the
+    * exact-duplicate rate (md5 content hash). ONE scan feeding two
+    * map-side-combinable aggregates (per-source rollup + per-source
+    * lang/dup sub-aggregates re-aggregated); every number is integer
+    * or a single exact division except the entropy, whose per-lang
+    * terms are 1e-6-rounded and integer-summed (order-independent).
+    */
+  def qDataCard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"), md5(col("text")).as("h"))
+    val langEnt = d.groupBy("source", "lang").agg(count(lit(1)).as("nl"))
+      .withColumn("nsrc", sum("nl").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .select(col("source"), col("lang"),
+        floor(round(-(col("nl").cast(DoubleType) / col("nsrc").cast(DoubleType)) *
+          log2(col("nl").cast(DoubleType) / col("nsrc").cast(DoubleType)), 6)
+          * 1000000L + 0.5).cast(LongType).as("eq"))
+      .groupBy("source").agg(count(lit(1)).as("n_langs"),
+        round(sum("eq").cast(DoubleType) / 1000000L, 6).as("lang_entropy"))
+    val dups = d.groupBy("source", "h").agg(count(lit(1)).as("nh"))
+      .groupBy("source").agg(count(lit(1)).as("n_distinct"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_total"))
+      .join(langEnt, "source").join(dups, "source")
+      .select(col("source"), col("n_docs"), col("n_chars_total"),
+        col("n_langs"), col("lang_entropy"),
+        (col("n_docs") - col("n_distinct")).as("n_dup_docs"),
+        ((col("n_docs") - col("n_distinct")).cast(DoubleType) /
+          col("n_docs").cast(DoubleType)).as("dup_rate"))
+      .orderBy("source")
+  }
+
+  private val qDataCardSql =
+    """WITH d AS (
+      |  SELECT source, lang, n_chars, md5(text) AS h FROM documents),
+      |le AS (
+      |  SELECT source, lang, COUNT(*) AS nl FROM d GROUP BY source, lang),
+      |lt AS (
+      |  SELECT source, lang, nl, SUM(nl) OVER (PARTITION BY source) AS nsrc FROM le),
+      |ent AS (
+      |  SELECT source, COUNT(*) AS n_langs,
+      |    round(CAST(SUM(CAST(floor(round(
+      |      -(CAST(nl AS DOUBLE) / CAST(nsrc AS DOUBLE))
+      |        * log2(CAST(nl AS DOUBLE) / CAST(nsrc AS DOUBLE)), 6)
+      |      * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS lang_entropy
+      |  FROM lt GROUP BY source),
+      |dd AS (
+      |  SELECT source, COUNT(*) AS n_distinct FROM (
+      |    SELECT source, h FROM d GROUP BY source, h)
+      |  GROUP BY source),
+      |base AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |         CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+      |  FROM d GROUP BY source)
+      |SELECT b.source, b.n_docs, b.n_chars_total,
+      |  e.n_langs, e.lang_entropy,
+      |  b.n_docs - dd.n_distinct AS n_dup_docs,
+      |  CAST(b.n_docs - dd.n_distinct AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS dup_rate
+      |FROM base b JOIN ent e ON e.source = b.source
+      |JOIN dd ON dd.source = b.source
+      |ORDER BY b.source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dq_checks" -> (qDqChecks(_, _)),
-    "q_forget_user" -> (qForgetUser(_, _)))
+    "q_forget_user" -> (qForgetUser(_, _)),
+    "q_data_card" -> (qDataCard(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_dq_checks" -> qDqChecksSql,
-    "q_forget_user" -> qForgetUserSql)
+    "q_forget_user" -> qForgetUserSql,
+    "q_data_card" -> qDataCardSql)
 }

@@ -582,8 +582,64 @@ object Multimodal {
        |FROM terms GROUP BY doc_id, k ORDER BY doc_id, k""".stripMargin
   }
 
+  // ------------------------------------------------------ clip filter
+
+  private val ClipDims = 64
+  private val ClipTau = 0.05
+
+  /** CLIP-score-style cross-modal alignment gating — the LAION recipe:
+    * each document pairs with its media embedding (doc_id = vec_id),
+    * a text-side embedding is produced (here a deterministic
+    * hash-derived stub standing in for the text tower, like the mm_*
+    * decode stubs), and pairs below a cosine-alignment threshold are
+    * flagged for drop. The join is 1:1 on the shared id; the cosine
+    * runs on the codegen'd `graft_dot`/`graft_norm_sq` kernels whose
+    * sequential sums the oracle reproduces via ordered
+    * `list_aggregate` (the ann_* exactness pattern) — no rounding
+    * anywhere. Linear, shuffle-only-for-the-join; at 100 TB this is a
+    * co-partitioned id join + a map stage.
+    */
+  def mmClipFilter(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(s)
+    val textEmb = transform(sequence(lit(0), lit(ClipDims - 1)), d =>
+      (graft.functions.PortableHash.hash64(
+        concat(lit("t:"), col("doc_id").cast(StringType), lit(":"), d.cast(StringType)))
+        % 2000L).cast(DoubleType) / 1000.0 - 1.0)
+    val joined = Tables(s, dir, "documents").select(col("doc_id"))
+      .join(Tables(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("me")), "doc_id")
+      .select(col("doc_id"), col("me"), textEmb.as("te"))
+    joined.select(col("doc_id"),
+        (call_function("graft_dot", col("te"), col("me")) /
+          (sqrt(call_function("graft_norm_sq", col("te"))) *
+            sqrt(call_function("graft_norm_sq", col("me"))))).as("align"))
+      .select(col("doc_id"), col("align"), (col("align") >= ClipTau).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val mmClipFilterSql = {
+    import graft.functions.{PortableHash => PH}
+    val h = PH.sql("'t:' || CAST(doc_id AS VARCHAR) || ':' || CAST(d AS VARCHAR)")
+    val dot = "list_aggregate(list_transform(list_zip(te, me), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
+    def norm(a: String) =
+      s"sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    s"""WITH p AS (
+       |  SELECT d.doc_id, e.embedding AS me FROM documents d
+       |  JOIN embeddings e ON e.vec_id = d.doc_id),
+       |t AS (
+       |  SELECT doc_id, me,
+       |    list_transform(range(0, $ClipDims), d ->
+       |      CAST($h % 2000 AS DOUBLE) / 1000.0 - 1.0) AS te
+       |  FROM p),
+       |a AS (SELECT doc_id, $dot / (${norm("te")} * ${norm("me")}) AS align FROM t)
+       |SELECT doc_id, align, align >= $ClipTau AS kept
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_mfcc" -> (mmMfcc(_, _)),
+    "mm_clip_filter" -> (mmClipFilter(_, _)),
     "mm_audio_fingerprint" -> (mmAudioFingerprint(_, _)),
     "mm_audio_vad" -> (mmAudioVad(_, _)),
     "mm_scene_split" -> (mmSceneSplit(_, _)),
@@ -631,6 +687,7 @@ object Multimodal {
 
   def oracles: Map[String, String] = Map(
     "mm_mfcc" -> mmMfccSql,
+    "mm_clip_filter" -> mmClipFilterSql,
     "mm_audio_fingerprint" -> mmAudioFingerprintSql,
     "mm_audio_vad" -> mmAudioVadSql,
     "mm_scene_split" -> mmSceneSplitSql,

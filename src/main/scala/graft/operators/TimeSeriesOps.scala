@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -458,7 +458,71 @@ object TimeSeriesOps {
        |FROM fc FULL OUTER JOIN lc ON fc.channel = lc.channel
        |ORDER BY channel""".stripMargin
 
+  // ------------------------------------------------- seasonal backtest
+
+  private val FcCutoff = "2024-01-28" // last 3 days of the archive = test
+  private val FcQ = 1000000L
+
+  /** Seasonal-naive forecast backtest: predict each test-day hourly
+    * mean by the training-period mean for the same hour-of-day, score
+    * MAE per series — the baseline every production forecast must
+    * beat, run as a backtest INSIDE the engine. Two aggregation passes
+    * (train cells, test cells — both map-side-combinable, both
+    * corpus-size-independent after the first reduce) + one broadcast-
+    * sized join on (series, hour). Exact: cell means are
+    * decimal-sum ÷ count; |error| is rounded at 1e-6 and quantized so
+    * the per-series MAE sum is order-independent (trajectory pattern).
+    */
+  def qForecastSnaive(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def cells(f: Column => Column) = Tables(s, dir, "events")
+      .where(f(col("ts")))
+      .groupBy(col("event_type"), hour(col("ts")).cast(LongType).as("hr"))
+    val train = cells(_ < lit(FcCutoff).cast(TimestampType))
+      .agg((sum(floor(col("value") * 1048576.0).cast(dec)).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType) / 1048576.0).as("pred"))
+    val test = Tables(s, dir, "events")
+      .where(col("ts") >= lit(FcCutoff).cast(TimestampType))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+        hour(col("ts")).cast(LongType).as("hr"))
+      .agg((sum(floor(col("value") * 1048576.0).cast(dec)).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType) / 1048576.0).as("actual"))
+    test.join(train, Seq("event_type", "hr"))
+      .select(col("event_type"),
+        floor(round(abs(col("actual") - col("pred")), 6) * FcQ + 0.5)
+          .cast(LongType).as("eq"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_cells"),
+        round(sum("eq").cast(DoubleType) / FcQ / count(lit(1)).cast(DoubleType), 6)
+          .as("mae"))
+      .orderBy("event_type")
+  }
+
+  private val qForecastSnaiveSql =
+    s"""WITH train AS (
+       |  SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS hr,
+       |    CAST(SUM(CAST(floor(value * 1048576.0) AS BIGINT)) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) / 1048576.0 AS pred
+       |  FROM events WHERE ts < TIMESTAMP '$FcCutoff 00:00:00'
+       |  GROUP BY 1, 2),
+       |test AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(date_part('hour', ts) AS BIGINT) AS hr,
+       |    CAST(SUM(CAST(floor(value * 1048576.0) AS BIGINT)) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) / 1048576.0 AS actual
+       |  FROM events WHERE ts >= TIMESTAMP '$FcCutoff 00:00:00'
+       |  GROUP BY 1, 2, 3),
+       |e AS (
+       |  SELECT t.event_type,
+       |    CAST(floor(round(abs(t.actual - tr.pred), 6) * $FcQ + 0.5) AS BIGINT) AS eq
+       |  FROM test t JOIN train tr
+       |    ON tr.event_type = t.event_type AND tr.hr = t.hr)
+       |SELECT event_type, COUNT(*) AS n_cells,
+       |  round(CAST(SUM(eq) AS DOUBLE) / $FcQ / CAST(COUNT(*) AS DOUBLE), 6) AS mae
+       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_forecast_snaive" -> (qForecastSnaive(_, _)),
     "q_autocorr" -> (qAutocorr(_, _)),
     "q_changepoint" -> (qChangepoint(_, _)),
     "q_compaction_plan" -> (qCompactionPlan(_, _)),
@@ -468,6 +532,7 @@ object TimeSeriesOps {
     "q_attribution" -> (qAttribution(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_forecast_snaive" -> qForecastSnaiveSql,
     "q_autocorr" -> qAutocorrSql,
     "q_changepoint" -> qChangepointSql,
     "q_compaction_plan" -> qCompactionPlanSql,
