@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.sources.Tables
 
 /** IVF-PQ — the composition production ANN indexes (FAISS-style) run
@@ -198,6 +199,57 @@ object Similarity3 {
        |  CAST(COUNT(*) AS DOUBLE) / $K AS recall_at_k
        |FROM approx WHERE vec_id IN (SELECT vec_id FROM truth)""".stripMargin
 
+  /** NDCG@k of the IVF ranking against the brute-force ideal: binary
+    * relevance (approx hit ∈ exact top-k), positions discounted at
+    * 1/log2(rank+1) — the graded companion to `ann_recall_eval`
+    * (recall says WHAT was found, NDCG says WHERE it ranked). Per-rank
+    * discount terms are 1e-6-rounded and integer-summed (order-
+    * independent, only k terms); NDCG is one exact integer division.
+    * Cost: the same two top-k pipelines recall-eval runs, plus O(k)
+    * arithmetic.
+    */
+  def annNdcg(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cosine"), asc("vec_id"))
+    def discQ(rnk: Column): Column =
+      floor(round(lit(1.0) / log2(rnk.cast(DoubleType) + 1.0), 6) * 1000000L + 0.5)
+        .cast(LongType)
+    val truth = Similarity.annBrute(s, dir).select("vec_id")
+    val ranked = Similarity.annIvf(s, dir)
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .join(truth.withColumn("rel", lit(1L)), Seq("vec_id"), "left")
+      .select(col("rnk"), coalesce(col("rel"), lit(0L)).as("rel"))
+    val dcg = ranked.agg(sum(col("rel") * discQ(col("rnk"))).as("dcg_q"))
+    val idcg = truth
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("vec_id")).cast(LongType))
+      .agg(sum(discQ(col("rnk"))).as("idcg_q"))
+    dcg.crossJoin(idcg)
+      .select(lit(K.toLong).as("k"),
+        (col("dcg_q").cast(DoubleType) / 1000000.0).as("dcg"),
+        (col("idcg_q").cast(DoubleType) / 1000000.0).as("idcg"),
+        (col("dcg_q").cast(DoubleType) / col("idcg_q").cast(DoubleType)).as("ndcg"))
+  }
+
+  private val annNdcgSql = {
+    def disc(rnk: String) =
+      s"CAST(floor(round(1.0 / log2(CAST($rnk AS DOUBLE) + 1.0), 6) * 1000000 + 0.5) AS BIGINT)"
+    s"""WITH truth AS (SELECT vec_id FROM (${Similarity.annBruteSql})),
+       |approx AS (SELECT vec_id, cosine FROM (${Similarity.annIvfSql})),
+       |ranked AS (
+       |  SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rnk,
+       |    CASE WHEN vec_id IN (SELECT vec_id FROM truth) THEN 1 ELSE 0 END AS rel
+       |  FROM approx),
+       |d AS (SELECT CAST(SUM(rel * ${disc("rnk")}) AS BIGINT) AS dcg_q FROM ranked),
+       |i AS (SELECT CAST(SUM(${disc("rnk")}) AS BIGINT) AS idcg_q FROM (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS rnk FROM truth))
+       |SELECT CAST($K AS BIGINT) AS k,
+       |  CAST(dcg_q AS DOUBLE) / 1000000.0 AS dcg,
+       |  CAST(idcg_q AS DOUBLE) / 1000000.0 AS idcg,
+       |  CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE) AS ndcg
+       |FROM d, i""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // k-NN join (batch all-vectors neighbors)
   // ---------------------------------------------------------------------
@@ -307,6 +359,7 @@ object Similarity3 {
     "ann_maxsim" -> (annMaxSim(_, _)),
     "ann_knn_join" -> (annKnnJoin(_, _)),
     "ann_recall_eval" -> (annRecallEval(_, _)),
+    "ann_ndcg" -> (annNdcg(_, _)),
     "ann_centroid_filter" -> (annCentroidFilter(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -314,5 +367,6 @@ object Similarity3 {
     "ann_maxsim" -> annMaxSimSql,
     "ann_knn_join" -> annKnnJoinSql,
     "ann_recall_eval" -> annRecallEvalSql,
+    "ann_ndcg" -> annNdcgSql,
     "ann_centroid_filter" -> annCentroidFilterSql)
 }

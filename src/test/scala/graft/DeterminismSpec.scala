@@ -51,7 +51,7 @@ class DeterminismSpec extends SparkSuite {
     "q_ols", "q_cms_heavy", "q_item_cf", "q_gd_train", "q_dbscan_grid",
     "q_als_step", "q_ucb_bandit", "q_seasonal_profile", "mm_mfcc",
     // round-11b: global rank sums, ntile bucketing, hash-seeded noise
-    "q_auc", "q_calibration", "q_rfm", "q_dp_counts",
+    "q_auc", "q_calibration", "q_rfm", "q_dp_counts", "ann_ndcg",
     // round-11c: kernel cosine chains, quantized MAE sums, cluster
     // labeling, entropy quantization
     "mm_clip_filter", "q_forecast_snaive", "ta_cluster_topics", "q_data_card")
