@@ -149,6 +149,8 @@ object Graft {
     def dpCounts(s: SparkSession, dir: String): DataFrame = operators.EvalOps.qDpCounts(s, dir)
     def forecastBacktest(s: SparkSession, dir: String): DataFrame = operators.TimeSeriesOps.qForecastSnaive(s, dir)
     def clusterTopics(s: SparkSession, dir: String): DataFrame = operators.TopicOps.taClusterTopics(s, dir)
+    def codeDetect(s: SparkSession, dir: String): DataFrame = operators.CorpusPrepOps.taCodeDetect(s, dir)
+    def spanCorrupt(s: SparkSession, dir: String): DataFrame = operators.CorpusPrepOps.qSpanCorrupt(s, dir)
   }
 
   /** Multimodal (binary-column) operators. */

@@ -54,7 +54,9 @@ class DeterminismSpec extends SparkSuite {
     "q_auc", "q_calibration", "q_rfm", "q_dp_counts", "ann_ndcg",
     // round-11c: kernel cosine chains, quantized MAE sums, cluster
     // labeling, entropy quantization
-    "mm_clip_filter", "q_forecast_snaive", "ta_cluster_topics", "q_data_card")
+    "mm_clip_filter", "q_forecast_snaive", "ta_cluster_topics", "q_data_card",
+    // round-11d: regexp-ratio scoring, span-mask set algebra
+    "ta_code_detect", "q_span_corrupt")
 
   test("results are identical under different shuffle partitionings") {
     val conf = spark.conf

@@ -47,7 +47,8 @@ class RegistrySpec extends AnyFunSuite {
       operators.MiningOps.queries, operators.GeoOps.queries,
       operators.TimeSeriesOps.queries, operators.GovernanceOps.queries,
       operators.MlOps.queries, operators.MlOps2.queries,
-      operators.EvalOps.queries, operators.TopicOps.queries)
+      operators.EvalOps.queries, operators.TopicOps.queries,
+      operators.CorpusPrepOps.queries)
     val keys = all.flatMap(_.keys)
     val dupes = keys.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names across modules: $dupes")
