@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.PortableHash
+import graft.sources.Tables
+
+/** Round-6 curation additions: Broder-style super-shingle dedup (the
+  * band-bucketed winnowing variant NOTES flagged as the next bound on
+  * candidate fan-out) and CCNet-style perplexity bucketing (the
+  * head/middle/tail quality split a pretraining mix is sampled from).
+  */
+object CurationOps3 {
+
+  // ---------------------------------------------------- dd_supershingle
+
+  private val SsK = 10       // k-gram length (chars) — matches dd_winnowing
+  private val SsW = 4        // winnowing window (grams)
+  private val SsBands = 8    // super-shingle bands (fp % SsBands)
+  private val SsBandMaxDf = 64 // identical-band doc-frequency cap
+  private val SsSim = 0.5    // containment threshold for the verify pass
+
+  /** Super-shingle near-dup candidates (Broder, SEQUENCES'97 "On the
+    * resemblance and containment of documents"; the "fingerprints of
+    * fingerprints" construction): each document's winnowing
+    * fingerprints are split into [[SsBands]] bands by `fp % bands`,
+    * each band is collapsed to ONE order-independent signature
+    * (count, sum, bit_xor), and candidate pairs are documents sharing
+    * at least one identical band signature. Versus `dd_winnowing`'s
+    * shared-fingerprint join, the join key here is band-sized (≤ 8
+    * rows/doc instead of ~n/w fingerprints/doc), so at 100 TB the
+    * pair stage's input shrinks by ~the fingerprint count and hot
+    * boilerplate bands are df-capped ([[SsBandMaxDf]]) the same way
+    * minhash band buckets are. The tradeoff is recall: an edit that
+    * touches a band kills that band's match (only fully-identical
+    * band content pairs), which is the documented super-shingle
+    * semantics — high-precision candidates for heavily-duplicated
+    * corpora, verified here by the exact containment score over the
+    * full fingerprint sets.
+    */
+  def ddSupershingle(s: SparkSession, dir: String): DataFrame = {
+    // same in-row winnowing kernel as dd_winnowing: the corpus-sized
+    // (doc, pos, hash) relation never exists (graft_winnow scaladoc)
+    val fps = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        explode(expr(s"graft_winnow(text, $SsK, $SsW)")).as("fp"))
+      .cache() // band build + both verify sides + sizes re-read it
+    val bands = fps
+      .groupBy(col("doc_id"), (col("fp") % SsBands).as("band"))
+      .agg(count(lit(1)).as("cnt"), sum("fp").as("bs"),
+        expr("bit_xor(fp)").as("bx"))
+    // identical-band doc frequency: df=1 bands can't pair (winnowing's
+    // NOTES #25 pruning), df>cap bands are boilerplate fan-out bombs
+    val sigDf = bands.groupBy("band", "cnt", "bs", "bx")
+      .agg(count(lit(1)).as("bdf"))
+    val goodSig = sigDf.where(col("bdf") >= 2 && col("bdf") <= SsBandMaxDf)
+      .select("band", "cnt", "bs", "bx")
+    val cb = bands.join(goodSig, Seq("band", "cnt", "bs", "bx"))
+    val pairs = cb.select(col("doc_id").as("a"), col("band"), col("cnt"), col("bs"), col("bx"))
+      .join(cb.select(col("doc_id").as("b"), col("band"), col("cnt"), col("bs"), col("bx")),
+        Seq("band", "cnt", "bs", "bx"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_bands"))
+    // verify: exact containment over the FULL fingerprint sets, but
+    // only for candidate pairs — fps is streamed against the (small)
+    // pair list, never self-joined
+    val sz = fps.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = fps.withColumnRenamed("doc_id", "a")
+      .join(pairs.select("a", "b"), Seq("a"))
+      .join(fps.select(col("doc_id").as("b"), col("fp")), Seq("b", "fp"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+    pairs.join(shared, Seq("a", "b"))
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"), col("n_bands"), col("shared"),
+        round(col("shared").cast(DoubleType) / least(col("na"), col("nb")), 6)
+          .as("sim"))
+      .where(col("sim") >= SsSim)
+      .orderBy("a", "b")
+  }
+
+  private val ddSupershingleSql =
+    s"""WITH grams AS (
+       |  SELECT doc_id, i AS pos,
+       |    ${PortableHash.sql(s"substr(text, CAST(i AS INTEGER), $SsK)")} % 1073741824 AS h
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(1, len(text) - ${SsK - 2})) AS i FROM documents)),
+       |sel AS (
+       |  SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN ${SsW - 1} PRECEDING AND CURRENT ROW) AS fp
+       |  FROM grams),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM sel WHERE pos >= $SsW),
+       |bands AS (
+       |  SELECT doc_id, fp % $SsBands AS band, COUNT(*) AS cnt,
+       |    CAST(SUM(fp) AS BIGINT) AS bs, bit_xor(fp) AS bx
+       |  FROM fps GROUP BY 1, 2),
+       |goodsig AS (
+       |  SELECT band, cnt, bs, bx FROM bands
+       |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) BETWEEN 2 AND $SsBandMaxDf),
+       |cb AS (SELECT b.* FROM bands b JOIN goodsig g
+       |       USING (band, cnt, bs, bx)),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_bands
+       |  FROM cb x JOIN cb y ON x.band = y.band AND x.cnt = y.cnt
+       |    AND x.bs = y.bs AND x.bx = y.bx AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY doc_id),
+       |shared AS (
+       |  SELECT p.a, p.b, COUNT(*) AS shared
+       |  FROM pairs p JOIN fps fa ON fa.doc_id = p.a
+       |  JOIN fps fb ON fb.doc_id = p.b AND fb.fp = fa.fp
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT p.a, p.b, p.n_bands, sh.shared,
+       |    round(CAST(sh.shared AS DOUBLE) / least(sa.n, sb.n), 6) AS sim
+       |  FROM pairs p JOIN shared sh ON p.a = sh.a AND p.b = sh.b
+       |  JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id)
+       |SELECT a, b, n_bands, shared, sim FROM scored
+       |WHERE sim >= $SsSim ORDER BY a, b""".stripMargin
+
+  // ---------------------------------------------- ta_perplexity_bucket
+
+  private val PplQ = 1073741824L // 2^30 logp quantizer (ta_ngram_lm's)
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC'20): score
+    * every document by the corpus's own add-one-smoothed bigram LM
+    * (ta_ngram_lm's exact-quantized score), then split the corpus
+    * into head/middle/tail thirds — the quality strata a pretraining
+    * mix samples from at different rates. The thresholds are computed
+    * on the VALUE level: a histogram of distinct quantized scores
+    * (value-sized, not corpus-sized) gets one descending cumulative
+    * window, and each document joins its bucket back by score — so
+    * the only single-partition window runs over |distinct scores|
+    * rows, the 100 TB-safe shape for a global quantile split. Ties
+    * share a bucket by construction (CCNet's threshold-comparison
+    * semantics), and the integer average (floor division of the
+    * quantized sum) keeps both engines bit-identical.
+    */
+  def taPerplexityBucket(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val idx = sequence(lit(1), n - 1)
+    val bgArr = when(n < 2, array().cast(ArrayType(StructType(Seq(
+        StructField("w1", StringType), StructField("w2", StringType))))))
+      .otherwise(transform(idx, i => struct(
+        element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+    // distinct-bigram pre-aggregation with multiplicity k — the
+    // ta_ngram_lm shape: the model build and the probe side both read
+    // a distinct-bigram-sized relation
+    val bgd = docs.select(col("doc_id"), explode(bgArr).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+      .cache()
+    val unic = docs.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val vocab = unic.agg(count(lit(1)).as("v"))
+    val bgc = bgd.groupBy(col("w1").as("b1"), col("w2").as("b2"))
+      .agg(sum("k").as("cb"))
+    val perDoc = bgd.join(bgc, col("w1") === col("b1") && col("w2") === col("b2"))
+      .join(unic, col("w1") === col("w"))
+      .join(broadcast(vocab))
+      .withColumn("logp", round(log((col("cb") + 1.0) / (col("cw") + col("v"))), 6))
+      .groupBy("doc_id")
+      .agg(sum(col("k") * floor(col("logp") * PplQ.toDouble).cast(LongType)).as("sumq"),
+        sum("k").as("nb"))
+      // integer average: floor division via the sign-safe mod formula,
+      // exact in both engines (NOTES #29's fdiv pattern)
+      .selectExpr("doc_id",
+        "(sumq - ((sumq % nb + nb) % nb)) DIV nb AS avg_q")
+    val hist = perDoc.groupBy("avg_q").agg(count(lit(1)).as("c"))
+    // the one global window — over DISTINCT score values only
+    val cum = hist.withColumn("cum",
+      sum("c").over(Window.orderBy(col("avg_q").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = perDoc.agg(count(lit(1)).as("nd"))
+    perDoc.join(cum.select("avg_q", "cum"), Seq("avg_q"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("doc_id", "avg_q",
+        s"""CASE WHEN cum <= (nd + 2) DIV 3 THEN 'head'
+           |     WHEN cum <= (2 * nd + 2) DIV 3 THEN 'middle'
+           |     ELSE 'tail' END AS bucket""".stripMargin.replace("\n", " "))
+      .orderBy("doc_id")
+  }
+
+  private val taPerplexityBucketSql =
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+       |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM d)),
+       |unic AS (SELECT w, COUNT(*) AS cw FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w),
+       |vocab AS (SELECT COUNT(*) AS v FROM unic),
+       |bgc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+       |scored AS (
+       |  SELECT bg.doc_id,
+       |    round(ln((bgc.cb + 1.0) / (unic.cw + vocab.v)), 6) AS logp
+       |  FROM bg JOIN bgc ON bg.w1 = bgc.w1 AND bg.w2 = bgc.w2
+       |  JOIN unic ON bg.w1 = unic.w
+       |  CROSS JOIN vocab),
+       |ds AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CAST(floor(logp * $PplQ.0) AS BIGINT)) AS BIGINT) AS sumq,
+       |    COUNT(*) AS nb
+       |  FROM scored GROUP BY doc_id),
+       |av AS (SELECT doc_id,
+       |         (sumq - ((sumq % nb + nb) % nb)) // nb AS avg_q FROM ds),
+       |hist AS (SELECT avg_q, COUNT(*) AS c FROM av GROUP BY avg_q),
+       |cum AS (SELECT avg_q,
+       |          CAST(SUM(c) OVER (ORDER BY avg_q DESC) AS BIGINT) AS cum
+       |        FROM hist),
+       |tot AS (SELECT COUNT(*) AS nd FROM av)
+       |SELECT a.doc_id, a.avg_q,
+       |  CASE WHEN cum <= (nd + 2) // 3 THEN 'head'
+       |       WHEN cum <= (2 * nd + 2) // 3 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM av a JOIN cum USING (avg_q) CROSS JOIN tot
+       |ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_supershingle" -> (ddSupershingle(_, _)),
+    "ta_perplexity_bucket" -> (taPerplexityBucket(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "dd_supershingle" -> ddSupershingleSql,
+    "ta_perplexity_bucket" -> taPerplexityBucketSql)
+}

@@ -48,7 +48,8 @@ class RegistrySpec extends AnyFunSuite {
       operators.TimeSeriesOps.queries, operators.GovernanceOps.queries,
       operators.MlOps.queries, operators.MlOps2.queries,
       operators.EvalOps.queries, operators.TopicOps.queries,
-      operators.CorpusPrepOps.queries)
+      operators.CorpusPrepOps.queries, operators.CurationOps3.queries,
+      operators.SpectralOps.queries)
     val keys = all.flatMap(_.keys)
     val dupes = keys.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names across modules: $dupes")

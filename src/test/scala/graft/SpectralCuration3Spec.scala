@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CurationOps3, SpectralOps}
+
+/** Semantics tests for the round-6 additions: super-shingle dedup,
+  * perplexity bucketing, and power-iteration PCA.
+  */
+class SpectralCuration3Spec extends SparkSuite {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("q_pca_power: fixed-point direction is normalized, deterministic, and dominant") {
+    val v = SpectralOps.qPcaPower(sc, sf001).collect()
+    assert(v.length == 64)
+    val vq = v.map(_.getLong(1))
+    // L∞ renormalization bounds every component at the fixed-point scale
+    assert(vq.map(math.abs).max <= 1048576L)
+    assert(vq.map(math.abs).max > 1048576L / 4, "direction collapsed")
+    // deterministic under different parallelism (quantized reductions)
+    val v2 = SpectralOps.qPcaPower(sc, sf001)
+      .repartition(7).orderBy("pos").collect().map(_.getLong(1))
+    assert(vq.sameElements(v2))
+    // dominance: the Rayleigh quotient of the returned direction beats
+    // a fixed arbitrary axis by a wide margin on the same Gram matrix
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    def rayleigh(dir: Array[Double]): Double = {
+      val n = math.sqrt(dir.map(x => x * x).sum)
+      val u = dir.map(_ / n)
+      val uLit = array(u.map(lit(_)): _*)
+      emb.select(
+        aggregate(zip_with(col("embedding"), uLit,
+          (a, b) => a.cast("double") * b), lit(0.0), (acc, y) => acc + y).as("p"))
+        .agg(avg(col("p") * col("p"))).head().getDouble(0)
+    }
+    val rTop = rayleigh(vq.map(_.toDouble))
+    val axis = Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0)
+    assert(rTop > rayleigh(axis), s"top direction not dominant: $rTop")
+  }
+
+  test("dd_supershingle: candidates are a high-precision subset of dd_winnowing pairs") {
+    val ss = CurationOps3.ddSupershingle(sc, sf001)
+      .select("a", "b", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ss.nonEmpty, "no super-shingle candidates at sf0.01")
+    // every surviving pair passed the exact containment verify
+    ss.values.foreach(sim => assert(sim >= 0.5 && sim <= 1.0))
+    // subset property: identical band content implies shared
+    // fingerprints, so every pair must also appear in the
+    // fingerprint-join variant's output at the same threshold
+    val win = graft.operators.CurationOps.ddWinnowing(sc, sf001)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    ss.keys.foreach(p => assert(win.contains(p), s"pair $p not in dd_winnowing"))
+  }
+
+  test("ta_perplexity_bucket: thirds partition scored docs, ties share a bucket") {
+    val rows = CurationOps3.taPerplexityBucket(sc, sf001).collect()
+    val n = rows.length
+    assert(n > 0)
+    val byBucket = rows.groupBy(_.getString(2)).map { case (k, v) => k -> v.length }
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+    // each stratum holds about a third (exact only when scores at the
+    // cut are untied; allow the tie-absorption slack)
+    byBucket.values.foreach(c => assert(c > 0 && c <= (2 * n) / 3))
+    // monotone: every head score >= every middle score >= every tail
+    def scores(b: String) = rows.filter(_.getString(2) == b).map(_.getLong(1))
+    if (byBucket.contains("head") && byBucket.contains("middle"))
+      assert(scores("head").min >= scores("middle").max)
+    if (byBucket.contains("middle") && byBucket.contains("tail"))
+      assert(scores("middle").min >= scores("tail").max)
+  }
+}
