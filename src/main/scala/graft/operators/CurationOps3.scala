@@ -219,11 +219,98 @@ object CurationOps3 {
        |FROM av a JOIN cum USING (avg_q) CROSS JOIN tot
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ ta_tfidf_cosine
+
+  private val TcQ = 1024L      // 2^10 fixed-point weight scale
+  private val TcDfMin = 2      // df=1 terms can't pair (NOTES #25)
+  private val TcDfCap = 64     // stopword/boilerplate df cap
+  private val TcSim = 0.3      // cosine threshold
+
+  /** Sparse tf-idf cosine similarity join via the inverted index — the
+    * document-at-a-time sparse dot product IR engines run, and the
+    * third classic near-dup signal next to shingle Jaccard and dense
+    * embedding cosine. The vocabulary is df-windowed to the
+    * [[TcDfMin]]..[[TcDfCap]] band (df=1 terms cannot produce a pair;
+    * df>cap terms are stopwords whose postings would fan out
+    * quadratically), which REDEFINES the similarity space CCNet-style:
+    * weights, norms and dots all live in the capped vocabulary.
+    * Per-term partial products are exact integers (weights quantized
+    * at 2^10), so the order-free groupBy sums are engine-exact; the
+    * final score does the only float math (two sqrt, two divides —
+    * identical single IEEE ops in the oracle). At 100 TB the term
+    * postings partition the pair work (the DAAT shape) and the df cap
+    * bounds every posting list's fan-out.
+    */
+  def taTfidfCosine(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .cache() // df build + weight build read it
+    val n = docs.agg(count(lit(1)).as("n"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") >= TcDfMin && col("df") <= TcDfCap)
+    val w = tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        floor(col("tf").cast(DoubleType) *
+          round(log(col("n").cast(DoubleType) / col("df")), 6) * TcQ.toDouble)
+          .cast(LongType).as("wq"))
+      .cache() // norm side + both pair sides read it
+    val nrm = w.groupBy("doc_id").agg(sum(col("wq") * col("wq")).as("nq"))
+    // pin join-key parallelism: the df-capped postings are byte-small
+    // but the pair fan-out is the CPU core (ddWinnowing rationale)
+    val wj = w.repartition(math.max(s.sparkContext.defaultParallelism,
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt), col("term"))
+    val dot = wj.select(col("doc_id").as("a"), col("term"), col("wq").as("wa"))
+      .join(wj.select(col("doc_id").as("b"), col("term"), col("wq").as("wb")), "term")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("dot"))
+    dot.join(nrm.select(col("doc_id").as("a"), col("nq").as("na")), "a")
+      .join(nrm.select(col("doc_id").as("b"), col("nq").as("nb")), "b")
+      .select(col("a"), col("b"),
+        round(col("dot").cast(DoubleType) /
+          sqrt(col("na").cast(DoubleType)) / sqrt(col("nb").cast(DoubleType)), 6)
+          .as("cosine"))
+      .where(col("cosine") >= TcSim)
+      .orderBy("a", "b")
+  }
+
+  private val taTfidfCosineSql =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+       |       HAVING COUNT(*) BETWEEN $TcDfMin AND $TcDfCap),
+       |w AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    CAST(floor(CAST(tf.tf AS DOUBLE) *
+       |      round(ln(CAST(n.n AS DOUBLE) / df.df), 6) * $TcQ.0) AS BIGINT) AS wq
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |nrm AS (SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS nq
+       |        FROM w GROUP BY doc_id),
+       |dots AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b,
+       |    CAST(SUM(x.wq * y.wq) AS BIGINT) AS dot
+       |  FROM w x JOIN w y ON x.term = y.term AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.a, d.b,
+       |    round(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE))
+       |      / sqrt(CAST(nb.nq AS DOUBLE)), 6) AS cosine
+       |  FROM dots d JOIN nrm na ON d.a = na.doc_id
+       |  JOIN nrm nb ON d.b = nb.doc_id)
+       |SELECT a, b, cosine FROM scored
+       |WHERE cosine >= $TcSim ORDER BY a, b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_supershingle" -> (ddSupershingle(_, _)),
-    "ta_perplexity_bucket" -> (taPerplexityBucket(_, _)))
+    "ta_perplexity_bucket" -> (taPerplexityBucket(_, _)),
+    "ta_tfidf_cosine" -> (taTfidfCosine(_, _)))
 
   def oracles: Map[String, String] = Map(
     "dd_supershingle" -> ddSupershingleSql,
-    "ta_perplexity_bucket" -> taPerplexityBucketSql)
+    "ta_perplexity_bucket" -> taPerplexityBucketSql,
+    "ta_tfidf_cosine" -> taTfidfCosineSql)
 }

@@ -39,71 +39,138 @@ object SpectralOps {
     * at 2^20, per-round L∞ renormalization by exact floor division),
     * so Spark and the unrolled-CTE DuckDB oracle are bit-identical.
     */
-  def qPcaPower(s: SparkSession, dir: String): DataFrame = {
-    val xq = Tables(s, dir, "embeddings")
-      .select(col("vec_id"),
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
         transform(col("embedding"),
           x => floor(x.cast(DoubleType) * PcaQ.toDouble).cast(LongType)).as("xq"))
       // one small quantized relation feeds every round
       .cache()
-    def sums(vq: Array[Long]): DataFrame = {
-      val vLit = array(vq.map(lit(_)): _*)
-      // fixed-point dot: products and sum stay in long (|xq|·|vq| ≤
-      // 2^40, d=64 terms → ≤ 2^46), then rescale by 2^20
-      val dot = aggregate(zip_with(col("xq"), vLit, (a, b) => a * b),
-        lit(0L), (acc, y) => acc + y)
-      xq.select(col("xq"), dot.as("dot"))
-        .selectExpr("xq", s"${fdiv("dot", PcaQ.toString)} AS dots")
-        .select(posexplode(col("xq")).as(Seq("pos", "x")), col("dots"))
-        .groupBy("pos").agg(sum(col("x") * col("dots")).as("s"))
-    }
-    def renorm(sdf: DataFrame): DataFrame = {
-      val m = sdf.agg(max(abs(col("s"))).as("m"))
-        .selectExpr(s"${fdiv("m", PcaQ.toString)} + 1 AS ms")
-      sdf.crossJoin(broadcast(m))
-        .selectExpr("CAST(pos AS BIGINT) AS pos", s"${fdiv("s", "ms")} AS v_q")
-    }
+
+  /** fixed-point dot of the row's quantized vector against a literal
+    * iterate: products and sum stay in long (|xq|·|vq| ≤ 2^40, d=64
+    * terms → ≤ 2^46).
+    */
+  private def dotCol(vq: Array[Long]): Column = {
+    val vLit = array(vq.map(lit(_)): _*)
+    aggregate(zip_with(col("xq"), vLit, (a, b) => a * b),
+      lit(0L), (acc, y) => acc + y)
+  }
+
+  private def sums(xq: DataFrame, vq: Array[Long]): DataFrame =
+    xq.select(col("xq"), dotCol(vq).as("dot"))
+      .selectExpr("xq", s"${fdiv("dot", PcaQ.toString)} AS dots")
+      .select(posexplode(col("xq")).as(Seq("pos", "x")), col("dots"))
+      .groupBy("pos").agg(sum(col("x") * col("dots")).as("s"))
+
+  private def renorm(sdf: DataFrame): DataFrame = {
+    val m = sdf.agg(max(abs(col("s"))).as("m"))
+      .selectExpr(s"${fdiv("m", PcaQ.toString)} + 1 AS ms")
+    sdf.crossJoin(broadcast(m))
+      .selectExpr("CAST(pos AS BIGINT) AS pos", s"${fdiv("s", "ms")} AS v_q")
+  }
+
+  /** `rounds` power-iteration steps from the all-ones start, collecting
+    * the O(d) iterate (model state only — never the relation) between
+    * rounds.
+    */
+  private def iterate(xq: DataFrame, rounds: Int): Array[Long] = {
     var vq = Array.fill(PcaDim)(PcaQ)
-    for (_ <- 1 until PcaIters) {
-      // O(d) driver collect of the next iterate — model state only
-      val next = renorm(sums(vq)).collect()
+    for (_ <- 1 to rounds) {
+      val next = renorm(sums(xq, vq)).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       vq = Array.tabulate(PcaDim)(i => next(i.toLong))
     }
-    renorm(sums(vq)).orderBy("pos")
+    vq
   }
 
-  private val qPcaPowerSql: String = {
-    def fd(a: String, c: String): String =
-      s"(($a) - ((($a) % ($c) + ($c)) % ($c))) // ($c)"
+  def qPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val xq = quantized(s, dir)
+    // the final round stays declarative (the 1-row-aggregate cross-join
+    // renorm), so the returned plan computes the last normalization
+    renorm(sums(xq, iterate(xq, PcaIters - 1))).orderBy("pos")
+  }
+
+  private val ProjShift = 67108864L // 2^26: dot (scale 2^40) → proj (2^14)
+
+  /** Per-label statistics of the corpus projected onto the learned top
+    * principal direction — the "variance along PC1 by class" readout
+    * that tells a curation pipeline whether its embedding clusters
+    * separate along the dominant axis. Reuses the [[qPcaPower]]
+    * iterate; the projection is one map-side fixed-point dot per row
+    * (scale 2^14 after the shift), and the per-label sums of proj and
+    * proj² are exact longs (|proj| ≤ 2^20, proj² ≤ 2^40 — safe to
+    * corpus row counts of ~2^22 per label). Only `mean` touches floats:
+    * one cast + one divide, identical in the oracle.
+    */
+  def qPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val xq = quantized(s, dir)
+    val vq = iterate(xq, PcaIters)
+    xq.select(col("label"), dotCol(vq).as("dot"))
+      .selectExpr("label", s"${fdiv("dot", ProjShift.toString)} AS p")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("p").as("sum_p"),
+        sum(col("p") * col("p")).as("sum_p2"))
+      .select(col("label").cast(LongType).as("label"), col("n"),
+        col("sum_p"), col("sum_p2"),
+        round(col("sum_p").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("mean_p"))
+      .orderBy("label")
+  }
+
+  private def fdSql(a: String, c: String): String =
+    s"(($a) - ((($a) % ($c) + ($c)) % ($c))) // ($c)"
+
+  /** The shared unrolled-CTE prefix: quantized vectors + `iters`
+    * power-iteration rounds, ending at CTE `v<iters>`. Each round is
+    * the mirror of the Spark loop: dot per vector against v{t-1},
+    * rescale, per-pos sums, L∞ renormalize.
+    */
+  private def pcaCtes(iters: Int): String = {
     val q = PcaQ.toString
-    // one CTE round: dot per vector against v{t-1}, rescale, per-pos
-    // sums, L∞ renormalize — the unrolled mirror of the Spark loop
     def round(t: Int): String = {
       val vp = if (t == 1) "v0" else s"v${t - 1}"
       s"""d$t AS (SELECT vec_id, CAST(SUM(x * v) AS BIGINT) AS dot
          |  FROM xq JOIN $vp USING (pos) GROUP BY vec_id),
-         |ds$t AS (SELECT vec_id, ${fd("dot", q)} AS dots FROM d$t),
+         |ds$t AS (SELECT vec_id, ${fdSql("dot", q)} AS dots FROM d$t),
          |s$t AS (SELECT pos, CAST(SUM(x * dots) AS BIGINT) AS s
          |  FROM xq JOIN ds$t USING (vec_id) GROUP BY pos),
-         |m$t AS (SELECT ${fd("MAX(ABS(s))", q)} + 1 AS ms FROM s$t),
-         |v$t AS (SELECT pos, ${fd("s", "ms")} AS v FROM s$t, m$t)""".stripMargin
+         |m$t AS (SELECT ${fdSql("MAX(ABS(s))", q)} + 1 AS ms FROM s$t),
+         |v$t AS (SELECT pos, ${fdSql("s", "ms")} AS v FROM s$t, m$t)""".stripMargin
     }
     s"""WITH xq AS (
-       |  SELECT vec_id, i - 1 AS pos,
+       |  SELECT vec_id, label, i - 1 AS pos,
        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $q) AS BIGINT) AS x
-       |  FROM (SELECT vec_id, embedding,
+       |  FROM (SELECT vec_id, label, embedding,
        |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
        |v0 AS (SELECT pos, CAST($q AS BIGINT) AS v
        |       FROM range(0, $PcaDim) t(pos)),
-       |${(1 to PcaIters).map(round).mkString(",\n")}
-       |SELECT CAST(pos AS BIGINT) AS pos, v AS v_q FROM v$PcaIters
-       |ORDER BY pos""".stripMargin
+       |${(1 to iters).map(round).mkString(",\n")}""".stripMargin
   }
 
+  private val qPcaPowerSql: String =
+    s"""${pcaCtes(PcaIters)}
+       |SELECT CAST(pos AS BIGINT) AS pos, v AS v_q FROM v$PcaIters
+       |ORDER BY pos""".stripMargin
+
+  private val qPcaProjectSql: String =
+    s"""${pcaCtes(PcaIters)},
+       |proj AS (
+       |  SELECT xq.vec_id, xq.label, CAST(SUM(x * v) AS BIGINT) AS dot
+       |  FROM xq JOIN v$PcaIters USING (pos) GROUP BY 1, 2),
+       |ps AS (SELECT label, ${fdSql("dot", ProjShift.toString)} AS p FROM proj)
+       |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+       |  CAST(SUM(p) AS BIGINT) AS sum_p,
+       |  CAST(SUM(p * p) AS BIGINT) AS sum_p2,
+       |  round(CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_p
+       |FROM ps GROUP BY label ORDER BY label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pca_power" -> (qPcaPower(_, _)))
+    "q_pca_power" -> (qPcaPower(_, _)),
+    "q_pca_project" -> (qPcaProject(_, _)))
 
   def oracles: Map[String, String] = Map(
-    "q_pca_power" -> qPcaPowerSql)
+    "q_pca_power" -> qPcaPowerSql,
+    "q_pca_project" -> qPcaProjectSql)
 }

@@ -53,6 +53,31 @@ class SpectralCuration3Spec extends SparkSuite {
     ss.keys.foreach(p => assert(win.contains(p), s"pair $p not in dd_winnowing"))
   }
 
+  test("q_pca_project: labels partition the corpus; per-label variance is non-negative") {
+    val rows = SpectralOps.qPcaProject(sc, sf001).collect()
+    assert(rows.nonEmpty)
+    val total = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      val (n, sp, sp2) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // n·Σp² ≥ (Σp)² — Cauchy-Schwarz on the exact integer sums
+      assert(BigInt(n) * BigInt(sp2) >= BigInt(sp) * BigInt(sp),
+        s"label ${r.getLong(0)}: negative variance")
+    }
+  }
+
+  test("ta_tfidf_cosine: scores are valid cosines over non-negative weights") {
+    val rows = CurationOps3.taTfidfCosine(sc, sf001).collect()
+    assert(rows.nonEmpty, "no tf-idf cosine pairs at sf0.01")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val c = r.getDouble(2)
+      // weights are non-negative (idf > 0 inside the df window), so
+      // cosine lands in (0, 1] up to the quantization rounding
+      assert(c >= 0.3 && c <= 1.000001, s"cosine out of range: $c")
+    }
+  }
+
   test("ta_perplexity_bucket: thirds partition scored docs, ties share a bucket") {
     val rows = CurationOps3.taPerplexityBucket(sc, sf001).collect()
     val n = rows.length
