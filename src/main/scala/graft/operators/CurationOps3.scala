@@ -65,13 +65,23 @@ object CurationOps3 {
         Seq("band", "cnt", "bs", "bx"))
       .where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_bands"))
+      // pair-sized and read three times (verify a-side, b-side
+      // restriction, final assembly) — without the cache each reader
+      // re-runs the whole band+self-join pipeline
+      .cache()
     // verify: exact containment over the FULL fingerprint sets, but
     // only for candidate pairs — fps is streamed against the (small)
     // pair list, never self-joined
     val sz = fps.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // restrict BOTH verify sides to candidate docs before the fp join:
+    // without the b-side semi-join the (b, fp) equi-join shuffles the
+    // whole corpus-sized fingerprint relation per invocation (profiled
+    // at ~2.2 s steady vs ~1.2 s with it); candidate doc lists are
+    // pair-sized, so AQE broadcasts them
+    val fpsB = fps.join(pairs.select(col("b").as("doc_id")).distinct(), Seq("doc_id"))
     val shared = fps.withColumnRenamed("doc_id", "a")
       .join(pairs.select("a", "b"), Seq("a"))
-      .join(fps.select(col("doc_id").as("b"), col("fp")), Seq("b", "fp"))
+      .join(fpsB.select(col("doc_id").as("b"), col("fp")), Seq("b", "fp"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
     pairs.join(shared, Seq("a", "b"))
       .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")

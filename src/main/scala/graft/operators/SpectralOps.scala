@@ -166,11 +166,72 @@ object SpectralOps {
        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_p
        |FROM ps GROUP BY label ORDER BY label""".stripMargin
 
+  // ------------------------------------------------------ q_feature_quantiles
+
+  /** Per-dimension robust-scaler statistics of the embedding table
+    * (min/Q1/median/Q3/max/IQR of every coordinate) — the
+    * normalization profile a feature pipeline fits before whitening
+    * or clipping. Exact order statistics at scale via the same shape
+    * as the perplexity tertiles: a per-dimension VALUE-level histogram
+    * (quantized coordinates) gets one cumulative window partitioned
+    * by dimension — |distinct values| rows per dimension, never a
+    * corpus-sized sort — and each quantile is the least value whose
+    * cumulative count reaches its ceil-rank. Ranks use exact integer
+    * arithmetic; ties resolve low (percentile_disc semantics),
+    * identically in both engines.
+    */
+  def qFeatureQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val xq = quantized(s, dir)
+    val n = xq.agg(count(lit(1)).as("n"))
+    val hist = xq.select(posexplode(col("xq")).as(Seq("pos", "v")))
+      .groupBy("pos", "v").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum("c").over(org.apache.spark.sql.expressions.Window
+        .partitionBy("pos").orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    cum.crossJoin(broadcast(n))
+      .groupBy("pos")
+      .agg(first("n").as("n"), min("v").as("min_q"), max("v").as("max_q"),
+        min(when(col("cum") >= expr("(n + 3) DIV 4"), col("v"))).as("q1"),
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col("v"))).as("median"),
+        min(when(col("cum") >= expr("(3 * n + 3) DIV 4"), col("v"))).as("q3"))
+      .select(col("pos").cast(LongType).as("pos"), col("n"), col("min_q"),
+        col("q1"), col("median"), col("q3"), (col("q3") - col("q1")).as("iqr"),
+        col("max_q"))
+      .orderBy("pos")
+  }
+
+  private val qFeatureQuantilesSql: String = {
+    val q = PcaQ.toString
+    s"""WITH xq AS (
+       |  SELECT vec_id, i - 1 AS pos,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $q) AS BIGINT) AS v
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+       |n AS (SELECT COUNT(*) AS n FROM embeddings),
+       |hist AS (SELECT pos, v, COUNT(*) AS c FROM xq GROUP BY 1, 2),
+       |cum AS (SELECT pos, v,
+       |          CAST(SUM(c) OVER (PARTITION BY pos ORDER BY v) AS BIGINT) AS cum
+       |        FROM hist)
+       |SELECT CAST(pos AS BIGINT) AS pos, n.n AS n,
+       |  MIN(v) AS min_q,
+       |  MIN(CASE WHEN cum >= (n.n + 3) // 4 THEN v END) AS q1,
+       |  MIN(CASE WHEN cum >= (n.n + 1) // 2 THEN v END) AS median,
+       |  MIN(CASE WHEN cum >= (3 * n.n + 3) // 4 THEN v END) AS q3,
+       |  MIN(CASE WHEN cum >= (3 * n.n + 3) // 4 THEN v END)
+       |    - MIN(CASE WHEN cum >= (n.n + 3) // 4 THEN v END) AS iqr,
+       |  MAX(v) AS max_q
+       |FROM cum CROSS JOIN n GROUP BY 1, 2 ORDER BY pos""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pca_power" -> (qPcaPower(_, _)),
-    "q_pca_project" -> (qPcaProject(_, _)))
+    "q_pca_project" -> (qPcaProject(_, _)),
+    "q_feature_quantiles" -> (qFeatureQuantiles(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_pca_power" -> qPcaPowerSql,
-    "q_pca_project" -> qPcaProjectSql)
+    "q_pca_project" -> qPcaProjectSql,
+    "q_feature_quantiles" -> qFeatureQuantilesSql)
 }

@@ -78,6 +78,40 @@ class SpectralCuration3Spec extends SparkSuite {
     }
   }
 
+  test("q_feature_quantiles: ordered exact order-statistics per dimension") {
+    val rows = SpectralOps.qFeatureQuantiles(sc, sf001).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val Seq(n, mn, q1, med, q3, iqr, mx) = (1 to 7).map(r.getLong)
+      assert(n == 500)
+      assert(mn <= q1 && q1 <= med && med <= q3 && q3 <= mx)
+      assert(iqr == q3 - q1 && iqr >= 0)
+    }
+    // spot-check one dimension against a driver-side exact quantile
+    val vs = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .selectExpr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1048576) AS BIGINT) AS v")
+      .collect().map(_.getLong(0)).sorted
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(4) == vs((vs.length + 1) / 2 - 1), "median mismatch")
+    assert(r0.getLong(2) == vs.head && r0.getLong(7) == vs.last)
+  }
+
+  test("round-6 plan gates: no cartesian pair generation; PCA reduces map-side") {
+    // pair generation must stay equi-join-shaped (band signatures /
+    // df-windowed postings) — a CartesianProduct here means the 100 TB
+    // candidate bound silently vanished
+    Seq("dd_supershingle", "ta_tfidf_cosine").foreach { n =>
+      val p = SparkEntry.queries(n)(sc, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$n: ${p.take(800)}")
+    }
+    // the G·v pass must be a generate + partial-aggregated position
+    // sum (d keys), not any whole-relation reshuffle
+    val p = SparkEntry.queries("q_pca_power")(sc, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Generate posexplode"), p.take(800))
+    assert(p.contains("partial_sum"), p.take(800))
+  }
+
   test("ta_perplexity_bucket: thirds partition scored docs, ties share a bucket") {
     val rows = CurationOps3.taPerplexityBucket(sc, sf001).collect()
     val n = rows.length
