@@ -239,21 +239,30 @@ object CurationOps3 {
   /** Sparse tf-idf cosine similarity join via the inverted index — the
     * document-at-a-time sparse dot product IR engines run, and the
     * third classic near-dup signal next to shingle Jaccard and dense
-    * embedding cosine. The vocabulary is df-windowed to the
-    * [[TcDfMin]]..[[TcDfCap]] band (df=1 terms cannot produce a pair;
-    * df>cap terms are stopwords whose postings would fan out
-    * quadratically), which REDEFINES the similarity space CCNet-style:
-    * weights, norms and dots all live in the capped vocabulary.
-    * Per-term partial products are exact integers (weights quantized
-    * at 2^10), so the order-free groupBy sums are engine-exact; the
-    * final score does the only float math (two sqrt, two divides —
-    * identical single IEEE ops in the oracle). At 100 TB the term
-    * postings partition the pair work (the DAAT shape) and the df cap
-    * bounds every posting list's fan-out.
+    * embedding cosine. Features are word TRIGRAMS (phrase-level
+    * n-gram tf-idf — unigrams saturate on a small closed vocabulary:
+    * every unigram's df grows with the corpus until the window is
+    * empty, where trigram df stays Zipf-bounded), and the vocabulary
+    * is df-windowed to the [[TcDfMin]]..[[TcDfCap]] band (df=1 terms
+    * cannot produce a pair; df>cap terms are boilerplate phrases
+    * whose postings would fan out quadratically), which REDEFINES the
+    * similarity space CCNet-style: weights, norms and dots all live
+    * in the windowed vocabulary. Per-term partial products are exact
+    * integers (weights quantized at 2^10), so the order-free groupBy
+    * sums are engine-exact; the final score does the only float math
+    * (two sqrt, two divides — identical single IEEE ops in the
+    * oracle). At 100 TB the term postings partition the pair work
+    * (the DAAT shape) and the df cap bounds every posting list's
+    * fan-out.
     */
   def taTfidfCosine(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val toks = split(col("text"), " ")
+    val n3 = size(toks)
+    val terms = when(n3 < 3, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(1), n3 - 2), i => concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+    val tf = docs.select(col("doc_id"), explode(terms).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .cache() // df build + weight build read it
     val n = docs.agg(count(lit(1)).as("n"))
@@ -287,8 +296,11 @@ object CurationOps3 {
   private val taTfidfCosineSql =
     s"""WITH tf AS (
        |  SELECT doc_id, term, COUNT(*) AS tf
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-       |        FROM documents)
+       |  FROM (SELECT doc_id,
+       |          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS term
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+       |                unnest(range(1, len(string_split(text, ' ')) - 1)) AS i
+       |              FROM documents))
        |  GROUP BY 1, 2),
        |n AS (SELECT COUNT(*) AS n FROM documents),
        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term

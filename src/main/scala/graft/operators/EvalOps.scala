@@ -202,17 +202,154 @@ object EvalOps {
        |FROM u ORDER BY event_type""".stripMargin
   }
 
+  // ----------------------------------------------------- q_bootstrap_ci
+
+  private val BootB = 40           // bootstrap replicates
+  private val BootVQ = 1048576L    // 2^20 value quantizer
+  private val BootP = 2147483647L  // 2^31 - 1 (the minhash perm modulus)
+  /** Poisson(1) CDF cut points on the 31-bit affine-hash domain:
+    * replicate weight w = #thresholds below u, capped at 5
+    * (P(w>5) < 6e-4). Computed ONCE here and interpolated verbatim
+    * into the oracle SQL, so both engines binarize identical integers.
+    */
+  private val BootCuts: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    Seq(1.0, 2.0, 2.5, 8.0 / 3, 65.0 / 24)
+      .map(c => math.floor(c * e1 * BootP).toLong)
+  }
+  /** per-replicate uniform: ONE portable hash per row, fanned to
+    * [[BootB]] replicate draws by the seeded affine family over the
+    * Mersenne-31 modulus (the minhash-perm construction —
+    * `DedupOps.perms`): 40 md5s/row would dominate the query (2.1 s
+    * profiled), one md5 + 40 multiplies is 4× cheaper. The family is
+    * pairwise-independent, the documented fidelity tradeoff of a
+    * deterministic reproducible bootstrap.
+    */
+  private val bootUSql =
+    s"(h * ((1103515245 * (2 * CAST(r AS BIGINT) + 1) + 12345) % ${BootP - 1} + 1)" +
+      s" + ((1103515245 * (2 * CAST(r AS BIGINT) + 2) + 54321) % $BootP)) % $BootP"
+
+  /** Percentile-bootstrap confidence interval for the per-type mean of
+    * `value` — the uncertainty readout an experiment/eval pipeline
+    * attaches to every point estimate. Resampling is the POISSON
+    * bootstrap (the only bootstrap that works on a distributed scan:
+    * each row draws its per-replicate multiplicity independently, so
+    * no replicate ever needs the dataset's row count or a global
+    * shuffle): w(row, r) = Poisson(1) by inverse-CDF on the portable
+    * row×replicate hash — deterministic, reproducible, identical in
+    * the oracle. The ×[[BootB]] fan-out map-side-combines into
+    * (type, replicate) integer sums; replicate means are exact floor
+    * divisions; the CI is rank-based over the [[BootB]] replicate
+    * means per type (a bounded 40-row window, never corpus-sized)
+    * with ceil-rank cut points at 5%/95%.
+    */
+  def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .where(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * BootVQ.toDouble).cast(LongType).as("vq"))
+    val point = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("vq").as("svq"))
+      .selectExpr("event_type", "n",
+        "(svq - ((svq % n + n) % n)) DIV n AS mean_obs_q")
+    val wCol = when(col("u") < BootCuts(0), 0L)
+      .when(col("u") < BootCuts(1), 1L)
+      .when(col("u") < BootCuts(2), 2L)
+      .when(col("u") < BootCuts(3), 3L)
+      .when(col("u") < BootCuts(4), 4L)
+      .otherwise(5L)
+    val repMeans = ev
+      .withColumn("h", PortableHash.hash64(
+        concat(lit("boot:"), col("event_id").cast(StringType))) % BootP)
+      .select(col("h"), col("event_type"), col("vq"),
+        explode(sequence(lit(0), lit(BootB - 1))).as("r"))
+      .withColumn("u", expr(bootUSql))
+      .withColumn("w", wCol)
+      .groupBy("event_type", "r")
+      .agg(sum(col("w") * col("vq")).as("swv"), sum("w").as("sw"))
+      .where(col("sw") > 0)
+      .selectExpr("event_type", "r",
+        "(swv - ((swv % sw + sw) % sw)) DIV sw AS mean_q")
+    val ranked = repMeans.withColumn("rn",
+      row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("mean_q"), col("r"))))
+    val ci = ranked
+      .join(repMeans.groupBy("event_type").agg(count(lit(1)).as("n_reps")),
+        Seq("event_type"))
+      .withColumn("lo_rk", expr("(n_reps + 19) DIV 20"))
+      .withColumn("hi_rk", expr("n_reps + 1 - ((n_reps + 19) DIV 20)"))
+      .groupBy("event_type")
+      .agg(first("n_reps").as("n_reps"),
+        min(when(col("rn") === col("lo_rk"), col("mean_q"))).as("ci_lo_q"),
+        min(when(col("rn") === col("hi_rk"), col("mean_q"))).as("ci_hi_q"))
+    point.join(ci, Seq("event_type"))
+      .select("event_type", "n", "mean_obs_q", "n_reps", "ci_lo_q", "ci_hi_q")
+      .orderBy("event_type")
+  }
+
+  private val qBootstrapCiSql = {
+    val h = PortableHash.sql("'boot:' || CAST(event_id AS VARCHAR)")
+    s"""WITH ev AS (
+       |  SELECT event_id, event_type,
+       |    CAST(floor(value * $BootVQ.0) AS BIGINT) AS vq
+       |  FROM events WHERE value IS NOT NULL),
+       |pt AS (
+       |  SELECT event_type, COUNT(*) AS n, CAST(SUM(vq) AS BIGINT) AS svq
+       |  FROM ev GROUP BY event_type),
+       |point AS (SELECT event_type, n,
+       |            (svq - ((svq % n + n) % n)) // n AS mean_obs_q FROM pt),
+       |reps AS (
+       |  SELECT $h % $BootP AS h, event_type, vq,
+       |    unnest(range(0, $BootB)) AS r
+       |  FROM ev),
+       |us AS (SELECT event_type, r, vq, $bootUSql AS u FROM reps),
+       |ws AS (
+       |  SELECT event_type, r, vq,
+       |    CASE WHEN u < ${BootCuts(0)} THEN 0
+       |         WHEN u < ${BootCuts(1)} THEN 1
+       |         WHEN u < ${BootCuts(2)} THEN 2
+       |         WHEN u < ${BootCuts(3)} THEN 3
+       |         WHEN u < ${BootCuts(4)} THEN 4
+       |         ELSE 5 END AS w
+       |  FROM us),
+       |rm AS (
+       |  SELECT event_type, r, CAST(SUM(w * vq) AS BIGINT) AS swv,
+       |    CAST(SUM(w) AS BIGINT) AS sw
+       |  FROM ws GROUP BY 1, 2),
+       |means AS (
+       |  SELECT event_type, r,
+       |    (swv - ((swv % sw + sw) % sw)) // sw AS mean_q
+       |  FROM rm WHERE sw > 0),
+       |ranked AS (
+       |  SELECT event_type, r, mean_q,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY mean_q, r) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n_reps
+       |  FROM means),
+       |ci AS (
+       |  SELECT event_type, CAST(MIN(n_reps) AS BIGINT) AS n_reps,
+       |    MIN(CASE WHEN rn = (n_reps + 19) // 20 THEN mean_q END) AS ci_lo_q,
+       |    MIN(CASE WHEN rn = n_reps + 1 - ((n_reps + 19) // 20)
+       |             THEN mean_q END) AS ci_hi_q
+       |  FROM ranked GROUP BY event_type)
+       |SELECT p.event_type, p.n, p.mean_obs_q, ci.n_reps, ci.ci_lo_q, ci.ci_hi_q
+       |FROM point p JOIN ci USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_auc" -> (qAuc(_, _)),
     "q_calibration" -> (qCalibration(_, _)),
     "q_rfm" -> (qRfm(_, _)),
-    "q_dp_counts" -> (qDpCounts(_, _)))
+    "q_dp_counts" -> (qDpCounts(_, _)),
+    "q_bootstrap_ci" -> (qBootstrapCi(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_auc" -> qAucSql,
     "q_calibration" -> qCalibrationSql,
     "q_rfm" -> qRfmSql,
-    "q_dp_counts" -> qDpCountsSql)
+    "q_dp_counts" -> qDpCountsSql,
+    "q_bootstrap_ci" -> qBootstrapCiSql)
 }

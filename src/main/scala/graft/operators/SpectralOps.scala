@@ -124,9 +124,18 @@ object SpectralOps {
   /** The shared unrolled-CTE prefix: quantized vectors + `iters`
     * power-iteration rounds, ending at CTE `v<iters>`. Each round is
     * the mirror of the Spark loop: dot per vector against v{t-1},
-    * rescale, per-pos sums, L∞ renormalize.
+    * rescale, per-pos sums, L∞ renormalize. Every CTE is
+    * MATERIALIZED: DuckDB otherwise re-inlines each reference, and
+    * the deflation oracle references the v-chain from every w-round —
+    * inlined it re-evaluates the whole tree per reference (measured
+    * >120 s vs 0.12 s materialized at sf0.01).
     */
-  private def pcaCtes(iters: Int): String = {
+  private def pcaCtes(iters: Int): String = mtlz(pcaCtesRaw(iters))
+
+  private def mtlz(sql: String): String =
+    sql.replace("AS (", "AS MATERIALIZED (")
+
+  private def pcaCtesRaw(iters: Int): String = {
     val q = PcaQ.toString
     def round(t: Int): String = {
       val vp = if (t == 1) "v0" else s"v${t - 1}"
@@ -165,6 +174,98 @@ object SpectralOps {
        |  round(CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_p
        |FROM ps GROUP BY label ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------- q_pca_deflate
+
+  /** exact floor division on driver-side model state — the same
+    * semantics as the fdiv SQL (divisor always positive here).
+    */
+  private def fdivL(a: Long, c: Long): Long = Math.floorDiv(a, c)
+
+  private def renormL(s: Array[Long]): Array[Long] = {
+    val ms = fdivL(s.map(math.abs).max, PcaQ) + 1
+    s.map(fdivL(_, ms))
+  }
+
+  /** Second principal direction by DEFLATED power iteration: iterate
+    * G·w as in [[qPcaPower]], but after each round's L∞ renorm,
+    * subtract the component along the (already converged) top
+    * direction v1 and renorm again — Hotelling deflation, the step
+    * that turns one-direction power iteration into top-k PCA /
+    * whitening. The projection coefficient is computed at bounded
+    * fixed-point scale (proj / (v1·v1 rescaled)) so every integer in
+    * the chain stays under 2^47 regardless of corpus size; rounds 1-2
+    * orthogonalize on O(d) driver model state, the final round's
+    * renorm-orthogonalize-renorm chain stays declarative (1-row
+    * aggregate cross-joins). Output: (pos, v1_q, v2_q), bit-identical
+    * to the doubly-unrolled CTE oracle; the spec pins near-
+    * orthogonality of the two directions.
+    */
+  def qPcaDeflate(s: SparkSession, dir: String): DataFrame = {
+    val xq = quantized(s, dir)
+    val v1 = iterate(xq, PcaIters)
+    val n1 = v1.map(v => v * v).sum
+    val ms1 = fdivL(n1, PcaQ) + 1
+    def orthL(w: Array[Long]): Array[Long] = {
+      val c = fdivL(w.zip(v1).map { case (a, b) => a * b }.sum, ms1)
+      w.zip(v1).map { case (a, b) => a - fdivL(c * b, PcaQ) }
+    }
+    var w = Array.fill(PcaDim)(PcaQ)
+    for (_ <- 1 until PcaIters) {
+      val sArr = sums(xq, w).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      w = renormL(orthL(renormL(
+        Array.tabulate(PcaDim)(i => sArr(i)))))
+    }
+    // final round, declarative: renorm → orthogonalize vs broadcast v1
+    // → renorm, all via 1-row-aggregate cross-joins
+    val v1df = s.range(1).select(
+      posexplode(array(v1.map(lit(_)): _*)).as(Seq("pos", "v1")))
+      .selectExpr("CAST(pos AS BIGINT) AS pos", "v1")
+    val rn = renorm(sums(xq, w)).join(broadcast(v1df), "pos")
+    val c = rn.agg(sum(col("v_q") * col("v1")).as("proj"))
+      .selectExpr(s"${fdiv("proj", ms1.toString)} AS c")
+    val orth = rn.crossJoin(broadcast(c))
+      .selectExpr("pos", "v1",
+        s"v_q - ${fdiv("c * v1", PcaQ.toString)} AS v2r")
+    val ms2 = orth.agg(max(abs(col("v2r"))).as("m2"))
+      .selectExpr(s"${fdiv("m2", PcaQ.toString)} + 1 AS ms2")
+    orth.crossJoin(broadcast(ms2))
+      .selectExpr("pos", "v1 AS v1_q", s"${fdiv("v2r", "ms2")} AS v2_q")
+      .orderBy("pos")
+  }
+
+  private val qPcaDeflateSql: String = {
+    val q = PcaQ.toString
+    def wround(t: Int): String = {
+      val wp = if (t == 1) "w0" else s"w${t - 1}"
+      s"""wd$t AS (SELECT vec_id, CAST(SUM(x * v) AS BIGINT) AS dot
+         |  FROM xq JOIN $wp USING (pos) GROUP BY vec_id),
+         |wds$t AS (SELECT vec_id, ${fdSql("dot", q)} AS dots FROM wd$t),
+         |wsm$t AS (SELECT pos, CAST(SUM(x * dots) AS BIGINT) AS s
+         |  FROM xq JOIN wds$t USING (vec_id) GROUP BY pos),
+         |wmm$t AS (SELECT ${fdSql("MAX(ABS(s))", q)} + 1 AS ms FROM wsm$t),
+         |wr$t AS (SELECT pos, ${fdSql("s", "ms")} AS v FROM wsm$t, wmm$t),
+         |wp$t AS (SELECT CAST(SUM(wr$t.v * v$PcaIters.v) AS BIGINT) AS proj
+         |  FROM wr$t JOIN v$PcaIters USING (pos)),
+         |wcc$t AS (SELECT ${fdSql("proj", "ms1")} AS c FROM wp$t, n1x),
+         |wo$t AS (SELECT wr$t.pos, wr$t.v - ${fdSql(s"c * v$PcaIters.v", q)} AS v
+         |  FROM wr$t JOIN v$PcaIters ON wr$t.pos = v$PcaIters.pos
+         |  CROSS JOIN wcc$t),
+         |wm2$t AS (SELECT ${fdSql("MAX(ABS(v))", q)} + 1 AS ms FROM wo$t),
+         |w$t AS (SELECT pos, ${fdSql("v", "ms")} AS v FROM wo$t, wm2$t)""".stripMargin
+    }
+    s"""${pcaCtes(PcaIters)},
+       |${mtlz(s"""n1x AS (SELECT ${fdSql(s"CAST(SUM(v * v) AS BIGINT)", q)} + 1 AS ms1
+       |        FROM v$PcaIters),
+       |w0 AS (SELECT pos, CAST($q AS BIGINT) AS v
+       |       FROM range(0, $PcaDim) t(pos)),
+       |${(1 to PcaIters).map(wround).mkString(",\n")}""".stripMargin)}
+       |SELECT CAST(v$PcaIters.pos AS BIGINT) AS pos,
+       |  v$PcaIters.v AS v1_q, w$PcaIters.v AS v2_q
+       |FROM v$PcaIters JOIN w$PcaIters ON v$PcaIters.pos = w$PcaIters.pos
+       |ORDER BY pos""".stripMargin
+  }
 
   // ------------------------------------------------------ q_feature_quantiles
 
@@ -228,10 +329,12 @@ object SpectralOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pca_power" -> (qPcaPower(_, _)),
     "q_pca_project" -> (qPcaProject(_, _)),
+    "q_pca_deflate" -> (qPcaDeflate(_, _)),
     "q_feature_quantiles" -> (qFeatureQuantiles(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_pca_power" -> qPcaPowerSql,
     "q_pca_project" -> qPcaProjectSql,
+    "q_pca_deflate" -> qPcaDeflateSql,
     "q_feature_quantiles" -> qFeatureQuantilesSql)
 }

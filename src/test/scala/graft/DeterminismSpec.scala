@@ -56,7 +56,14 @@ class DeterminismSpec extends SparkSuite {
     // labeling, entropy quantization
     "mm_clip_filter", "q_forecast_snaive", "ta_cluster_topics", "q_data_card",
     // round-11d: regexp-ratio scoring, span-mask set algebra
-    "ta_code_detect", "q_span_corrupt")
+    "ta_code_detect", "q_span_corrupt",
+    // round-6 second session: fixed-point power iteration (integer
+    // G·v reductions + exact floor-div renorm), band-signature
+    // sums/xors, value-histogram rank cuts, quantized sparse dots
+    "q_pca_power", "q_pca_project", "q_pca_deflate", "q_feature_quantiles",
+    "dd_supershingle", "ta_perplexity_bucket", "ta_tfidf_cosine",
+    // Poisson-bootstrap hash weights + rank-cut intervals
+    "q_bootstrap_ci")
 
   test("results are identical under different shuffle partitionings") {
     val conf = spark.conf

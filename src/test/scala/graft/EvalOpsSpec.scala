@@ -68,4 +68,25 @@ class EvalOpsSpec extends SparkSuite {
       assert(r.getDouble(2) == 1.0)
     }
   }
+
+  test("q_bootstrap_ci: intervals bracket the point estimate, replicates complete") {
+    val rows = EvalOps.qBootstrapCi(sc, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (n, mean, reps, lo, hi) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n > 0)
+      // every replicate kept (Poisson(1) over thousands of rows cannot
+      // sum to zero weight)
+      assert(reps == 40L, s"${r.getString(0)}: $reps replicates")
+      assert(lo <= hi)
+      // the 90% percentile interval brackets the observed mean at this
+      // sample size
+      assert(lo <= mean && mean <= hi,
+        s"${r.getString(0)}: CI [$lo, $hi] misses mean $mean")
+      // interval is non-degenerate but tight relative to the mean's
+      // scale (resampling noise, not data spread)
+      assert(hi - lo > 0 && hi - lo < math.max(1L, math.abs(mean)))
+    }
+  }
 }

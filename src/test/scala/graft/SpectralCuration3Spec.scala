@@ -78,6 +78,19 @@ class SpectralCuration3Spec extends SparkSuite {
     }
   }
 
+  test("q_pca_deflate: second direction is near-orthogonal to the first and dominant off-axis") {
+    val rows = SpectralOps.qPcaDeflate(sc, sf001).collect()
+    assert(rows.length == 64)
+    val v1 = rows.map(_.getLong(1).toDouble)
+    val v2 = rows.map(_.getLong(2).toDouble)
+    def nrm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    assert(nrm(v2) > 0, "second direction collapsed")
+    val cos = v1.zip(v2).map { case (a, b) => a * b }.sum / (nrm(v1) * nrm(v2))
+    // Hotelling deflation drives the v1 component out; the residual
+    // cosine is fixed-point noise
+    assert(math.abs(cos) < 0.05, s"|cos(v1,v2)| = ${math.abs(cos)}")
+  }
+
   test("q_feature_quantiles: ordered exact order-statistics per dimension") {
     val rows = SpectralOps.qFeatureQuantiles(sc, sf001).collect()
     assert(rows.length == 64)
