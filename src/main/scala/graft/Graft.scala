@@ -52,6 +52,7 @@ object Graft {
     def noveltyReport(s: SparkSession, dir: String): DataFrame = operators.TrainingOps.taNovelty(s, dir)
     def bpeTrain(s: SparkSession, dir: String): DataFrame = operators.TokenizerOps.taBpeTrain(s, dir)
     def featureHash(s: SparkSession, dir: String): DataFrame = operators.TokenizerOps.qFeatureHash(s, dir)
+    def perplexityBuckets(s: SparkSession, dir: String): DataFrame = operators.CurationOps3.taPerplexityBucket(s, dir)
   }
 
   /** Deduplication tiers: exact → sketch-candidates → verified pairs →
@@ -70,6 +71,8 @@ object Graft {
     def incremental(s: SparkSession, dir: String): DataFrame = operators.DedupOps.ddIncremental(s, dir)
     def embedCosinePairs(s: SparkSession, dir: String): DataFrame = operators.DedupOps.ddEmbedCosine(s, dir)
     def urlCanonical(s: SparkSession, dir: String): DataFrame = operators.CurationOps2.ddUrlDedup(s, dir)
+    def supershinglePairs(s: SparkSession, dir: String): DataFrame = operators.CurationOps3.ddSupershingle(s, dir)
+    def tfidfCosinePairs(s: SparkSession, dir: String): DataFrame = operators.CurationOps3.taTfidfCosine(s, dir)
   }
 
   /** Similarity search over an embeddings table. */
@@ -151,6 +154,11 @@ object Graft {
     def clusterTopics(s: SparkSession, dir: String): DataFrame = operators.TopicOps.taClusterTopics(s, dir)
     def codeDetect(s: SparkSession, dir: String): DataFrame = operators.CorpusPrepOps.taCodeDetect(s, dir)
     def spanCorrupt(s: SparkSession, dir: String): DataFrame = operators.CorpusPrepOps.qSpanCorrupt(s, dir)
+    def pcaTopDirection(s: SparkSession, dir: String): DataFrame = operators.SpectralOps.qPcaPower(s, dir)
+    def pcaSecondDirection(s: SparkSession, dir: String): DataFrame = operators.SpectralOps.qPcaDeflate(s, dir)
+    def pcaProjectionByLabel(s: SparkSession, dir: String): DataFrame = operators.SpectralOps.qPcaProject(s, dir)
+    def featureQuantiles(s: SparkSession, dir: String): DataFrame = operators.SpectralOps.qFeatureQuantiles(s, dir)
+    def bootstrapCi(s: SparkSession, dir: String): DataFrame = operators.EvalOps.qBootstrapCi(s, dir)
   }
 
   /** Multimodal (binary-column) operators. */

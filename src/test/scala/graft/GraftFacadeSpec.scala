@@ -13,5 +13,10 @@ class GraftFacadeSpec extends SparkSuite {
     assert(Graft.training.trainValTestSplit(sc, sfDir).count() == 3)
     assert(Graft.ops.profile(sc, sfDir).count() == 5)
     assert(Graft.mining.skyline(sc, sfDir).count() > 0)
+    assert(Graft.ml.pcaTopDirection(sc, sfDir).count() == 64)
+    assert(Graft.ml.featureQuantiles(sc, sfDir).count() == 64)
+    assert(Graft.ml.bootstrapCi(sc, sfDir).count() == 5)
+    assert(Graft.text.perplexityBuckets(sc, sfDir).count() > 0)
+    assert(Graft.dedup.supershinglePairs(sc, sfDir).count() > 0)
   }
 }
