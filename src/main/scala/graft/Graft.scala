@@ -159,6 +159,8 @@ object Graft {
     def pcaProjectionByLabel(s: SparkSession, dir: String): DataFrame = operators.SpectralOps.qPcaProject(s, dir)
     def featureQuantiles(s: SparkSession, dir: String): DataFrame = operators.SpectralOps.qFeatureQuantiles(s, dir)
     def bootstrapCi(s: SparkSession, dir: String): DataFrame = operators.EvalOps.qBootstrapCi(s, dir)
+    def mutualInformation(s: SparkSession, dir: String): DataFrame = operators.MlOps2.qMutualInformation(s, dir)
+    def ksTest(s: SparkSession, dir: String): DataFrame = operators.EvalOps.taKsTest(s, dir)
   }
 
   /** Multimodal (binary-column) operators. */

@@ -337,6 +337,72 @@ object EvalOps {
        |ORDER BY event_type""".stripMargin
   }
 
+  // --------------------------------------------------------- ta_ks_test
+
+  /** Two-sample Kolmogorov–Smirnov statistic of every source's
+    * document-length distribution against the whole corpus — the
+    * nonparametric drift test (is this source's length profile the
+    * corpus's?) next to q_ab_test's parametric readout. The ECDF
+    * comparison stays EXACT: D's argmax is computed over the integer
+    * cross-products |cum_s·N − cum·n_s| (no per-point division, so no
+    * float ordering), and only the reported statistic divides once.
+    * Everything runs on VALUE-level relations — per-(source, length)
+    * counts, the source×distinct-length grid, and per-source
+    * cumulative windows over distinct lengths — so at 100 TB the
+    * windows never see a corpus-sized row set (the
+    * q_feature_quantiles shape).
+    */
+  def taKsTest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("source"), col("n_chars").as("v"))
+    val hist = docs.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val sv = hist.select("source").distinct()
+      .crossJoin(docs.select("v").distinct())
+      .join(hist, Seq("source", "v"), "left")
+      .na.fill(0L, Seq("c"))
+    val cumS = sv.withColumn("cum_s",
+      sum("c").over(Window.partitionBy("source").orderBy("v")))
+    val cumG = docs.groupBy("v").agg(count(lit(1)).as("cg"))
+      .withColumn("cum", sum("cg").over(Window.orderBy("v")))
+    val ns = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    cumS.join(cumG.select("v", "cum"), Seq("v"))
+      .join(ns, Seq("source")).crossJoin(broadcast(n))
+      .select(col("source"), col("n_s"), col("n"),
+        abs(col("cum_s") * col("n") - col("cum") * col("n_s")).as("d"))
+      .groupBy("source")
+      .agg(first("n_s").as("n_s"), max("d").as("d_num"), first("n").as("nn"))
+      .select(col("source"), col("n_s"), col("d_num"),
+        round(col("d_num").cast(DoubleType) /
+          (col("n_s").cast(DoubleType) * col("nn")), 6).as("ks"))
+      .orderBy("source")
+  }
+
+  private val taKsTestSql =
+    """WITH d AS (SELECT source, n_chars AS v FROM documents),
+      |hist AS (SELECT source, v, COUNT(*) AS c FROM d GROUP BY 1, 2),
+      |sv AS (
+      |  SELECT s.source, vv.v, COALESCE(h.c, 0) AS c
+      |  FROM (SELECT DISTINCT source FROM hist) s
+      |  CROSS JOIN (SELECT DISTINCT v FROM d) vv
+      |  LEFT JOIN hist h ON h.source = s.source AND h.v = vv.v),
+      |cs AS (SELECT source, v,
+      |         CAST(SUM(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum_s
+      |       FROM sv),
+      |cg AS (SELECT v, CAST(SUM(cg) OVER (ORDER BY v) AS BIGINT) AS cum
+      |       FROM (SELECT v, COUNT(*) AS cg FROM d GROUP BY v)),
+      |ns AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY source),
+      |nn AS (SELECT COUNT(*) AS n FROM d),
+      |diffs AS (
+      |  SELECT cs.source, ns.n_s, nn.n,
+      |    ABS(cs.cum_s * nn.n - cg.cum * ns.n_s) AS dd
+      |  FROM cs JOIN cg USING (v) JOIN ns USING (source) CROSS JOIN nn)
+      |SELECT source, CAST(MIN(n_s) AS BIGINT) AS n_s,
+      |  CAST(MAX(dd) AS BIGINT) AS d_num,
+      |  round(CAST(MAX(dd) AS DOUBLE) /
+      |    (CAST(MIN(n_s) AS DOUBLE) * MIN(n)), 6) AS ks
+      |FROM diffs GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -344,12 +410,14 @@ object EvalOps {
     "q_calibration" -> (qCalibration(_, _)),
     "q_rfm" -> (qRfm(_, _)),
     "q_dp_counts" -> (qDpCounts(_, _)),
-    "q_bootstrap_ci" -> (qBootstrapCi(_, _)))
+    "q_bootstrap_ci" -> (qBootstrapCi(_, _)),
+    "ta_ks_test" -> (taKsTest(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_auc" -> qAucSql,
     "q_calibration" -> qCalibrationSql,
     "q_rfm" -> qRfmSql,
     "q_dp_counts" -> qDpCountsSql,
-    "q_bootstrap_ci" -> qBootstrapCiSql)
+    "q_bootstrap_ci" -> qBootstrapCiSql,
+    "ta_ks_test" -> taKsTestSql)
 }

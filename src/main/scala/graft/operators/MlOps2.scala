@@ -211,15 +211,91 @@ object MlOps2 {
        |FROM pk JOIN tr ON pk.event_type = tr.event_type
        |ORDER BY pk.event_type""".stripMargin
 
+  // ------------------------------------------------- q_mutual_information
+
+  private val MiQ = 1073741824L // 2^30 quantizer for the log terms
+  private val MiVQ = 1048576L   // 2^20 coordinate quantizer (the profile's)
+
+  /** Mutual information I(bin(x_d); label) per embedding dimension —
+    * the filter-method feature selector (which coordinates carry label
+    * signal) run fully in-engine. Each coordinate discretizes into 4
+    * fixed bins at ±2^18 around zero (fixed thresholds, not data-
+    * dependent — exact and one pass); the (dim, bin, label)
+    * contingency counts map-side-combine, and
+    * I = Σ n_bl·ln(n_bl·N / (n_b·n_l)) / N accumulates as the usual
+    * quantized-log integer sum, reported as mi_q = Σ n_bl·q(term)
+    * (the N division left to the reader keeps the output integer-
+    * exact). The relation after the first aggregate is
+    * |dims|·|bins|·|labels| — corpus-size-independent; a rank orders
+    * dims by score with a declared tiebreak.
+    */
+  def qMutualInformation(s: SparkSession, dir: String): DataFrame = {
+    val half = MiVQ / 4 // 2^18 bin edge
+    val xq = Tables(s, dir, "embeddings")
+      .select(col("label"), posexplode(transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * MiVQ.toDouble).cast(LongType)))
+        .as(Seq("pos", "v")))
+      .select(col("label"), col("pos"),
+        when(col("v") < -half, 0).when(col("v") < 0, 1)
+          .when(col("v") < half, 2).otherwise(3).as("bin"))
+    val nbl = xq.groupBy("pos", "bin", "label").agg(count(lit(1)).as("n_bl"))
+    val nb = nbl.groupBy("pos", "bin").agg(sum("n_bl").as("n_b"))
+    val nl = nbl.groupBy("pos", "label").agg(sum("n_bl").as("n_l"))
+    val n = nbl.groupBy("pos").agg(sum("n_bl").as("n"))
+    val mi = nbl.join(nb, Seq("pos", "bin")).join(nl, Seq("pos", "label"))
+      .join(n, Seq("pos"))
+      .select(col("pos"),
+        (col("n_bl") * floor(round(
+          log(col("n_bl").cast(DoubleType) * col("n") /
+            (col("n_b").cast(DoubleType) * col("n_l"))), 6) * MiQ.toDouble)
+          .cast(LongType)).as("term"))
+      .groupBy("pos").agg(sum("term").as("mi_q"))
+    mi.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("mi_q").desc, col("pos"))).cast(LongType))
+      .select(col("pos").cast(LongType).as("pos"), col("mi_q"), col("rank"))
+      .orderBy("pos")
+  }
+
+  private val qMutualInformationSql =
+    s"""WITH xq AS (
+       |  SELECT label, i - 1 AS pos,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $MiVQ) AS BIGINT) AS v
+       |  FROM (SELECT label, embedding,
+       |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+       |b AS (SELECT label, pos,
+       |        CASE WHEN v < ${-MiVQ / 4} THEN 0 WHEN v < 0 THEN 1
+       |             WHEN v < ${MiVQ / 4} THEN 2 ELSE 3 END AS bin
+       |      FROM xq),
+       |nbl AS (SELECT pos, bin, label, COUNT(*) AS n_bl FROM b GROUP BY 1, 2, 3),
+       |nb AS (SELECT pos, bin, CAST(SUM(n_bl) AS BIGINT) AS n_b
+       |       FROM nbl GROUP BY 1, 2),
+       |nl AS (SELECT pos, label, CAST(SUM(n_bl) AS BIGINT) AS n_l
+       |       FROM nbl GROUP BY 1, 2),
+       |nn AS (SELECT pos, CAST(SUM(n_bl) AS BIGINT) AS n FROM nbl GROUP BY 1),
+       |mi AS (
+       |  SELECT nbl.pos, CAST(SUM(n_bl *
+       |    CAST(floor(round(ln(CAST(n_bl AS DOUBLE) * n /
+       |      (CAST(n_b AS DOUBLE) * n_l)), 6) * $MiQ.0) AS BIGINT))
+       |    AS BIGINT) AS mi_q
+       |  FROM nbl JOIN nb USING (pos, bin) JOIN nl USING (pos, label)
+       |  JOIN nn USING (pos)
+       |  GROUP BY 1)
+       |SELECT CAST(pos AS BIGINT) AS pos, mi_q,
+       |  row_number() OVER (ORDER BY mi_q DESC, pos) AS rank
+       |FROM mi ORDER BY pos""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ucb_bandit" -> (qUcbBandit(_, _)),
     "q_als_step" -> (qAlsStep(_, _)),
-    "q_seasonal_profile" -> (qSeasonalProfile(_, _)))
+    "q_seasonal_profile" -> (qSeasonalProfile(_, _)),
+    "q_mutual_information" -> (qMutualInformation(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_ucb_bandit" -> qUcbBanditSql,
     "q_als_step" -> qAlsStepSql,
-    "q_seasonal_profile" -> qSeasonalProfileSql)
+    "q_seasonal_profile" -> qSeasonalProfileSql,
+    "q_mutual_information" -> qMutualInformationSql)
 }

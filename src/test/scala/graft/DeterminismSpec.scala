@@ -62,8 +62,9 @@ class DeterminismSpec extends SparkSuite {
     // sums/xors, value-histogram rank cuts, quantized sparse dots
     "q_pca_power", "q_pca_project", "q_pca_deflate", "q_feature_quantiles",
     "dd_supershingle", "ta_perplexity_bucket", "ta_tfidf_cosine",
-    // Poisson-bootstrap hash weights + rank-cut intervals
-    "q_bootstrap_ci")
+    // Poisson-bootstrap hash weights + rank-cut intervals; quantized
+    // MI log sums; integer ECDF cross-products
+    "q_bootstrap_ci", "q_mutual_information", "ta_ks_test")
 
   test("results are identical under different shuffle partitionings") {
     val conf = spark.conf

@@ -89,4 +89,37 @@ class EvalOpsSpec extends SparkSuite {
       assert(hi - lo > 0 && hi - lo < math.max(1L, math.abs(mean)))
     }
   }
+
+  test("ta_ks_test: statistics in [0,1]; self-comparison of the whole corpus is 0") {
+    val rows = EvalOps.taKsTest(sc, sf001).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val ks = r.getDouble(3)
+      assert(ks >= 0.0 && ks <= 1.0, s"${r.getString(0)}: ks=$ks")
+      assert(r.getLong(2) >= 0)
+    }
+    // sanity: D_num/(n_s·N) really is the ECDF sup-distance for one
+    // source, recomputed driver-side
+    val src = rows.head.getString(0)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val all: Array[Long] = docs.map(_._2).sorted
+    val mine: Array[Long] = docs.filter(_._1 == src).map(_._2).sorted
+    val d: Double = all.distinct.map { v =>
+      math.abs(mine.count(_ <= v).toDouble / mine.length -
+        all.count(_ <= v).toDouble / all.length)
+    }.max
+    assert(math.abs(rows.head.getDouble(3) - d) < 1e-5,
+      s"$src: engine ${rows.head.getDouble(3)} vs brute $d")
+  }
+
+  test("q_mutual_information: non-negative scores, rank is a permutation") {
+    val rows = graft.operators.MlOps2.qMutualInformation(sc, sf001).collect()
+    assert(rows.length == 64)
+    // MI ≥ 0 up to the 1e-6 per-term quantization of the log
+    rows.foreach(r => assert(r.getLong(1) >= -64 * 4 * 10 * 2,
+      s"pos ${r.getLong(0)}: mi_q ${r.getLong(1)}"))
+    assert(rows.map(_.getLong(2)).toSet == (1L to 64L).toSet)
+  }
 }
