@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -16,33 +16,108 @@ import graft.sources.Tables
   */
 object EvalOps {
 
+  // ------------------------------------------------- two-phase rank kit
+
+  /** Global row_number over (bucket, ord...) order WITHOUT a global
+    * single-partition window: per-bucket counts, a cumulative-offset
+    * window over the DISTINCT buckets only (bounded by the bucket
+    * domain, never the row count), and a row_number partitioned by
+    * bucket. `bktOrd` must order buckets consistently with the row
+    * order's leading component (asc or desc).
+    */
+  private def rnBucketed(df: DataFrame, bkt: Column, bktOrd: Column,
+      ord: Seq[Column]): DataFrame = {
+    val base = df.withColumn("_b", bkt)
+    val offs = base.groupBy("_b").agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(sum("_c").over(
+        Window.orderBy(bktOrd).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("_b", "_off")
+    base.join(offs, Seq("_b"))
+      .withColumn("rn", col("_off") +
+        row_number().over(Window.partitionBy("_b").orderBy(ord: _*)))
+      .drop("_b", "_off")
+  }
+
+  /** Global row_number over (key, id) total order for a BOUNDED-domain
+    * key (score histogram values, day counts, order frequencies) and a
+    * monotone integer id, with no corpus-sized window anywhere: the id
+    * is coarsened to `id >> idShift` sub-buckets that nest inside each
+    * key value, offsets come from two bounded cumulative windows (over
+    * distinct keys; over sub-buckets within a key), and row_number runs
+    * per (key, sub-bucket) cell. idShift trades sub-bucket count
+    * against cell population and scales with the id range (a deploy
+    * knob, fixed here for the oracle).
+    */
+  private def rnValueId(df: DataFrame, key: Column, keyAsc: Boolean,
+      id: Column, idShift: Int): DataFrame = {
+    val kOrd = if (keyAsc) asc("_k") else desc("_k")
+    val base = df.withColumn("_k", key).withColumn("_i", id)
+      .withColumn("_ib", shiftright(col("_i"), idShift))
+    val grid = base.groupBy("_k", "_ib").agg(count(lit(1)).as("_c"))
+    val koff = grid.groupBy("_k").agg(sum("_c").as("_ck"))
+      .withColumn("_koff", coalesce(sum("_ck").over(
+        Window.orderBy(kOrd).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("_k", "_koff")
+    val offs = grid
+      .withColumn("_ioff", coalesce(sum("_c").over(
+        Window.partitionBy("_k").orderBy(asc("_ib"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(koff, Seq("_k"))
+      .select(col("_k"), col("_ib"), (col("_koff") + col("_ioff")).as("_off"))
+    base.join(offs, Seq("_k", "_ib"))
+      .withColumn("rn", col("_off") +
+        row_number().over(Window.partitionBy("_k", "_ib").orderBy(asc("_i"))))
+      .drop("_k", "_i", "_ib", "_off")
+  }
+
+  /** SQL-standard ntile(n) bin from a 1-based global row_number `rn`
+    * and the total row count `nTot`: the first (N % n) bins take
+    * ceil(N/n) rows, the rest floor(N/n) — exactly the bucket layout
+    * ntile() produces over the same total order, so results are
+    * bit-identical to the window function without its single-partition
+    * sort. (When N < n the else-branch is unreachable: cut = N.)
+    */
+  private def ntileBin(n: Int, rn: Column, nTot: Column): Column = {
+    def idiv(a: Column, b: Column) = call_function("div", a, b) // exact IntegralDivide
+    val q = idiv(nTot.cast(LongType), lit(n.toLong))
+    val r = nTot.cast(LongType) % n
+    val cut = r * (q + 1)
+    when(rn <= cut, idiv(rn - 1, q + 1) + 1)
+      .otherwise(r + idiv(rn - cut - 1, q) + 1)
+  }
+
   // ------------------------------------------------------------- q_auc
 
   /** Exact ROC-AUC of a score against a binary label (here: document
     * length scoring "is English") via the rank-sum (Mann-Whitney U)
     * identity with tie correction: AUC = (2·Σ avgrank⁺ − n⁺(n⁺+1)) /
     * (2·n⁺·n⁻), where avgrank is the average rank of a tied score
-    * group. Everything up to the final division is INTEGER arithmetic
-    * (2·avgrank = min_rank + max_rank is always integral), so the AUC
-    * double is one exact IEEE division — no sampling, no approximation,
-    * and the only shuffle is the global rank sort, which at 100 TB is
-    * the same range-partitioned sort every global ranking pays (or is
-    * replaced by the two-phase q_global_shuffle rank pattern).
+    * group. Ranks are NEVER materialized per row: the corpus collapses
+    * to the per-distinct-score histogram (cnt, pos) in one map-side-
+    * combinable pass, the tie group spanning ranks [rmin, rmin+cnt-1]
+    * has rmin = cum_cnt − cnt + 1, so 2·avgrank = 2·cum_cnt − cnt + 1,
+    * and Σ avgrank⁺ = Σ_scores pos·avgrank — all from one cumulative
+    * window over DISTINCT scores (bounded by the score domain, not the
+    * corpus). Everything up to the final division is INTEGER arithmetic
+    * so the AUC double is one exact IEEE division. Row-count bound: the
+    * rank-sum terms grow as pos·2N, so int64 is exact to ~2^31 rows —
+    * beyond that, shift to per-score 128-bit decimal sums.
     */
   def qAuc(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents").select(
       col("n_chars").as("score"),
       when(col("lang") === "en", 1L).otherwise(0L).as("y"))
-    val w = Window.orderBy("score")
-    val ranked = d
-      .withColumn("rmin", rank().over(w).cast(LongType))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("score")))
-      // 2·avgrank of a tie group spanning ranks [rmin, rmin+cnt-1]
-      .withColumn("r2", lit(2) * col("rmin") + col("cnt") - lit(1))
-    ranked.agg(
-        sum(when(col("y") === 1, col("r2")).otherwise(0L)).as("r2pos"),
-        sum(col("y")).as("npos"),
-        sum(lit(1L) - col("y")).as("nneg"))
+    val hist = d.groupBy("score")
+      .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+    val cum = hist.withColumn("cumt",
+      sum("cnt").over(Window.orderBy("score")))
+    // 2·avgrank of the tie group at this score = 2·cumt − cnt + 1
+    cum.agg(
+        sum(col("pos") * (lit(2) * col("cumt") - col("cnt") + 1)).as("r2pos"),
+        sum(col("pos")).as("npos"),
+        sum(col("cnt") - col("pos")).as("nneg"))
       .select(col("npos"), col("nneg"),
         ((col("r2pos") - col("npos") * (col("npos") + 1)).cast(DoubleType) /
           (lit(2.0) * col("npos").cast(DoubleType) * col("nneg").cast(DoubleType)))
@@ -76,16 +151,21 @@ object EvalOps {
   /** Probability-calibration (reliability) bins: decile-bucket the
     * score, report per-bin observed positive rate vs mean score — the
     * standard diagnostic before trusting a quality classifier's
-    * probabilities to gate a corpus. Deciles come from ntile over a
-    * total order (score, doc_id), so bins are deterministic; per-bin
-    * stats are integer counts and one exact division each.
+    * probabilities to gate a corpus. Deciles are deterministic over the
+    * total order (score, doc_id) and BIT-IDENTICAL to ntile(10), but no
+    * ntile window runs: the global row_number comes from [[rnValueId]]
+    * (bounded histogram offsets + per-cell row_number — nothing
+    * corpus-sized enters one partition) and the bin from the
+    * SQL-standard bucket arithmetic in [[ntileBin]].
     */
   def qCalibration(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents").select(
       col("doc_id"), col("n_chars").as("score"),
       when(col("lang") === "en", 1L).otherwise(0L).as("y"))
-    d.withColumn("bin",
-        ntile(CalBins).over(Window.orderBy("score", "doc_id")).cast(LongType))
+    val nTot = d.agg(count(lit(1)).as("_N"))
+    rnValueId(d, col("score"), keyAsc = true, col("doc_id"), idShift = 8)
+      .crossJoin(broadcast(nTot))
+      .withColumn("bin", ntileBin(CalBins, col("rn"), col("_N")))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
         sum("score").as("score_sum"))
@@ -116,9 +196,17 @@ object EvalOps {
   /** RFM segmentation: per customer recency (days since last order,
     * against the corpus max date), frequency (order count) and
     * monetary (exact decimal revenue), each quintile-scored over a
-    * total order, then segment-level population and revenue. Two
-    * aggregates and three window ranks over the CUSTOMER-sized
-    * relation — the corpus-sized pass is the first groupBy only.
+    * total order, then segment-level population and revenue. The
+    * customer relation GROWS with the data, so none of the three
+    * quintile ranks may run as a global window: recency (day domain)
+    * and frequency (order-count domain) rank via [[rnValueId]] over
+    * their bounded value histograms; monetary (near-unique decimals)
+    * ranks via [[rnBucketed]] on quantized-cents range buckets
+    * (cents >> 20 ≈ $10k slices — monotone in the sort order, bounded
+    * by the price domain). Quintile bins replicate ntile(5) exactly
+    * through [[ntileBin]]. The customer aggregate is localCheckpoint'd
+    * once: three rank passes reuse the materialized relation instead
+    * of re-running the corpus groupBy per rank.
     */
   def qRfm(s: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(38, 6)
@@ -128,15 +216,26 @@ object EvalOps {
         count(lit(1)).as("freq"),
         sum(col("o_totalprice").cast(dec)).as("monetary"))
     val maxD = per.agg(max("last_order").as("maxd"))
-    def tile(c: String, asc: Boolean) = ntile(RfmTiles).over(
-      if (asc) Window.orderBy(col(c).asc, col("custkey").asc)
-      else Window.orderBy(col(c).desc, col("custkey").asc)).cast(LongType)
-    val scored = per.crossJoin(broadcast(maxD))
+    val base = per.crossJoin(broadcast(maxD))
       .withColumn("recency_days",
         datediff(col("maxd").cast(DateType), col("last_order").cast(DateType)).cast(LongType))
-      .withColumn("r", tile("recency_days", asc = true))
-      .withColumn("f", tile("freq", asc = false))
-      .withColumn("m", tile("monetary", asc = false))
+      .localCheckpoint()
+    val nTot = base.agg(count(lit(1)).as("_N"))
+    def quint(rn: Column) = ntileBin(RfmTiles, rn, col("_N"))
+    val withR = rnValueId(base, col("recency_days"), keyAsc = true,
+        col("custkey"), idShift = 7)
+      .withColumnRenamed("rn", "rn_r")
+    val withF = rnValueId(withR, col("freq"), keyAsc = false,
+        col("custkey"), idShift = 7)
+      .withColumnRenamed("rn", "rn_f")
+    val cents = (col("monetary") * 100).cast(LongType)
+    val withM = rnBucketed(withF, shiftright(cents, 20), desc("_b"),
+        Seq(col("monetary").desc, col("custkey").asc))
+      .withColumnRenamed("rn", "rn_m")
+    val scored = withM.crossJoin(broadcast(nTot))
+      .withColumn("r", quint(col("rn_r")))
+      .withColumn("f", quint(col("rn_f")))
+      .withColumn("m", quint(col("rn_m")))
     scored.groupBy(concat(col("r"), col("f"), col("m")).as("segment"))
       .agg(count(lit(1)).as("n_customers"),
         sum("monetary").as("revenue"))
@@ -350,7 +449,11 @@ object EvalOps {
     * counts, the source×distinct-length grid, and per-source
     * cumulative windows over distinct lengths — so at 100 TB the
     * windows never see a corpus-sized row set (the
-    * q_feature_quantiles shape).
+    * q_feature_quantiles shape). Row-count bound: the cross-products
+    * cum_s·N and cum·n_s grow as N², so int64 is exact only to
+    * ~3·10⁹ documents — past that, divide both ECDFs to fixed-point
+    * (cum·2³⁰ DIV n) first so the sup-distance terms stay bounded,
+    * at the cost of one quantization ulp in tie-breaking.
     */
   def taKsTest(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")

@@ -12,7 +12,12 @@ import graft.sources.Tables
   */
 object SpectralOps {
 
-  private val PcaQ = 1048576L // 2^20 fixed-point scale
+  /** 2^20 fixed-point scale. Shared quantizer for every consumer of
+    * the feature profile (qFeatureQuantiles fences, DriftStream's
+    * in-row quantization) — one constant so batch and stream can never
+    * desync.
+    */
+  val PcaQ = 1048576L
   private val PcaIters = 3    // fixed unrolled iterations (oracle CTEs)
   private val PcaDim = 64     // embeddings.embedding dimension
 
@@ -57,6 +62,14 @@ object SpectralOps {
       lit(0L), (acc, y) => acc + y)
   }
 
+  /** Row-count bound: each |x·v| ≤ d·2^20·2^20 pre-division, and the
+    * per-position reduction Σ x·dots is ≤ N·2^46 worst case
+    * (|x| ≤ 2^20, |dots| ≤ 2^26) — int64-exact to N ≈ 2^17 rows at the
+    * adversarial bound, N ≈ 2^30+ for unit-norm embeddings (|dots|
+    * concentrates near 2^20). Past that, rescale dots by an extra
+    * DIV 2^6 before the per-position sum (one ulp of iterate
+    * precision per shift).
+    */
   private def sums(xq: DataFrame, vq: Array[Long]): DataFrame =
     xq.select(col("xq"), dotCol(vq).as("dot"))
       .selectExpr("xq", s"${fdiv("dot", PcaQ.toString)} AS dots")

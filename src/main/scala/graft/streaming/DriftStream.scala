@@ -50,7 +50,7 @@ object DriftStream {
     val loLit = array(lo.map(lit(_)): _*)
     val hiLit = array(hi.map(lit(_)): _*)
     val xq = transform(col("embedding"),
-      x => floor(x.cast("double") * 1048576d).cast("long"))
+      x => floor(x.cast("double") * graft.operators.SpectralOps.PcaQ.toDouble).cast("long"))
     val outPos = filter(sequence(lit(0), lit(d - 1)), i =>
       element_at(col("xq"), i + 1) < element_at(loLit, i + 1) ||
         element_at(col("xq"), i + 1) > element_at(hiLit, i + 1))

@@ -106,7 +106,12 @@ object QualityStream {
         "min(CASE WHEN cum <= (nd + 2) DIV 3 THEN avg_q END) AS t1",
         "min(CASE WHEN cum <= (2 * nd + 2) DIV 3 THEN avg_q END) AS t2")
       .head()
-    (row.getLong(0), row.getLong(1))
+    // Tie mass at the top score can leave a rank cut empty (no score's
+    // cum fits under it) → NULL threshold. Degrade like the batch
+    // bucketing does: an unreachable threshold (Long.MaxValue) routes
+    // those docs to the next stratum instead of crashing the router.
+    def at(i: Int) = if (row.isNullAt(i)) Long.MaxValue else row.getLong(i)
+    (at(0), at(1))
   }
 
   /** The router: score each arriving document in-row and assign its

@@ -106,6 +106,45 @@ class PlanAuditSpec extends SparkSuite {
     assert(scans("events") == 1, s"events scanned ${scans("events")}x")
   }
 
+  test("registry-wide: no single-partition window over a non-aggregated input") {
+    // A WindowExec with an empty partitionSpec moves its WHOLE input to
+    // one partition. That is acceptable only when the input is a
+    // value-level relation — per-distinct-value histogram counts,
+    // bucket grids, replicate means — whose cardinality is bounded by
+    // a value domain, not the corpus row count. Heuristic: every leaf
+    // of the window's input subtree must sit below an aggregation
+    // inside that subtree (the corpus collapsed before the window).
+    // This is the gate against the r6 q_auc/q_calibration/q_rfm
+    // anti-pattern: a global rank/ntile over a relation that grows
+    // with the data.
+    import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true        // value-level histogram/grid
+      case _: GlobalLimitExec => true          // top-k result
+      case _: TakeOrderedAndProjectExec => true
+      // per-group top-k: output is k·|groups|; every registered use
+      // groups by the bounded query/sample set, not the corpus
+      case _: graft.plans.GroupedTopKExec => true
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(bounded)
+    }
+    val failedToPlan = scala.collection.mutable.ListBuffer[String]()
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(sc, sfDir).queryExecution.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) =>
+            s"$name: partition-less WindowExec over non-aggregated input"
+        }
+      } catch { case e: Throwable =>
+        failedToPlan += s"$name: ${e.getClass.getSimpleName}"; Nil
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+    assert(failedToPlan.isEmpty, s"queries that failed to plan: $failedToPlan")
+  }
+
   test("dd_ngram_jaccard pairs on the df-capped shingle base") {
     // candidate generation must go through the ShingleDfCap filter —
     // without it, one boilerplate shingle in df documents contributes

@@ -44,4 +44,18 @@ class QualityStreamSpec extends SparkSuite {
       assert(got.values.toSet == Set("head", "middle", "tail"))
     } finally q.stop()
   }
+
+  test("degenerate corpus (one tied score) routes to tail instead of crashing") {
+    // All docs score identically → the head and middle rank cuts are
+    // empty (the single score's cum already exceeds nd/3), the
+    // threshold CASEs yield NULL, and the router must degrade exactly
+    // like the batch bucketing: everything lands in 'tail'.
+    val s = sc
+    import s.implicits._
+    val corpus = Seq((1L, "aa bb aa bb"), (2L, "aa bb aa bb"), (3L, "aa bb aa bb"))
+      .toDF("doc_id", "text")
+    val routed = QualityStream.route(corpus, corpus)
+    val got = routed.collect().map(r => r.getAs[String]("bucket")).toSet
+    assert(got == Set("tail"), got)
+  }
 }
