@@ -163,7 +163,7 @@ object EvalOps {
       col("doc_id"), col("n_chars").as("score"),
       when(col("lang") === "en", 1L).otherwise(0L).as("y"))
     val nTot = d.agg(count(lit(1)).as("_N"))
-    rnValueId(d, col("score"), keyAsc = true, col("doc_id"), idShift = 8)
+    rnValueId(d, col("score"), keyAsc = true, col("doc_id"), idShift = 12)
       .crossJoin(broadcast(nTot))
       .withColumn("bin", ntileBin(CalBins, col("rn"), col("_N")))
       .groupBy("bin")
@@ -222,17 +222,25 @@ object EvalOps {
       .localCheckpoint()
     val nTot = base.agg(count(lit(1)).as("_N"))
     def quint(rn: Column) = ntileBin(RfmTiles, rn, col("_N"))
-    val withR = rnValueId(base, col("recency_days"), keyAsc = true,
-        col("custkey"), idShift = 7)
-      .withColumnRenamed("rn", "rn_r")
-    val withF = rnValueId(withR, col("freq"), keyAsc = false,
-        col("custkey"), idShift = 7)
-      .withColumnRenamed("rn", "rn_f")
+    // three independent rank relations over slim projections of the
+    // checkpointed base (not chained — chaining re-evaluates each rank
+    // subtree inside the next one's grid aggregation), joined back on
+    // the customer key
+    val rnR = rnValueId(base.select("custkey", "recency_days"),
+        col("recency_days"), keyAsc = true, col("custkey"), idShift = 7)
+      .select(col("custkey"), col("rn").as("rn_r"))
+    val rnF = rnValueId(base.select("custkey", "freq"),
+        col("freq"), keyAsc = false, col("custkey"), idShift = 7)
+      .select(col("custkey"), col("rn").as("rn_f"))
     val cents = (col("monetary") * 100).cast(LongType)
-    val withM = rnBucketed(withF, shiftright(cents, 20), desc("_b"),
+    val rnM = rnBucketed(base.select("custkey", "monetary"),
+        shiftright(cents, 20), desc("_b"),
         Seq(col("monetary").desc, col("custkey").asc))
-      .withColumnRenamed("rn", "rn_m")
-    val scored = withM.crossJoin(broadcast(nTot))
+      .select(col("custkey"), col("rn").as("rn_m"))
+    val scored = base.select("custkey", "monetary")
+      .join(rnR, Seq("custkey")).join(rnF, Seq("custkey"))
+      .join(rnM, Seq("custkey"))
+      .crossJoin(broadcast(nTot))
       .withColumn("r", quint(col("rn_r")))
       .withColumn("f", quint(col("rn_f")))
       .withColumn("m", quint(col("rn_m")))
