@@ -42,8 +42,85 @@ object GraphOps {
     componentLabels(s, dir)
       .select(col("doc_id"), col("lbl").as("component")).orderBy("doc_id")
 
+  /** Edge-count gate between the two component kernels. Below the cap:
+    * min-label propagation + pointer jumping — fewer shuffle rounds
+    * and cheaper per round, wins while the pair graph fits comfortably
+    * in a handful of partitions (A/B at sf0.1, NOTES #26: prop 0.90 s
+    * vs alternating 1.30 s, min of 2 on the 254-pair graph — pure
+    * round-overhead difference). Above it: the alternating large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SOCC'14), whose round count is O(log n) and whose
+    * per-round work stays edge-linear even under degree skew and long
+    * chains — the 100 TB path. Both produce identical min-labels
+    * (spec-pinned equality at two scales).
+    */
+  private[operators] val AlternatingEdgeCap = 10L * 1000 * 1000
+
   private def computeLabels(s: SparkSession, dir: String): DataFrame = {
     val pairs = DedupOps.verifiedPairs(s, dir)
+    if (pairs.count() > AlternatingEdgeCap) alternatingLabels(pairs)
+    else propagationLabels(pairs)
+  }
+
+  /** Alternating large-star/small-star connected components over an
+    * undirected (a, b) pair list — output (doc_id, lbl) with lbl the
+    * component minimum. Per round: large-star links every
+    * strictly-larger neighbor of u to m(u) = min(Γ(u) ∪ {u}); small-
+    * star links u's parents (all < u after large-star) and u itself to
+    * the parent minimum. Each half-round is one map-side-combinable
+    * min aggregate + one equi-join + distinct over the EDGE list;
+    * lineage is truncated per half-round exactly like the propagation
+    * kernel. Convergence: a (count, Σchild, Σparent) signature match
+    * is CONFIRMED by an exact exceptAll emptiness check before the
+    * loop exits, so a signature collision cannot end the loop early.
+    */
+  private[graft] def alternatingLabels(pairs: DataFrame): DataFrame = {
+    val nodes = pairs.select(col("a").as("n"))
+      .union(pairs.select(col("b").as("n"))).distinct()
+      .localCheckpoint()
+    var edges = pairs.where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+    var signature = (-1L, -1L, -1L)
+    var done = edges.isEmpty
+    var iter = 0
+    while (!done && iter < MaxIters) {
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val minsL = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = sym.join(minsL, Seq("u")).where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint()
+      val minsS = large.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u").as("su"), least(col("mv"), col("u")).as("m"))
+      val small = large.join(minsS, large("u") === minsS("su"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(minsS.select(col("su").as("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      val sig = small.agg(count(lit(1)), sum("u"), sum("v")).head()
+      val newSig =
+        if (sig.getLong(0) == 0L) (0L, 0L, 0L)
+        else (sig.getLong(0), sig.getLong(1), sig.getLong(2))
+      done = newSig == signature &&
+        (small.exceptAll(edges).isEmpty && edges.exceptAll(small).isEmpty)
+      signature = newSig
+      edges = small
+      iter += 1
+    }
+    // at the fixpoint every non-root points straight at the component
+    // min; the min over parents tolerates a capped-out non-fixpoint
+    nodes
+      .join(edges.groupBy("u").agg(min("v").as("p"))
+        .select(col("u").as("n"), col("p")), Seq("n"), "left")
+      .select(col("n").as("doc_id"), coalesce(col("p"), col("n")).as("lbl"))
+  }
+
+  /** Min-label propagation with pointer jumping — the small-graph
+    * kernel (see [[AlternatingEdgeCap]]).
+    */
+  private[graft] def propagationLabels(pairs: DataFrame): DataFrame = {
     // localCheckpoint (not cache): each round's plan would otherwise
     // embed the whole previous round's lineage — after k rounds the
     // plan tree is exponential in k. Checkpointing truncates lineage to
