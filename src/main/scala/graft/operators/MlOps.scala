@@ -196,10 +196,14 @@ object MlOps {
       .select(col("src"), col("dst"),
         (col("cnt").cast(DoubleType) /
           sqrt(col("fa").cast(DoubleType) * col("fb").cast(DoubleType))).as("sim"))
-    sims.withColumn("rnk",
+    // per-item peer cut through the bounded-heap physical operator:
+    // no per-src full sort of the similarity relation; the rank window
+    // afterwards only ever sees ≤ CfTopPeers rows per src
+    graft.plans.GroupedTopK(sims, s,
+        Seq(col("src")), col("sim"), col("dst"), CfTopPeers)
+      .withColumn("rnk",
         row_number().over(Window.partitionBy("src")
           .orderBy(desc("sim"), asc("dst"))).cast(LongType))
-      .where(col("rnk") <= CfTopPeers)
       .select(col("src"), col("dst"), col("sim"), col("rnk"))
       .orderBy("src", "rnk")
   }

@@ -57,12 +57,16 @@ object Pipelines {
     * so the cross-engine sum is exact despite double inputs.
     */
   def taPipeline(s: SparkSession, dir: String): DataFrame = {
-    val keyW = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
-    Tables(s, dir, "documents")
+    val survivors = Tables(s, dir, "documents")
       .withColumn("q", qualityScore)
       .filter(col("q") >= 0.33)
-      .withColumn("rk", row_number().over(keyW))
-      .filter(col("rk") === 1)
+      .withColumn("_h", md5(col("text")))
+    // keep-first dedup as bounded-heap top-1 per content hash (order by
+    // -doc_id keeps the SMALLEST id) — no per-hash sort; a boilerplate
+    // hash with millions of copies costs O(n) scan, not O(n log n)
+    graft.plans.GroupedTopK(survivors, s,
+        Seq(col("_h")), -col("doc_id"), col("doc_id"), 1)
+      .drop("_h")
       .withColumn("pred_is_en",
         size(filter(toks, t => t.isin("the", "a", "is"))) >= 2)
       .groupBy("lang")

@@ -116,9 +116,13 @@ object TimeSeriesOps {
     val scored = rows.join(series, "user_id")
       .where(col("t") < col("n")) // split AFTER position t; needs both sides non-empty
       .withColumn("stat", abs(col("n") * col("st") - col("t") * col("stot")))
-    val best = Window.partitionBy("user_id").orderBy(desc("stat"), asc("t"))
-    scored.withColumn("rk", row_number().over(best))
-      .where(col("rk") === 1)
+    // per-series argmax through the bounded-heap operator (k = 1): the
+    // user_id exchange is already in place from the prefix windows, so
+    // this skips the per-series (stat desc) re-sort entirely. stat ≤
+    // n·Σcents stays far under 2^53, so the heap's double compare is
+    // exact.
+    graft.plans.GroupedTopK(scored, s,
+        Seq(col("user_id")), col("stat"), col("t"), 1)
       .select(col("user_id"), col("n").as("n_events"), col("t").as("cp_pos"),
         col("stat").as("cusum_stat"),
         (col("st").cast(DoubleType) / col("t") / 100d).as("mean_before"),

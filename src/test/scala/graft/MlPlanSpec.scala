@@ -28,8 +28,9 @@ class MlPlanSpec extends SparkSuite {
     val p = plan("q_item_cf")
     assert(p.contains("InMemoryTableScan"), p.take(1200))
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
-    // per-item top-k prunes before the window shuffle
-    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    // per-item top-k runs in the bounded-heap operator (r7 promotion);
+    // the rank window only sees the ≤k-per-src result
+    assert(p.contains("GroupedTopK"), p.take(1200))
   }
 
   test("q_gd_train broadcasts the 1-row weight state into each step") {

@@ -106,6 +106,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(scans("events") == 1, s"events scanned ${scans("events")}x")
   }
 
+  test("grouped top-k promotions run through GroupedTopKExec, not a window sort") {
+    // q_item_cf's peer cut, q_changepoint's per-series argmax and
+    // ta_pipeline's keep-first dedup all replaced their per-group
+    // window sort with the bounded-heap operator; the only window
+    // allowed afterwards is q_item_cf's rank over the ≤k-per-group
+    // result
+    Seq("q_item_cf", "q_changepoint", "ta_pipeline").foreach { q =>
+      assert(plan(q).contains("GroupedTopK"), s"$q lost its heap operator")
+    }
+    assert(!plan("q_changepoint").contains("RunningWindowFunction"))
+  }
+
   test("registry-wide: no single-partition window over a non-aggregated input") {
     // A WindowExec with an empty partitionSpec moves its WHOLE input to
     // one partition. That is acceptable only when the input is a
