@@ -50,6 +50,11 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // DuckDB-dialect alias pack (string_split/unnest/list_*/range…):
+    // temp-function scope, every alias a native codegen'd expression —
+    // lets DuckDB-flavored analytics SQL run unchanged (SqlParitySpec
+    // pins 124 shared-text statements row-identical across dialects)
+    graft.functions.SqlCompat.register(spark)
     spark
   }
 }

@@ -16,6 +16,7 @@ object SqlParityProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.sources.Tables.registerAll(spark, sfDir)
+    graft.functions.SqlCompat.register(spark)
     SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (name, sql) =>
       val status =
         try {

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DuckDB-dialect compatibility pack: registers DuckDB function NAMES
+  * as aliases for the native Spark Catalyst expressions with identical
+  * semantics, so SQL written against the DuckDB dialect (this repo's
+  * oracle statements, a user's existing analytics SQL) runs unchanged
+  * through spark.sql. Every alias maps to a codegen'd built-in
+  * expression — no UDFs, nothing interpreted — so the aliases cost
+  * exactly what the native names cost and stay inside whole-stage
+  * codegen.
+  *
+  * Scope: only name-for-name semantic matches are aliased. Dialect
+  * differences that change MEANING (`//` integer division, QUALIFY,
+  *  `range(a,b)`'s exclusive bound, recursive-CTE UNION semantics)
+  * are deliberately NOT papered over — those statements should fail
+  * loudly rather than return different rows. SqlParitySpec pins, per
+  * query, that the shared text produces row-identical results through
+  * both frontends.
+  */
+object SqlCompat {
+
+  private def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+
+  /** DuckDB's `len` is polymorphic (string length / list cardinality);
+    * Spark splits it into `length` and `size`. Type-dispatch must wait
+    * until the child resolves, hence a RuntimeReplaceable shim — the
+    * analyzer swaps in the native expression, so nothing interpreted
+    * survives into the physical plan.
+    */
+  case class LenCompat(child: Expression) extends UnaryExpression
+      with RuntimeReplaceable {
+    override lazy val replacement: Expression = child.dataType match {
+      case _: ArrayType | _: MapType => Size(child, legacySizeOfNull = false)
+      case _ => Length(child)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  private val fns: Map[String, Seq[Expression] => Expression] = Map(
+    // literal-separator split (Spark's split() is regex; DuckDB's is
+    // literal — StringSplitSQL is the literal-split kernel split_part
+    // uses)
+    "string_split" -> (es => StringSplitSQL(es(0), es(1))),
+    // one-column flatten in the select list
+    "unnest" -> (es => Explode(es.head)),
+    // DuckDB folds the named aggregate over the list; every oracle in
+    // this repo uses 'sum' over DOUBLE elements, which is the only
+    // combination aliased (others must fail loudly, not approximate)
+    "list_aggregate" -> { es =>
+      es(1).eval(null).toString match {
+        case "sum" =>
+          val acc = lv("acc"); val x = lv("x")
+          ArrayAggregate(es(0), Literal(0.0d, DoubleType),
+            LambdaFunction(Add(acc, x), Seq(acc, x)),
+            LambdaFunction(lv("fin"), Seq(lv("fin"))))
+        case other =>
+          throw new IllegalArgumentException(
+            s"list_aggregate alias supports only 'sum', got '$other'")
+      }
+    },
+    "list_transform" -> (es => ArrayTransform(es(0), es(1))),
+    "list_zip" -> (es => ArraysZip(es,
+      es.indices.map(i => Literal(UTF8String.fromString((i + 1).toString), StringType): Expression))),
+    "array_to_string" -> (es => ArrayJoin(es(0), es(1), None)),
+    "len" -> (es => LenCompat(es.head)),
+    // DuckDB range(a, b) is end-EXCLUSIVE, generate_series(a, b)
+    // end-inclusive; Spark's sequence is inclusive. Caveat (documented,
+    // probe-enforced): an empty DuckDB range (a ≥ b) would come out
+    // DESCENDING from sequence — statements relying on empty ranges
+    // stay off the pinned parity list.
+    "range" -> (es => Sequence(es(0), Subtract(es(1), Literal(1)), None)),
+    "generate_series" -> (es => Sequence(es(0), es(1), es.lift(2))),
+    "list_distinct" -> (es => ArrayDistinct(es.head)),
+    "list_sort" -> (es => SortArray(es.head, Literal(true))),
+    "list_filter" -> (es => ArrayFilter(es(0), es(1))),
+    "regexp_split_to_array" -> (es => StringSplit(es(0), es(1), Literal(-1))),
+    // DuckDB's 1-arg encode(v) is to-UTF-8; pass through to Spark's
+    // 2-arg form otherwise
+    "encode" -> (es =>
+      if (es.size == 1) Encode(es(0), Literal(UTF8String.fromString("UTF-8"), StringType))
+      else Encode(es(0), es(1))),
+    "ord" -> (es => Ascii(es.head)),
+    "strpos" -> (es => StringInstr(es(0), es(1))),
+    "sha256" -> (es => Sha2(es.head, Literal(256))),
+    "from_base64" -> (es => UnBase64(es.head)),
+    "xor" -> (es => BitwiseXor(es(0), es(1))),
+    "epoch_ms" -> (es => UnixMillis(es.head)),
+    "regexp_matches" -> (es => RLike(es(0), es(1))),
+    "json_extract_string" -> (es => GetJsonObject(es(0), es(1))),
+    "quantile_cont" -> (es =>
+      Percentile(es(0), es(1), Literal(1L)).toAggregateExpression()))
+
+  /** Register the pack on a live session (idempotent, temp-function
+    * scope — opt-in per session, never implicit).
+    */
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+  }
+}

@@ -11,15 +11,21 @@ package graft
   */
 class SqlParitySpec extends SparkSuite {
 
-  /** Every oracle whose SQL text runs UNCHANGED on spark.sql with
-    * row-identical results (probed exhaustively by SqlParityProbe;
-    * oracles using DuckDB-only list/lambda/string functions are
-    * exercised against DuckDB by the driver instead, and
-    * q_interval_arith is excluded because the same INTERVAL syntax
-    * means different arithmetic in the two dialects).
+  /** Every oracle whose SQL text runs UNCHANGED on spark.sql (with the
+    * [[graft.functions.SqlCompat]] DuckDB-dialect alias pack
+    * registered) with row-identical results — probed exhaustively by
+    * SqlParityProbe, 124 of 253 as of round 7. The rest stay off the
+    * list for dialect reasons the pack deliberately does not paper
+    * over: `//` integer division and QUALIFY (parse level), 1-based
+    * subscripts (q_array_funcs), base64 chunking (q_encode_funcs),
+    * INTERVAL arithmetic (q_interval_arith), recursive-CTE UNION
+    * semantics, and DuckDB list/variant operators with no exact Spark
+    * twin — all exercised against DuckDB by the driver instead.
     */
   private val ansiOracles = Seq(
-    "dd_exact", "q10_returned_items", "q11_important_parts",
+    "dd_bag_dedup", "dd_exact", "mm_binary_stats", "mm_frame_sample",
+    "mm_modality_route", "mm_phash_buckets", "mm_scene_split",
+    "q10_returned_items", "q11_important_parts",
     "q12_priority_conditional", "q13_order_dist", "q14_promo_ratio",
     "q15_top_supplier", "q16_supplier_counts", "q17_small_qty_revenue",
     "q18_large_orders", "q19_disjunctive_pred", "q1_pricing_summary",
@@ -28,26 +34,34 @@ class SqlParitySpec extends SparkSuite {
     "q4_priority_exists", "q5_region_revenue", "q6_selective_agg",
     "q7_bi_nation_volume", "q8_market_share", "q9_product_profit",
     "q_ab_test", "q_anomaly_zscore", "q_anti_join", "q_assoc_rules",
-    "q_autocorr", "q_bfs_dist", "q_bucketed_join", "q_changepoint", "q_ewma",
-    "q_kcore", "q_link_predict", "q_label_prop", "q_modularity", "q_cond_funcs",
-    "q_context_chunks", "q_cross_join", "q_cube", "q_dedup_keep_latest",
-    "q_distinct_agg", "q_dq_checks", "q_empty_agg", "q_forget_user",
-    "q_full_outer_join", "q_funnel",
-    "q_geomean", "q_grouping_sets", "q_having", "q_hist_quantiles",
-    "q_histogram", "q_in_subquery", "q_incr_agg", "q_lateral_topn",
-    "q_map_struct_funcs", "q_math_extended", "q_math_funcs", "q_merge_upsert",
-    "q_not_in_subquery", "q_ohlc", "q_pagerank", "q_path_transitions",
-    "q_profile", "q_range_join", "q_rollup", "q_running_distinct",
-    "q_salted_agg", "q_salted_join", "q_scalar_subquery", "q_scd2",
-    "q_semi_join", "q_set_except", "q_set_intersect", "q_skyline",
-    "q_snapshot_diff", "q_stats_agg", "q_trig_funcs", "q_tumbling_window",
-    "q_typed_cogroup", "q_union_distinct", "q_unpivot", "q_values_lookup",
-    "q_window_dist", "q_window_first_last", "q_window_frame", "q_window_lag",
-    "q_window_rank", "q_zorder")
+    "q_auc", "q_autocorr", "q_bfs_dist", "q_bitwise_funcs",
+    "q_bucketed_join", "q_calibration", "q_changepoint", "q_cond_funcs",
+    "q_context_chunks", "q_cross_join", "q_cube", "q_data_card",
+    "q_dedup_keep_latest", "q_distinct_agg", "q_domain_mix", "q_dq_checks",
+    "q_empty_agg", "q_entropy", "q_equidepth_bucketize", "q_ewma",
+    "q_forecast_snaive", "q_forget_user", "q_full_outer_join", "q_funnel",
+    "q_gap_fill", "q_geomean", "q_grouping_sets", "q_having",
+    "q_hist_quantiles", "q_histogram", "q_in_subquery", "q_incr_agg",
+    "q_item_cf", "q_json_funcs", "q_kcore", "q_label_prop",
+    "q_lateral_topn", "q_length_buckets", "q_link_predict",
+    "q_map_struct_funcs", "q_math_extended", "q_math_funcs",
+    "q_merge_upsert", "q_modularity", "q_not_in_subquery", "q_ohlc",
+    "q_pagerank", "q_path_transitions", "q_percentiles", "q_profile",
+    "q_range_join", "q_rollup", "q_running_distinct", "q_salted_agg",
+    "q_salted_join", "q_scalar_subquery", "q_scd2", "q_seasonal_profile",
+    "q_semi_join", "q_sessionize", "q_set_except", "q_set_intersect",
+    "q_skyline", "q_snapshot_diff", "q_stats_agg", "q_string_advanced",
+    "q_token_budget", "q_trig_funcs", "q_tumbling_window", "q_typed_agg",
+    "q_typed_cogroup", "q_ucb_bandit", "q_union_distinct", "q_unpivot",
+    "q_values_lookup", "q_window_dist", "q_window_first_last",
+    "q_window_frame", "q_window_lag", "q_window_rank", "q_zipf_fit",
+    "q_zorder", "ta_bm25", "ta_bpe", "ta_heavy_hitters", "ta_ks_test",
+    "ta_langid_profile", "ta_nb_langid", "ta_sentiment", "ta_tfidf")
 
   test("ANSI oracle SQL runs on spark.sql with identical results") {
     val s = sc
     graft.sources.Tables.registerAll(s, sfDir)
+    graft.functions.SqlCompat.register(s)
     val failures = ansiOracles.flatMap { name =>
       try {
         val viaSql = s.sql(SparkEntry.oracleSql(name)).collect().toSeq
