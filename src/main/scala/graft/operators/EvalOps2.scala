@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Second wave of evaluation/readout operators: classifier confusion
+  * arithmetic, inter-rater agreement (Cohen's κ), population-stability
+  * drift (PSI), and Matryoshka-prefix retrieval fidelity. Exactness:
+  * every statistic reduces to integer contingency counts; doubles
+  * appear only in final divisions or per-bin terms quantized at 10⁻⁶
+  * before the (order-nondeterministic) distributed sum.
+  */
+object EvalOps2 {
+
+  // -------------------------------------------------- q_confusion_stats
+
+  private val CsThresh = 300L // "long doc ⇒ English" toy classifier
+
+  /** Confusion matrix + derived metrics for a threshold classifier
+    * (n_chars ≥ [[CsThresh]]) against the is-English label: tp/fp/fn/tn
+    * from ONE map-side-combinable aggregate; accuracy, precision,
+    * recall and F1 are exact divisions of those integers.
+    */
+  def qConfusionStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(
+      (col("n_chars") >= CsThresh).as("pred"),
+      (col("lang") === "en").as("y"))
+    d.agg(
+        sum(when(col("pred") && col("y"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("y"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("y"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && !col("y"), 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round((col("tp") + col("tn")).cast(DoubleType) /
+          (col("tp") + col("fp") + col("fn") + col("tn")).cast(DoubleType), 6).as("accuracy"),
+        round(col("tp").cast(DoubleType) / (col("tp") + col("fp")).cast(DoubleType), 6).as("precision"),
+        round(col("tp").cast(DoubleType) / (col("tp") + col("fn")).cast(DoubleType), 6).as("recall"),
+        round(lit(2.0) * col("tp").cast(DoubleType) /
+          (lit(2.0) * col("tp") + col("fp") + col("fn")).cast(DoubleType), 6).as("f1"))
+  }
+
+  private val qConfusionStatsSql =
+    s"""WITH d AS (SELECT n_chars >= $CsThresh AS pred, lang = 'en' AS y FROM documents),
+       |c AS (
+       |  SELECT CAST(SUM(CASE WHEN pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(SUM(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |         CAST(SUM(CASE WHEN NOT pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |         CAST(SUM(CASE WHEN NOT pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM d)
+       |SELECT tp, fp, fn, tn,
+       |  round(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy,
+       |  round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+       |  round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,
+       |  round(2.0 * tp / CAST(2.0 * tp + fp + fn AS DOUBLE), 6) AS f1
+       |FROM c""".stripMargin
+
+  // ---------------------------------------------------- q_cohen_kappa
+
+  /** Cohen's κ between the marker-token language rater (ta_langid's
+    * argmax rule) and the labeled language — the inter-annotator
+    * agreement readout, chance-corrected. Multi-class:
+    * κ = (agree·N − S) / (N² − S) with S = Σ_c nA_c·nB_c — ONE exact
+    * integer division, computed from the 5×5 contingency counts (one
+    * aggregate over the corpus, a 25-cell grid after).
+    */
+  def qCohenKappa(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    def score(words: Seq[String]) =
+      size(filter(toks, t => t.isin(words.map(x => x: Any): _*))).cast(LongType)
+    val en = score(Seq("the", "a", "is")); val es = score(Seq("data", "row", "value"))
+    val de = score(Seq("join", "merge", "group")); val fr = score(Seq("filter", "sort", "order"))
+    val zh = score(Seq("spark", "query", "table"))
+    val pred =
+      when(en >= es && en >= de && en >= fr && en >= zh, "en")
+        .when(es >= de && es >= fr && es >= zh, "es")
+        .when(de >= fr && de >= zh, "de")
+        .when(fr >= zh, "fr").otherwise("zh")
+    val cells = Tables(s, dir, "documents")
+      .select(pred.as("ra"), col("lang").as("rb"))
+      .groupBy("ra", "rb").agg(count(lit(1)).as("c"))
+    val margA = cells.groupBy("ra").agg(sum("c").as("na"))
+    val margB = cells.groupBy("rb").agg(sum("c").as("nb"))
+    val sProd = margA.join(margB, col("ra") === col("rb"))
+      .agg(sum(col("na") * col("nb")).as("s"))
+    val agg = cells.agg(sum("c").as("n"),
+      sum(when(col("ra") === col("rb"), col("c")).otherwise(0L)).as("agree"))
+    agg.crossJoin(broadcast(sProd))
+      .select(col("n"), col("agree"), col("s"),
+        round(col("agree").cast(DoubleType) / col("n").cast(DoubleType), 6).as("po"),
+        round(col("s").cast(DoubleType) / (col("n") * col("n")).cast(DoubleType), 6).as("pe"),
+        round((col("agree") * col("n") - col("s")).cast(DoubleType) /
+          (col("n") * col("n") - col("s")).cast(DoubleType), 6).as("kappa"))
+  }
+
+  private val qCohenKappaSql = {
+    def score(words: Seq[String]) = {
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains($lst, t))) AS BIGINT)"
+    }
+    s"""WITH sc AS (
+       |  SELECT lang AS rb,
+       |    ${score(Seq("the", "a", "is"))} AS en, ${score(Seq("data", "row", "value"))} AS es,
+       |    ${score(Seq("join", "merge", "group"))} AS de, ${score(Seq("filter", "sort", "order"))} AS fr,
+       |    ${score(Seq("spark", "query", "table"))} AS zh
+       |  FROM documents),
+       |cells AS (
+       |  SELECT CASE WHEN en >= es AND en >= de AND en >= fr AND en >= zh THEN 'en'
+       |              WHEN es >= de AND es >= fr AND es >= zh THEN 'es'
+       |              WHEN de >= fr AND de >= zh THEN 'de'
+       |              WHEN fr >= zh THEN 'fr' ELSE 'zh' END AS ra,
+       |         rb, COUNT(*) AS c
+       |  FROM sc GROUP BY 1, 2),
+       |ma AS (SELECT ra, CAST(SUM(c) AS BIGINT) AS na FROM cells GROUP BY ra),
+       |mb AS (SELECT rb, CAST(SUM(c) AS BIGINT) AS nb FROM cells GROUP BY rb),
+       |sp AS (SELECT CAST(SUM(na * nb) AS BIGINT) AS s
+       |       FROM ma JOIN mb ON ma.ra = mb.rb),
+       |ag AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+       |         CAST(SUM(CASE WHEN ra = rb THEN c ELSE 0 END) AS BIGINT) AS agree
+       |       FROM cells)
+       |SELECT n, agree, s,
+       |  round(CAST(agree AS DOUBLE) / n, 6) AS po,
+       |  round(CAST(s AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS pe,
+       |  round(CAST(agree * n - s AS DOUBLE) / CAST(n * n - s AS DOUBLE), 6) AS kappa
+       |FROM ag CROSS JOIN sp""".stripMargin
+  }
+
+  // ------------------------------------------------------------ q_psi
+
+  private val PsiSrc = "src0"
+  private val PsiBinW = 64L
+  private val PsiQ = 1000000L
+
+  /** Population Stability Index of one source's document-length
+    * distribution against the rest of the corpus — the classic "is
+    * this feed drifting" release gate next to ta_ks_test's
+    * nonparametric sup-distance. Fixed-width length bins with
+    * Laplace-smoothed proportions (pa = (ca+1)/(na+B)); each bin's
+    * (pa−pb)·ln(pa/pb) term is quantized at 10⁻⁶ BEFORE the sum, so
+    * the distributed reduction is order-independent and engine-exact.
+    * Everything after the first aggregate lives on the bounded bin
+    * grid.
+    */
+  def qPsi(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(
+      (col("n_chars").cast(LongType) / PsiBinW).cast(LongType).as("bin"),
+      (col("source") === PsiSrc).as("ina"))
+    val hist = d.groupBy("bin").agg(
+      sum(when(col("ina"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("ina"), 1L).otherwise(0L)).as("cb"))
+    val tot = hist.agg(sum("ca").as("na"), sum("cb").as("nb"),
+      count(lit(1)).as("nbins"))
+    val terms = hist.crossJoin(broadcast(tot))
+      .withColumn("pa", (col("ca") + 1).cast(DoubleType) / (col("na") + col("nbins")).cast(DoubleType))
+      .withColumn("pb", (col("cb") + 1).cast(DoubleType) / (col("nb") + col("nbins")).cast(DoubleType))
+      .withColumn("term_q",
+        floor(round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6) * PsiQ.toDouble)
+          .cast(LongType))
+    terms.agg(count(lit(1)).as("n_bins"), sum("term_q").as("psi_q"))
+      .select(col("n_bins"),
+        (col("psi_q").cast(DoubleType) / PsiQ.toDouble).as("psi"))
+  }
+
+  private val qPsiSql =
+    s"""WITH d AS (SELECT n_chars // $PsiBinW AS bin, source = '$PsiSrc' AS ina FROM documents),
+       |hist AS (
+       |  SELECT bin, CAST(SUM(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |         CAST(SUM(CASE WHEN NOT ina THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM d GROUP BY bin),
+       |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+       |               COUNT(*) AS nbins FROM hist),
+       |terms AS (
+       |  SELECT CAST(floor(round(
+       |    (CAST(ca + 1 AS DOUBLE) / (na + nbins) - CAST(cb + 1 AS DOUBLE) / (nb + nbins))
+       |    * ln((CAST(ca + 1 AS DOUBLE) / (na + nbins)) / (CAST(cb + 1 AS DOUBLE) / (nb + nbins))), 6)
+       |    * $PsiQ.0) AS BIGINT) AS term_q
+       |  FROM hist CROSS JOIN tot)
+       |SELECT COUNT(*) AS n_bins, CAST(SUM(term_q) AS DOUBLE) / $PsiQ.0 AS psi
+       |FROM terms""".stripMargin
+
+  // ----------------------------------------------------- ann_matryoshka
+
+  private val MatK = 10
+  private val MatDim = 16
+  private val MatQueryId = 0
+
+  /** Matryoshka-prefix retrieval fidelity: recall@k of the 16-dim
+    * PREFIX cosine ranking against the full-64-dim ranking for the
+    * same query — the readout that decides whether truncated
+    * embeddings (4× cheaper to store and scan) are good enough to
+    * serve. Two brute-force top-k passes over the corpus (the exact
+    * baseline; the IVF path composes identically) + a k-row semi-join.
+    */
+  def annMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(s)
+    def topk(vecCol: Column): DataFrame = {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), vecCol.as("v"))
+        .withColumn("nrm", sqrt(expr("graft_norm_sq_f(v)")))
+      val q = e.where(col("vec_id") === MatQueryId)
+        .select(col("v").as("qv"), col("nrm").as("qn"))
+      e.where(col("vec_id") =!= MatQueryId)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          (expr("graft_dot_f(v, qv)") / (col("nrm") * col("qn"))).as("cosine"))
+        .orderBy(desc("cosine"), asc("vec_id")).limit(MatK)
+    }
+    val full = topk(col("embedding")).select("vec_id")
+    val prefix = topk(slice(col("embedding"), 1, MatDim)).select("vec_id")
+    prefix.join(full, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(MatDim.toLong).as("dim_prefix"), col("hits"),
+        lit(MatK.toLong).as("k"),
+        (col("hits").cast(DoubleType) / MatK).as("recall_at_k"))
+  }
+
+  private val annMatryoshkaSql = {
+    def dotSql(a: String, b: String) =
+      s"list_aggregate(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
+    def normSql(a: String) =
+      s"sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    def topk(vec: String) =
+      s"""SELECT n.vec_id, ${dotSql("n.v", "q.qv")} / (n.nrm * q.qn) AS cosine
+         |  FROM (SELECT vec_id, $vec AS v, ${normSql(vec)} AS nrm FROM embeddings) n,
+         |       (SELECT $vec AS qv, ${normSql(vec)} AS qn FROM embeddings WHERE vec_id = $MatQueryId) q
+         |  WHERE n.vec_id <> $MatQueryId
+         |  ORDER BY cosine DESC, vec_id ASC LIMIT $MatK""".stripMargin
+    s"""WITH fullk AS (${topk("embedding")}),
+       |pfx AS (${topk(s"embedding[1:$MatDim]")})
+       |SELECT CAST($MatDim AS BIGINT) AS dim_prefix,
+       |  CAST(COUNT(*) AS BIGINT) AS hits, CAST($MatK AS BIGINT) AS k,
+       |  CAST(COUNT(*) AS DOUBLE) / $MatK AS recall_at_k
+       |FROM pfx WHERE vec_id IN (SELECT vec_id FROM fullk)""".stripMargin
+  }
+
+  // ------------------------------------------------------------ registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_confusion_stats" -> (qConfusionStats(_, _)),
+    "q_cohen_kappa" -> (qCohenKappa(_, _)),
+    "q_psi" -> (qPsi(_, _)),
+    "ann_matryoshka" -> (annMatryoshka(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_confusion_stats" -> qConfusionStatsSql,
+    "q_cohen_kappa" -> qCohenKappaSql,
+    "q_psi" -> qPsiSql,
+    "ann_matryoshka" -> annMatryoshkaSql)
+}
