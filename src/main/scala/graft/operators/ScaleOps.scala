@@ -277,6 +277,38 @@ object ScaleOps {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------ q_skew_profile
+
+  /** Join-key skew profiler — the diagnostic run BEFORE picking a
+    * salted-join factor (q_salted_join applies what this recommends):
+    * per-key frequencies of the event-type key, the top-10 heavy keys
+    * with parts-per-million share, and the salt factor
+    * ceil(max_cnt·D/N) that would level the heaviest key to the mean.
+    * All integer arithmetic off one map-side-combinable aggregate; the
+    * top-k and the global stats live on the key-domain relation.
+    */
+  def qSkewProfile(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables(s, dir, "events")
+      .groupBy(col("event_type").as("key")).agg(count(lit(1)).as("cnt"))
+    val stats = freq.agg(sum("cnt").as("n"), count(lit(1)).as("d"),
+      max("cnt").as("max_cnt"))
+    freq.orderBy(desc("cnt"), asc("key")).limit(10)
+      .crossJoin(broadcast(stats))
+      .selectExpr("key", "cnt",
+        "(cnt * 1000000) DIV n AS share_ppm",
+        "(max_cnt * d + n - 1) DIV n AS rec_salt")
+      .orderBy(desc("cnt"), asc("key"))
+  }
+
+  private val qSkewProfileSql =
+    """WITH f AS (SELECT event_type AS key, COUNT(*) AS cnt FROM events GROUP BY 1),
+      |s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS d,
+      |             CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM f),
+      |top AS (SELECT key, cnt FROM f ORDER BY cnt DESC, key ASC LIMIT 10)
+      |SELECT key, cnt, (cnt * 1000000) // n AS share_ppm,
+      |  (max_cnt * d + n - 1) // n AS rec_salt
+      |FROM top CROSS JOIN s ORDER BY cnt DESC, key ASC""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bucketed_join" -> (qBucketedJoin(_, _)),
     "q_salted_agg" -> (qSaltedAgg(_, _)),
@@ -285,7 +317,8 @@ object ScaleOps {
     "q_train_split" -> (qTrainSplit(_, _)),
     "q_incr_agg" -> (qIncrAgg(_, _)),
     "q_profile" -> (qProfile(_, _)),
-    "q_zorder" -> (qZorder(_, _)))
+    "q_zorder" -> (qZorder(_, _)),
+    "q_skew_profile" -> (qSkewProfile(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_bucketed_join" -> qBucketedJoinSql,
@@ -295,5 +328,6 @@ object ScaleOps {
     "q_train_split" -> qTrainSplitSql,
     "q_incr_agg" -> qIncrAggSql,
     "q_profile" -> qProfileSql,
-    "q_zorder" -> qZorderSql)
+    "q_zorder" -> qZorderSql,
+    "q_skew_profile" -> qSkewProfileSql)
 }
