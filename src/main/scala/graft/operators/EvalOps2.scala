@@ -234,17 +234,127 @@ object EvalOps2 {
        |FROM pfx WHERE vec_id IN (SELECT vec_id FROM fullk)""".stripMargin
   }
 
+  // --------------------------------------------------------- ta_oov_rate
+
+  private val OovVocab = 1000
+
+  /** Tokenizer-coverage eval: out-of-vocabulary rate per source under
+    * a top-[[OovVocab]] frequency vocabulary trained on the corpus
+    * itself — the readout that decides whether a fixed vocab is big
+    * enough for a feed. Corpus token counts map-side-combine; the
+    * vocabulary is a bounded top-V cut (freq desc, token asc —
+    * deterministic boundary); per-source OOV is one broadcast
+    * left-join + aggregate. Exact: integer counts, one division.
+    */
+  def taOovRate(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("tok")).limit(OovVocab)
+      .select(col("tok"), lit(1L).as("in_v"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)
+          .as("oov_rate"))
+      .orderBy("source")
+  }
+
+  private val taOovRateSql =
+    s"""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |v AS (SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok
+       |      ORDER BY c DESC, tok ASC LIMIT $OovVocab)),
+       |j AS (SELECT t.source, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+       |      FROM t LEFT JOIN v ON t.tok = v.tok)
+       |SELECT source, COUNT(*) AS n_tokens,
+       |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+       |  round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  // ----------------------------------------------------- ta_wasserstein
+
+  /** 1-D Wasserstein (earth-mover) distance of every source's
+    * document-length distribution against the whole corpus — the
+    * magnitude-sensitive companion to ta_ks_test's sup-distance (KS
+    * says IF distributions differ, W₁ says by HOW MANY characters).
+    * W₁ = Σ_values |F_s(v) − F(v)|·gap(v), computed on the integer
+    * cross-products |cum_s·N − cum·n_s|·gap with ONE final division by
+    * n_s·N — the exact value-level ECDF shape of taKsTest, gaps from a
+    * lead() over the bounded distinct-value grid. Row-count bound:
+    * terms grow as N²·gap, int64-exact to ~10⁷ documents at this value
+    * domain (tighter than KS by the gap factor — fixed-point ECDFs are
+    * the >10⁷ path).
+    */
+  def taWasserstein(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("source"), col("n_chars").as("v"))
+    val hist = docs.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val sv = hist.select("source").distinct()
+      .crossJoin(docs.select("v").distinct())
+      .join(hist, Seq("source", "v"), "left").na.fill(0L, Seq("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("v")
+    val cumS = sv
+      .withColumn("cum_s", sum("c").over(w))
+      .withColumn("gap", lead("v", 1).over(w) - col("v"))
+      .where(col("gap").isNotNull)
+    val cumG = docs.groupBy("v").agg(count(lit(1)).as("cg"))
+      .withColumn("cum", sum("cg").over(
+        org.apache.spark.sql.expressions.Window.orderBy("v")))
+    val ns = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    cumS.join(cumG.select("v", "cum"), Seq("v"))
+      .join(ns, Seq("source")).crossJoin(broadcast(n))
+      .select(col("source"), col("n_s"), col("n"),
+        (abs(col("cum_s") * col("n") - col("cum") * col("n_s")) * col("gap")).as("t"))
+      .groupBy("source")
+      .agg(first("n_s").as("n_s"), sum("t").as("w_num"), first("n").as("nn"))
+      .select(col("source"), col("n_s"),
+        round(col("w_num").cast(DoubleType) /
+          (col("n_s").cast(DoubleType) * col("nn")), 6).as("wasserstein"))
+      .orderBy("source")
+  }
+
+  private val taWassersteinSql =
+    """WITH d AS (SELECT source, n_chars AS v FROM documents),
+      |hist AS (SELECT source, v, COUNT(*) AS c FROM d GROUP BY 1, 2),
+      |sv AS (
+      |  SELECT s.source, vv.v, COALESCE(h.c, 0) AS c
+      |  FROM (SELECT DISTINCT source FROM hist) s
+      |  CROSS JOIN (SELECT DISTINCT v FROM d) vv
+      |  LEFT JOIN hist h ON h.source = s.source AND h.v = vv.v),
+      |cs AS (SELECT source, v,
+      |         CAST(SUM(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum_s,
+      |         lead(v) OVER (PARTITION BY source ORDER BY v) - v AS gap
+      |       FROM sv),
+      |cg AS (SELECT v, CAST(SUM(cg) OVER (ORDER BY v) AS BIGINT) AS cum
+      |       FROM (SELECT v, COUNT(*) AS cg FROM d GROUP BY v)),
+      |ns AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY source),
+      |nn AS (SELECT COUNT(*) AS n FROM d),
+      |terms AS (
+      |  SELECT cs.source, ns.n_s, nn.n,
+      |    ABS(cs.cum_s * nn.n - cg.cum * ns.n_s) * cs.gap AS t
+      |  FROM cs JOIN cg USING (v) JOIN ns USING (source) CROSS JOIN nn
+      |  WHERE cs.gap IS NOT NULL)
+      |SELECT source, CAST(MIN(n_s) AS BIGINT) AS n_s,
+      |  round(CAST(SUM(t) AS DOUBLE) / (CAST(MIN(n_s) AS DOUBLE) * MIN(n)), 6) AS wasserstein
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_confusion_stats" -> (qConfusionStats(_, _)),
     "q_cohen_kappa" -> (qCohenKappa(_, _)),
     "q_psi" -> (qPsi(_, _)),
-    "ann_matryoshka" -> (annMatryoshka(_, _)))
+    "ann_matryoshka" -> (annMatryoshka(_, _)),
+    "ta_oov_rate" -> (taOovRate(_, _)),
+    "ta_wasserstein" -> (taWasserstein(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_confusion_stats" -> qConfusionStatsSql,
     "q_cohen_kappa" -> qCohenKappaSql,
     "q_psi" -> qPsiSql,
-    "ann_matryoshka" -> annMatryoshkaSql)
+    "ann_matryoshka" -> annMatryoshkaSql,
+    "ta_oov_rate" -> taOovRateSql,
+    "ta_wasserstein" -> taWassersteinSql)
 }

@@ -30,6 +30,24 @@ class EvalOps2Spec extends SparkSuite {
     assert(r.getAs[Long]("n_bins") >= 2)
   }
 
+  test("ta_oov_rate: rates in [0,1); token totals partition the corpus stream") {
+    val rows = EvalOps2.taOovRate(sc, sfDir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0 && rate < 1)
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("ta_wasserstein: non-negative, zero only for identical distributions") {
+    val rows = EvalOps2.taWasserstein(sc, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("wasserstein") >= 0))
+    // at least one source differs from the corpus blend
+    assert(rows.exists(_.getAs[Double]("wasserstein") > 0))
+  }
+
   test("ann_matryoshka: recall in (0, 1], prefix list is k-deep") {
     val r = EvalOps2.annMatryoshka(sc, sfDir).head()
     assert(r.getAs[Long]("k") == 10)
