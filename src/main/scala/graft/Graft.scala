@@ -114,6 +114,7 @@ object Graft {
     def gapFill(s: SparkSession, dir: String): DataFrame = operators.Analytics5.qGapFill(s, dir)
     def bucketedJoin(s: SparkSession, dir: String): DataFrame = operators.ScaleOps.qBucketedJoin(s, dir)
     def dataCard(s: SparkSession, dir: String): DataFrame = operators.GovernanceOps.qDataCard(s, dir)
+    def skewProfile(s: SparkSession, dir: String): DataFrame = operators.ScaleOps.qSkewProfile(s, dir)
   }
 
   /** Geospatial (the reference's vehicle-positioning domain). */
@@ -161,6 +162,18 @@ object Graft {
     def bootstrapCi(s: SparkSession, dir: String): DataFrame = operators.EvalOps.qBootstrapCi(s, dir)
     def mutualInformation(s: SparkSession, dir: String): DataFrame = operators.MlOps2.qMutualInformation(s, dir)
     def ksTest(s: SparkSession, dir: String): DataFrame = operators.EvalOps.taKsTest(s, dir)
+    // round-7 wave: confusion/agreement/drift/coverage readouts,
+    // feature encoding, audited release, deterministic sampling
+    def confusionStats(s: SparkSession, dir: String): DataFrame = operators.EvalOps2.qConfusionStats(s, dir)
+    def cohenKappa(s: SparkSession, dir: String): DataFrame = operators.EvalOps2.qCohenKappa(s, dir)
+    def psi(s: SparkSession, dir: String): DataFrame = operators.EvalOps2.qPsi(s, dir)
+    def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = operators.EvalOps2.annMatryoshka(s, dir)
+    def oovRate(s: SparkSession, dir: String): DataFrame = operators.EvalOps2.taOovRate(s, dir)
+    def wasserstein(s: SparkSession, dir: String): DataFrame = operators.EvalOps2.taWasserstein(s, dir)
+    def targetEncode(s: SparkSession, dir: String): DataFrame = operators.FeatureOps.qTargetEncode(s, dir)
+    def kAnonymity(s: SparkSession, dir: String): DataFrame = operators.FeatureOps.qKAnonymity(s, dir)
+    def reservoirSample(s: SparkSession, dir: String): DataFrame = operators.FeatureOps.qReservoirSample(s, dir)
+    def hybridRrf(s: SparkSession, dir: String): DataFrame = operators.FeatureOps.qHybridRrf(s, dir)
   }
 
   /** Multimodal (binary-column) operators. */
