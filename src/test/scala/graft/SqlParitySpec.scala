@@ -14,7 +14,7 @@ class SqlParitySpec extends SparkSuite {
   /** Every oracle whose SQL text runs UNCHANGED on spark.sql (with the
     * [[graft.functions.SqlCompat]] DuckDB-dialect alias pack
     * registered) with row-identical results — probed exhaustively by
-    * SqlParityProbe, 124 of 253 as of round 7. The rest stay off the
+    * SqlParityProbe, 130 of 264 as of round 7. The rest stay off the
     * list for dialect reasons the pack deliberately does not paper
     * over: `//` integer division and QUALIFY (parse level), 1-based
     * subscripts (q_array_funcs), base64 chunking (q_encode_funcs),
@@ -36,11 +36,11 @@ class SqlParitySpec extends SparkSuite {
     "q_ab_test", "q_anomaly_zscore", "q_anti_join", "q_assoc_rules",
     "q_auc", "q_autocorr", "q_bfs_dist", "q_bitwise_funcs",
     "q_bucketed_join", "q_calibration", "q_changepoint", "q_cond_funcs",
-    "q_context_chunks", "q_cross_join", "q_cube", "q_data_card",
+    "q_context_chunks", "q_confusion_stats", "q_cross_join", "q_cube", "q_data_card",
     "q_dedup_keep_latest", "q_distinct_agg", "q_domain_mix", "q_dq_checks",
     "q_empty_agg", "q_entropy", "q_equidepth_bucketize", "q_ewma",
     "q_forecast_snaive", "q_forget_user", "q_full_outer_join", "q_funnel",
-    "q_gap_fill", "q_geomean", "q_grouping_sets", "q_having",
+    "q_gap_fill", "q_geomean", "q_grouping_sets", "q_having", "q_hybrid_rrf", "q_k_anonymity",
     "q_hist_quantiles", "q_histogram", "q_in_subquery", "q_incr_agg",
     "q_item_cf", "q_json_funcs", "q_kcore", "q_label_prop",
     "q_lateral_topn", "q_length_buckets", "q_link_predict",
@@ -51,12 +51,14 @@ class SqlParitySpec extends SparkSuite {
     "q_salted_join", "q_scalar_subquery", "q_scd2", "q_seasonal_profile",
     "q_semi_join", "q_sessionize", "q_set_except", "q_set_intersect",
     "q_skyline", "q_snapshot_diff", "q_stats_agg", "q_string_advanced",
+    "q_target_encode",
     "q_token_budget", "q_trig_funcs", "q_tumbling_window", "q_typed_agg",
     "q_typed_cogroup", "q_ucb_bandit", "q_union_distinct", "q_unpivot",
     "q_values_lookup", "q_window_dist", "q_window_first_last",
     "q_window_frame", "q_window_lag", "q_window_rank", "q_zipf_fit",
     "q_zorder", "ta_bm25", "ta_bpe", "ta_heavy_hitters", "ta_ks_test",
-    "ta_langid_profile", "ta_nb_langid", "ta_sentiment", "ta_tfidf")
+    "ta_langid_profile", "ta_nb_langid", "ta_oov_rate", "ta_sentiment",
+    "ta_tfidf", "ta_wasserstein")
 
   test("ANSI oracle SQL runs on spark.sql with identical results") {
     val s = sc
