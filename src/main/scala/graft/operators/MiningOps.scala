@@ -178,6 +178,80 @@ object MiningOps {
        |FROM test t JOIN pred p USING (qid)
        |GROUP BY 1, 2 ORDER BY true_label, predicted""".stripMargin
 
+  // --------------------------------------------------------------- q_mrr
+
+  /** Mean reciprocal rank of the kNN retrieval against the held-out
+    * labels: for each test query, the rank (within the top-[[KnnK]]
+    * list) of the FIRST neighbor sharing its label; MRR averages the
+    * reciprocal ranks, zero for label-miss queries. The ranker is the
+    * same bounded-heap top-k the classifier uses; the rank window only
+    * ever sees k rows per query. Reciprocal ranks are 10⁻⁶-quantized
+    * integers (rank ≤ k, so the table of values is tiny and exact);
+    * the mean is one final division.
+    */
+  def qMrr(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(expr("graft_norm_sq_f(embedding)")).as("nrm"))
+    val test = e.where(col("vec_id") % TestMod === 0)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val train = e.where(col("vec_id") % TestMod =!= 0)
+    val pairs = train.crossJoin(broadcast(test))
+      .select(col("qid"), col("vec_id").as("nbr"), col("label").as("nbr_label"),
+        (expr("graft_dot_f(embedding, qe)") / (col("nrm") * col("qn"))).as("cosine"))
+    val topk = graft.plans.GroupedTopK(
+      pairs, s, Seq(col("qid")), col("cosine"), col("nbr"), KnnK)
+    val ranked = topk.withColumn("rnk", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("qid")
+        .orderBy(desc("cosine"), asc("nbr"))).cast(LongType))
+    val firstHit = ranked
+      .join(test.select(col("qid"), col("true_label")), "qid")
+      .where(col("nbr_label") === col("true_label"))
+      .groupBy("qid").agg(min("rnk").as("first_rank"))
+    test.select("qid").join(firstHit, Seq("qid"), "left")
+      .select(when(col("first_rank").isNotNull,
+        floor(round(lit(1.0) / col("first_rank"), 6) * 1000000L + 0.5).cast(LongType))
+        .otherwise(0L).as("rr_q"),
+        when(col("first_rank").isNotNull, 1L).otherwise(0L).as("hit"))
+      .agg(count(lit(1)).as("n_queries"), sum("hit").as("n_hit"),
+        sum("rr_q").as("rr_sum_q"))
+      .select(col("n_queries"), col("n_hit"),
+        round(col("rr_sum_q").cast(DoubleType) / 1000000.0 /
+          col("n_queries").cast(DoubleType), 6).as("mrr"))
+  }
+
+  private val qMrrSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |test AS (
+       |  SELECT vec_id AS qid, label AS true_label, embedding AS qe, nrm AS qn
+       |  FROM e WHERE vec_id % $TestMod = 0),
+       |train AS (SELECT * FROM e WHERE vec_id % $TestMod <> 0),
+       |pairs AS (
+       |  SELECT t.qid, tr.vec_id AS nbr, tr.label AS nbr_label,
+       |    ${dotSql("tr.embedding", "t.qe")} / (tr.nrm * t.qn) AS cosine
+       |  FROM train tr CROSS JOIN test t),
+       |ranked AS (
+       |  SELECT qid, nbr_label,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, nbr ASC) AS BIGINT) AS rnk
+       |  FROM pairs
+       |  QUALIFY rnk <= $KnnK),
+       |fh AS (
+       |  SELECT r.qid, CAST(MIN(r.rnk) AS BIGINT) AS first_rank
+       |  FROM ranked r JOIN test t USING (qid)
+       |  WHERE r.nbr_label = t.true_label GROUP BY r.qid),
+       |rr AS (
+       |  SELECT CASE WHEN fh.first_rank IS NOT NULL
+       |    THEN CAST(floor(round(1.0 / fh.first_rank, 6) * 1000000 + 0.5) AS BIGINT)
+       |    ELSE 0 END AS rr_q,
+       |    CASE WHEN fh.first_rank IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM test LEFT JOIN fh USING (qid))
+       |SELECT COUNT(*) AS n_queries, CAST(SUM(hit) AS BIGINT) AS n_hit,
+       |  round(CAST(SUM(rr_q) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS mrr
+       |FROM rr""".stripMargin
+
   // ------------------------------------------------------- knn classify, IVF
 
   private val KnnNProbe = 2
@@ -415,6 +489,7 @@ object MiningOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_assoc_rules" -> (qAssocRules(_, _)),
     "q_knn_classify" -> (qKnnClassify(_, _)),
+    "q_mrr" -> (qMrr(_, _)),
     "q_knn_ivf" -> (qKnnIvf(_, _)),
     "q_seq_mining" -> (qSeqMining(_, _)),
     "q_skyline" -> (qSkyline(_, _)))
@@ -422,6 +497,7 @@ object MiningOps {
   def oracles: Map[String, String] = Map(
     "q_assoc_rules" -> qAssocRulesSql,
     "q_knn_classify" -> qKnnClassifySql,
+    "q_mrr" -> qMrrSql,
     "q_knn_ivf" -> qKnnIvfSql,
     "q_seq_mining" -> qSeqMiningSql,
     "q_skyline" -> qSkylineSql)
