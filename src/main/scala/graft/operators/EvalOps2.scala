@@ -179,6 +179,104 @@ object EvalOps2 {
        |SELECT COUNT(*) AS n_bins, CAST(SUM(term_q) AS DOUBLE) / $PsiQ.0 AS psi
        |FROM terms""".stripMargin
 
+  // ------------------------------------------------------------ q_gini
+
+  /** Gini concentration of customer revenue — the inequality readout a
+    * data-mix planner runs on any weight distribution (revenue here;
+    * tokens-per-source or docs-per-domain identically). Uses the
+    * rank-sum identity G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) computed
+    * ENTIRELY on the distinct-revenue value histogram: a tie group
+    * (value v, count c, min-rank r) contributes v·(c·r + c(c−1)/2) —
+    * integers throughout, one cumulative window over distinct values
+    * (bounded by the value domain), one final division. Row-count
+    * bound: terms grow as n²·max_cents — int64-exact to ~10⁶ customers
+    * at this price domain; beyond, pre-divide ranks to fixed point.
+    */
+  def qGini(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType)).as("cents"))
+    val hist = per.groupBy("cents").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cumc", sum("c").over(
+      org.apache.spark.sql.expressions.Window.orderBy("cents")))
+    // min-rank of the tie group = cumc − c + 1
+    val agg = cum.select(col("cents"), col("c"),
+        (col("cents") * (col("c") * (col("cumc") - col("c") + 1) +
+          call_function("div", col("c") * (col("c") - 1), lit(2L)))).as("ri"),
+        (col("cents") * col("c")).as("sx"))
+      .agg(sum("ri").as("sri"), sum("sx").as("ssx"), sum("c").as("n"))
+    agg.select(col("n"),
+      (col("ssx").cast(DoubleType) / 100.0).as("total_revenue"),
+      round((lit(2.0) * col("sri") - (col("n") + 1).cast(DoubleType) * col("ssx")) /
+        (col("n").cast(DoubleType) * col("ssx").cast(DoubleType)), 6).as("gini"))
+  }
+
+  private val qGiniSql =
+    """WITH per AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |hist AS (SELECT cents, COUNT(*) AS c FROM per GROUP BY cents),
+      |cum AS (SELECT cents, c,
+      |          CAST(SUM(c) OVER (ORDER BY cents) AS BIGINT) AS cumc FROM hist),
+      |a AS (
+      |  SELECT CAST(SUM(cents * (c * (cumc - c + 1) + (c * (c - 1)) // 2)) AS BIGINT) AS sri,
+      |         CAST(SUM(cents * c) AS BIGINT) AS ssx,
+      |         CAST(SUM(c) AS BIGINT) AS n
+      |  FROM cum)
+      |SELECT n, CAST(ssx AS DOUBLE) / 100.0 AS total_revenue,
+      |  round((2.0 * sri - CAST(n + 1 AS DOUBLE) * ssx)
+      |    / (CAST(n AS DOUBLE) * CAST(ssx AS DOUBLE)), 6) AS gini
+      |FROM a""".stripMargin
+
+  // ------------------------------------------------------ q_ht_estimate
+
+  private val HtPct = 10L // 10 % deterministic hash sample
+
+  /** Horvitz–Thompson estimation from the deterministic hash sample:
+    * the total-revenue estimate Σ x/π over the π = 10 % sample next to
+    * the true total and the relative error — the estimator every
+    * sampled pipeline audit should publish with its point numbers.
+    * Membership is the q_hash_sample portable-hash rule, so the sample
+    * (and hence the estimate) is reproducible across engines and
+    * re-runs. Exact decimal sums; two final divisions.
+    */
+  def qHtEstimate(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.PortableHash.hash64(
+      concat(lit("ht:"), col("o_orderkey").cast(StringType))) % 100
+    val o = Tables(s, dir, "orders").select(
+      (h < HtPct).as("in_s"),
+      (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
+    o.agg(count(lit(1)).as("n"),
+        sum(when(col("in_s"), 1L).otherwise(0L)).as("n_sampled"),
+        sum("cents").as("true_c"),
+        sum(when(col("in_s"), col("cents")).otherwise(0L)).as("samp_c"))
+      .select(col("n"), col("n_sampled"),
+        (col("samp_c").cast(DoubleType) * (100.0 / HtPct) / 100.0).as("est_total"),
+        (col("true_c").cast(DoubleType) / 100.0).as("true_total"),
+        round(abs(col("samp_c").cast(DoubleType) * (100.0 / HtPct) - col("true_c").cast(DoubleType)) /
+          col("true_c").cast(DoubleType), 6).as("rel_err"))
+  }
+
+  private val qHtEstimateSql = {
+    val h = graft.functions.PortableHash.sql("'ht:' || CAST(o_orderkey AS VARCHAR)")
+    s"""WITH o AS (
+       |  SELECT ($h % 100) < $HtPct AS in_s,
+       |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+       |  FROM orders),
+       |a AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |    CAST(SUM(cents) AS BIGINT) AS true_c,
+       |    CAST(SUM(CASE WHEN in_s THEN cents ELSE 0 END) AS BIGINT) AS samp_c
+       |  FROM o)
+       |SELECT n, n_sampled,
+       |  CAST(samp_c AS DOUBLE) * (100.0 / $HtPct) / 100.0 AS est_total,
+       |  CAST(true_c AS DOUBLE) / 100.0 AS true_total,
+       |  round(ABS(CAST(samp_c AS DOUBLE) * (100.0 / $HtPct) - CAST(true_c AS DOUBLE))
+       |    / CAST(true_c AS DOUBLE), 6) AS rel_err
+       |FROM a""".stripMargin
+  }
+
   // ----------------------------------------------------- ann_matryoshka
 
   private val MatK = 10
@@ -348,6 +446,8 @@ object EvalOps2 {
     "q_psi" -> (qPsi(_, _)),
     "ann_matryoshka" -> (annMatryoshka(_, _)),
     "ta_oov_rate" -> (taOovRate(_, _)),
+    "q_gini" -> (qGini(_, _)),
+    "q_ht_estimate" -> (qHtEstimate(_, _)),
     "ta_wasserstein" -> (taWasserstein(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -356,5 +456,7 @@ object EvalOps2 {
     "q_psi" -> qPsiSql,
     "ann_matryoshka" -> annMatryoshkaSql,
     "ta_oov_rate" -> taOovRateSql,
+    "q_gini" -> qGiniSql,
+    "q_ht_estimate" -> qHtEstimateSql,
     "ta_wasserstein" -> taWassersteinSql)
 }
