@@ -25,7 +25,7 @@ object EvalOps {
     * bucket. `bktOrd` must order buckets consistently with the row
     * order's leading component (asc or desc).
     */
-  private def rnBucketed(df: DataFrame, bkt: Column, bktOrd: Column,
+  private[graft] def rnBucketed(df: DataFrame, bkt: Column, bktOrd: Column,
       ord: Seq[Column]): DataFrame = {
     val base = df.withColumn("_b", bkt)
     val offs = base.groupBy("_b").agg(count(lit(1)).as("_c"))
@@ -49,7 +49,7 @@ object EvalOps {
     * against cell population and scales with the id range (a deploy
     * knob, fixed here for the oracle).
     */
-  private def rnValueId(df: DataFrame, key: Column, keyAsc: Boolean,
+  private[graft] def rnValueId(df: DataFrame, key: Column, keyAsc: Boolean,
       id: Column, idShift: Int): DataFrame = {
     val kOrd = if (keyAsc) asc("_k") else desc("_k")
     val base = df.withColumn("_k", key).withColumn("_i", id)
@@ -79,7 +79,7 @@ object EvalOps {
     * bit-identical to the window function without its single-partition
     * sort. (When N < n the else-branch is unreachable: cut = N.)
     */
-  private def ntileBin(n: Int, rn: Column, nTot: Column): Column = {
+  private[graft] def ntileBin(n: Int, rn: Column, nTot: Column): Column = {
     def idiv(a: Column, b: Column) = call_function("div", a, b) // exact IntegralDivide
     val q = idiv(nTot.cast(LongType), lit(n.toLong))
     val r = nTot.cast(LongType) % n
