@@ -814,7 +814,7 @@ object GraftExpressions {
   // Registration
   // ---------------------------------------------------------------------
 
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[functions] val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot_f" -> (es => DotProductF(es(0), es(1))),
     "graft_norm_sq_f" -> (es => L2NormSqF(es.head)),
     "graft_hash64" -> (es => Hash64Prefix(es.head)),
@@ -861,21 +861,32 @@ object GraftExpressions {
 
 /** Proper deployment path: `SparkSession.builder().withExtensions(new
   * GraftExtensions)` (or `spark.sql.extensions=graft.functions
-  * .GraftExtensions`) injects the functions at session build time plus
-  * the self-dot optimizer rule.
+  * .GraftExtensions`) gives the COMPLETE engine at session build time
+  * with zero runtime registration: every graft_* kernel (the float
+  * fast-path variants included), the self-dot optimizer rule, and the
+  * custom physical operators' planner strategies (GroupedTopK,
+  * AsOfJoin). A cluster submit needs only the jar and this one conf.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   override def apply(e: SparkSessionExtensions): Unit = {
+    // the float fast-path pair keeps its dedicated ExpressionInfo (the
+    // optimizer rule rewrites into these, so docs matter); the rest of
+    // the kernel registry injects uniformly
     e.injectFunction((FunctionIdentifier("graft_dot_f"),
       new ExpressionInfo(classOf[GraftExpressions.DotProductF].getName, "graft_dot_f"),
       (es: Seq[Expression]) => GraftExpressions.DotProductF(es(0), es(1))))
     e.injectFunction((FunctionIdentifier("graft_norm_sq_f"),
       new ExpressionInfo(classOf[GraftExpressions.L2NormSqF].getName, "graft_norm_sq_f"),
       (es: Seq[Expression]) => GraftExpressions.L2NormSqF(es.head)))
-    e.injectFunction((FunctionIdentifier("graft_kmv_distinct"),
-      new ExpressionInfo(classOf[GraftExpressions.KmvDistinct].getName, "graft_kmv_distinct"),
-      (es: Seq[Expression]) => GraftExpressions.KmvDistinct(es.head).toAggregateExpression()))
+    GraftExpressions.fns.foreach { case (name, builder) =>
+      if (name != "graft_dot_f" && name != "graft_norm_sq_f")
+        e.injectFunction((FunctionIdentifier(name),
+          new ExpressionInfo("graft.functions.GraftExpressions", name),
+          builder))
+    }
     e.injectOptimizerRule(_ => GraftExpressions.RewriteSelfDot)
+    e.injectPlannerStrategy(_ => graft.plans.GroupedTopK.strategy)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoin.strategy)
   }
 }

@@ -148,4 +148,16 @@ class GraftExpressionsSpec extends SparkSuite {
     }
     a.foreach { case (_, g) => assert(g >= mn && g <= mx) }
   }
+
+  test("GraftExtensions wires every kernel and both planner strategies without error") {
+    // The shared test JVM already owns a SparkContext, so a session
+    // built THROUGH spark.sql.extensions can't be constructed here;
+    // the wiring itself (one injectFunction per registry kernel, the
+    // self-dot rule, GroupedTopK + AsOfJoin strategies) must at least
+    // apply cleanly to a fresh extensions object — a missing builder
+    // or duplicate identifier throws at this point. The strategies and
+    // every kernel are behavior-tested through the registered queries.
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(e)
+  }
 }
