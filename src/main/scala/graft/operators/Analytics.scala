@@ -176,7 +176,7 @@ object Analytics {
     val common = size(array_intersect(
       array_intersect(slice(merged, lit(1), kEff), col("ska")), col("skb")))
     val estU = est(merged)
-    val jac = common.cast(DoubleType) / kEff
+    val jac = common.cast(DoubleType) / greatest(kEff, lit(1)) // empty sketches: 0/1, not 0/0
     sketch("R", "ska").crossJoin(sketch("A", "skb")).crossJoin(exact)
       .select(
         est(col("ska")).as("est_r"),

@@ -141,7 +141,12 @@ object GraphOps {
     // labels only ever decrease, so Σlbl is strictly monotone until the
     // fixpoint — an unchanged sum IS convergence (one cheap aggregate
     // per round instead of a join + count against the previous state)
-    var prevSum = labels.agg(sum("lbl")).head().getLong(0)
+    // null-safe: sum over an EMPTY label set is NULL (an empty pair
+    // graph is a legal input — e.g. a corpus with no near-dups)
+    def lblSum(df: DataFrame): Long = {
+      val r = df.agg(sum("lbl")).head(); if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = lblSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < MaxIters) {
@@ -157,7 +162,7 @@ object GraphOps {
           col("lbl1") === col("p"))
         .select(col("doc_id"), least(col("lbl1"), col("plbl")).as("lbl"))
         .localCheckpoint()
-      val s = next.agg(sum("lbl")).head().getLong(0)
+      val s = lblSum(next)
       labels = next
       converged = s == prevSum
       prevSum = s

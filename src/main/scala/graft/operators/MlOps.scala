@@ -394,7 +394,12 @@ object MlOps {
     val e = edges.localCheckpoint()
     var labels = e.select(col("ea").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint()
-    var prevSum = labels.agg(sum("lbl")).head().getLong(0)
+    // null-safe: sum over an EMPTY label set is NULL (an empty pair
+    // graph is a legal input — e.g. a corpus with no near-dups)
+    def lblSum(df: DataFrame): Long = {
+      val r = df.agg(sum("lbl")).head(); if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = lblSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
@@ -405,7 +410,7 @@ object MlOps {
           col("lbl1") === col("p"))
         .select(col("node"), least(col("lbl1"), col("plbl")).as("lbl"))
         .localCheckpoint()
-      val sm = next.agg(sum("lbl")).head().getLong(0)
+      val sm = lblSum(next)
       labels = next
       converged = sm == prevSum
       prevSum = sm

@@ -92,7 +92,9 @@ object SpectralOps {
     for (_ <- 1 to rounds) {
       val next = renorm(sums(xq, vq)).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      vq = Array.tabulate(PcaDim)(i => next(i.toLong))
+      // empty corpus → empty round → zero iterate (queries then
+      // reduce to empty results instead of a driver lookup crash)
+      vq = Array.tabulate(PcaDim)(i => next.getOrElse(i.toLong, 0L))
     }
     vq
   }
@@ -227,8 +229,9 @@ object SpectralOps {
     for (_ <- 1 until PcaIters) {
       val sArr = sums(xq, w).collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // getOrElse: an empty corpus yields an empty round (see iterate)
       w = renormL(orthL(renormL(
-        Array.tabulate(PcaDim)(i => sArr(i)))))
+        Array.tabulate(PcaDim)(i => sArr.getOrElse(i, 0L)))))
     }
     // final round, declarative: renorm → orthogonalize vs broadcast v1
     // → renorm, all via 1-row-aggregate cross-joins
