@@ -181,7 +181,7 @@ object GraphOps {
   /** Reusable CTE chain ending in `comp(doc_id, component)` — shared by
     * the components oracle and downstream consumers (keep-best).
     */
-  private[operators] val componentsSqlChain =
+  private[graft] val componentsSqlChain =
     s"""${DedupOps.pairsSqlChain},
        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
        |comp AS (

@@ -35,7 +35,7 @@ object Pipelines {
   private val stopListSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** The ta_quality composite score (same formula as TextAnalysis). */
-  private def qualityScore: Column = {
+  private[operators] def qualityScore: Column = {
     val nToks = size(toks)
     val stopRatio = size(filter(toks, t => t.isin(Stopwords.map(x => x: Any): _*)))
       .cast(DoubleType) / nToks
@@ -44,7 +44,7 @@ object Pipelines {
       (least(nToks.cast(DoubleType) / lit(100.0), lit(1.0)) * lit(0.2))
   }
 
-  private val qualityScoreSql =
+  private[operators] val qualityScoreSql =
     s"""((CAST(len(list_filter(toks, t -> list_contains($stopListSql, t))) AS DOUBLE) / len(toks)) * 0.4
        | + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4
        | + least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.2)""".stripMargin.replace("\n", "")
@@ -288,13 +288,77 @@ object Pipelines {
       |WHERE chunk_start < n_chars
       |ORDER BY doc_id, chunk_start""".stripMargin
 
+  // ---------------------------------------------------- q_curation_funnel
+
+  /** The curation funnel report — the observability table a data team
+    * reads after every pipeline run: docs and tokens surviving each
+    * cumulative stage (raw → quality ≥ 0.33 → exact keep-first dedup →
+    * near-dup component collapse) with retention against raw. Stage
+    * semantics reuse the exact building blocks already oracle-verified
+    * in isolation (ta_pipeline's filter + keep-first, dd_components'
+    * labels — a doc survives stage 3 iff it IS its component's min
+    * representative, components being corpus-global). Cost: one corpus
+    * scan per stage aggregate plus the memoized component labels;
+    * every statistic is an integer count/sum, retention one division.
+    */
+  def qCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        size(toks).cast(LongType).as("ntok"), qualityScore.as("q"),
+        md5(col("text")).as("h"))
+    val s1 = base.where(col("q") >= 0.33)
+    val keepers = s1.groupBy("h").agg(min("doc_id").as("doc_id"))
+    val s2 = s1.join(keepers, Seq("h", "doc_id"), "left_semi")
+    val nonReps = GraphOps.ddComponents(s, dir)
+      .where(col("component") =!= col("doc_id")).select("doc_id")
+    val s3 = s2.join(nonReps, Seq("doc_id"), "left_anti")
+    def stage(df: DataFrame, id: Int, name: String) =
+      df.agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+        .select(lit(id.toLong).as("stage_id"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    val raw = base.agg(count(lit(1)).as("raw_docs"))
+    stage(base, 0, "raw")
+      .union(stage(s1, 1, "quality"))
+      .union(stage(s2, 2, "exact_dedup"))
+      .union(stage(s3, 3, "neardup_dedup"))
+      .crossJoin(broadcast(raw))
+      .select(col("stage_id"), col("stage"), col("n_docs"), col("n_tokens"),
+        // greatest(.,1): an empty corpus reports 0/1 retention, not 0/0
+        round(col("n_docs").cast(DoubleType) /
+          greatest(col("raw_docs"), lit(1L)).cast(DoubleType), 6).as("retention"))
+      .orderBy("stage_id")
+  }
+
+  private val qCurationFunnelSql =
+    s"""WITH ${GraphOps.componentsSqlChain},
+       |d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+       |base AS (SELECT doc_id, md5(text) AS h,
+       |           CAST(len(toks) AS BIGINT) AS ntok, $qualityScoreSql AS q FROM d),
+       |s1 AS (SELECT * FROM base WHERE q >= 0.33),
+       |s2 AS (SELECT s1.* FROM s1
+       |       JOIN (SELECT h, min(doc_id) AS doc_id FROM s1 GROUP BY h) k
+       |       USING (h, doc_id)),
+       |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN
+       |       (SELECT doc_id FROM comp WHERE component <> doc_id)),
+       |raw AS (SELECT COUNT(*) AS raw_docs FROM base),
+       |st AS (
+       |  SELECT 0 AS stage_id, 'raw' AS stage, COUNT(*) AS n_docs,
+       |    CAST(SUM(ntok) AS BIGINT) AS n_tokens FROM base
+       |  UNION ALL SELECT 1, 'quality', COUNT(*), CAST(SUM(ntok) AS BIGINT) FROM s1
+       |  UNION ALL SELECT 2, 'exact_dedup', COUNT(*), CAST(SUM(ntok) AS BIGINT) FROM s2
+       |  UNION ALL SELECT 3, 'neardup_dedup', COUNT(*), CAST(SUM(ntok) AS BIGINT) FROM s3)
+       |SELECT CAST(stage_id AS BIGINT) AS stage_id, stage, n_docs, n_tokens,
+       |  round(CAST(n_docs AS DOUBLE) / greatest(raw_docs, 1), 6) AS retention
+       |FROM st CROSS JOIN raw ORDER BY stage_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_packing" -> (qDocPacking(_, _)),
     "q_context_chunks" -> (qContextChunks(_, _)),
     "ta_pipeline" -> (taPipeline(_, _)),
     "q_stratified_sample" -> (qStratifiedSample(_, _)),
     "dd_cosine_lsh" -> (ddCosineLsh(_, _)),
-    "mm_frame_sample" -> (mmFrameSample(_, _)))
+    "mm_frame_sample" -> (mmFrameSample(_, _)),
+    "q_curation_funnel" -> (qCurationFunnel(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_doc_packing" -> qDocPackingSql,
@@ -302,5 +366,6 @@ object Pipelines {
     "ta_pipeline" -> taPipelineSql,
     "q_stratified_sample" -> qStratifiedSampleSql,
     "dd_cosine_lsh" -> ddCosineLshSql,
-    "mm_frame_sample" -> mmFrameSampleSql)
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "q_curation_funnel" -> qCurationFunnelSql)
 }
