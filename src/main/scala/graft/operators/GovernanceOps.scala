@@ -217,13 +217,46 @@ object GovernanceOps {
       |JOIN dd ON dd.source = b.source
       |ORDER BY b.source""".stripMargin
 
+  // ------------------------------------------------------- l-diversity
+
+  private val LThreshold = 3L
+
+  /** l-diversity audit (Machanavajjhala et al., ICDE'06) — the release
+    * gate run after `q_k_anonymity`: a quasi-identifier group is safe
+    * to publish only if its sensitive attribute takes ≥ l distinct
+    * values (k-anonymity alone leaks when a group is homogeneous).
+    * Quasi-identifiers here are (nation, market segment); the
+    * sensitive attribute is the account-balance band. One groupBy with
+    * a distinct-count — map-side combinable on (QI, band) first, so
+    * the pass scales as the number of distinct pairs, not rows.
+    */
+  def qLDiversity(s: SparkSession, dir: String): DataFrame = {
+    val band = floor(col("c_acctbal") / 1000d).cast(LongType)
+    Tables(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"), band.as("band"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col("band")).as("l_distinct"))
+      .withColumn("meets_l", col("l_distinct") >= LThreshold)
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  private val qLDiversitySql =
+    s"""SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size,
+       |  COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l_distinct,
+       |  COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= $LThreshold AS meets_l
+       |FROM customer GROUP BY c_nationkey, c_mktsegment
+       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dq_checks" -> (qDqChecks(_, _)),
     "q_forget_user" -> (qForgetUser(_, _)),
-    "q_data_card" -> (qDataCard(_, _)))
+    "q_data_card" -> (qDataCard(_, _)),
+    "q_l_diversity" -> (qLDiversity(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_dq_checks" -> qDqChecksSql,
     "q_forget_user" -> qForgetUserSql,
-    "q_data_card" -> qDataCardSql)
+    "q_data_card" -> qDataCardSql,
+    "q_l_diversity" -> qLDiversitySql)
 }

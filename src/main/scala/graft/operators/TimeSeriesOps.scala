@@ -525,7 +525,67 @@ object TimeSeriesOps {
        |  round(CAST(SUM(eq) AS DOUBLE) / $FcQ / CAST(COUNT(*) AS DOUBLE), 6) AS mae
        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------- Theil–Sen
+
+  /** Theil–Sen robust trend estimator over each event type's daily
+    * volume: the median of all pairwise slopes — immune to the outlier
+    * days that wreck an OLS fit (`q_ols`). The corpus collapses to one
+    * (type, day, count) row per active day first, so the pairwise
+    * self-join is bounded by days², a function of the time range and
+    * never of row count (a decade is ~6.6 M pairs per type). The
+    * median is the rank-selected LOWER median — `(n+1)/2` over the
+    * deterministic (slope, day-pair) order — so both engines pick the
+    * identical element and no interpolation enters; slopes themselves
+    * are single IEEE divisions of integer counts, bit-equal across
+    * engines. The rank window partitions by event type (bounded input
+    * per partition: the pair table, not the corpus).
+    */
+  def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).cast(LongType).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = daily.select(col("event_type"), col("d").as("d1"), col("cnt").as("c1"))
+    val b = daily.select(col("event_type"), col("d").as("d2"), col("cnt").as("c2"))
+    val pairs = a.join(b, Seq("event_type")).where(col("d1") < col("d2"))
+      .select(col("event_type"), col("d1"), col("d2"),
+        ((col("c2") - col("c1")).cast(DoubleType) /
+          (col("d2") - col("d1")).cast(DoubleType)).as("slope"))
+    val w = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    val nDays = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    pairs
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy("event_type")))
+      .where(col("rn") === floor((col("n_pairs") + 1) / 2d))
+      .join(nDays, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        round(col("slope"), 6).as("ts_slope"))
+      .orderBy("event_type")
+  }
+
+  private val qTheilSenSql =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.event_type, a.d AS d1, b.d AS d2,
+      |    CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+      |  FROM daily a JOIN daily b ON b.event_type = a.event_type AND a.d < b.d),
+      |ranked AS (
+      |  SELECT event_type, slope,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope, d1, d2) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+      |  FROM pairs),
+      |nd AS (SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1)
+      |SELECT r.event_type, nd.n_days, r.n_pairs, round(r.slope, 6) AS ts_slope
+      |FROM ranked r JOIN nd ON nd.event_type = r.event_type
+      |WHERE r.rn = CAST(floor((r.n_pairs + 1) / 2.0) AS BIGINT)
+      |ORDER BY r.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theil_sen" -> (qTheilSen(_, _)),
     "q_forecast_snaive" -> (qForecastSnaive(_, _)),
     "q_autocorr" -> (qAutocorr(_, _)),
     "q_changepoint" -> (qChangepoint(_, _)),
@@ -536,6 +596,7 @@ object TimeSeriesOps {
     "q_attribution" -> (qAttribution(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_theil_sen" -> qTheilSenSql,
     "q_forecast_snaive" -> qForecastSnaiveSql,
     "q_autocorr" -> qAutocorrSql,
     "q_changepoint" -> qChangepointSql,
