@@ -73,6 +73,7 @@ object Graft {
     def urlCanonical(s: SparkSession, dir: String): DataFrame = operators.CurationOps2.ddUrlDedup(s, dir)
     def supershinglePairs(s: SparkSession, dir: String): DataFrame = operators.CurationOps3.ddSupershingle(s, dir)
     def tfidfCosinePairs(s: SparkSession, dir: String): DataFrame = operators.CurationOps3.taTfidfCosine(s, dir)
+    def entityResolve(s: SparkSession, dir: String): DataFrame = operators.LinkageOps.qEntityResolve(s, dir)
   }
 
   /** Similarity search over an embeddings table. */
@@ -101,6 +102,8 @@ object Graft {
     def weightedSample(s: SparkSession, dir: String): DataFrame = operators.TrainingOps2.qWeightedSample(s, dir)
     def outlierTrim(s: SparkSession, dir: String): DataFrame = operators.TrainingOps2.qOutlierTrim(s, dir)
     def dsirWeights(s: SparkSession, dir: String): DataFrame = operators.CurationOps2.taDsir(s, dir)
+    def shardPlan(s: SparkSession, dir: String): DataFrame = operators.LayoutOps.qShardPlan(s, dir)
+    def curationFunnel(s: SparkSession, dir: String): DataFrame = operators.Pipelines.qCurationFunnel(s, dir)
   }
 
   /** Warehouse/ops utilities. */
@@ -115,6 +118,7 @@ object Graft {
     def bucketedJoin(s: SparkSession, dir: String): DataFrame = operators.ScaleOps.qBucketedJoin(s, dir)
     def dataCard(s: SparkSession, dir: String): DataFrame = operators.GovernanceOps.qDataCard(s, dir)
     def skewProfile(s: SparkSession, dir: String): DataFrame = operators.ScaleOps.qSkewProfile(s, dir)
+    def zoneMapReport(s: SparkSession, dir: String): DataFrame = operators.LayoutOps.qZoneMap(s, dir)
   }
 
   /** Geospatial (the reference's vehicle-positioning domain). */
@@ -172,6 +176,8 @@ object Graft {
     def wasserstein(s: SparkSession, dir: String): DataFrame = operators.EvalOps2.taWasserstein(s, dir)
     def targetEncode(s: SparkSession, dir: String): DataFrame = operators.FeatureOps.qTargetEncode(s, dir)
     def kAnonymity(s: SparkSession, dir: String): DataFrame = operators.FeatureOps.qKAnonymity(s, dir)
+    def lDiversity(s: SparkSession, dir: String): DataFrame = operators.GovernanceOps.qLDiversity(s, dir)
+    def theilSen(s: SparkSession, dir: String): DataFrame = operators.TimeSeriesOps.qTheilSen(s, dir)
     def reservoirSample(s: SparkSession, dir: String): DataFrame = operators.FeatureOps.qReservoirSample(s, dir)
     def hybridRrf(s: SparkSession, dir: String): DataFrame = operators.FeatureOps.qHybridRrf(s, dir)
   }

@@ -18,5 +18,11 @@ class GraftFacadeSpec extends SparkSuite {
     assert(Graft.ml.bootstrapCi(sc, sfDir).count() == 5)
     assert(Graft.text.perplexityBuckets(sc, sfDir).count() > 0)
     assert(Graft.dedup.supershinglePairs(sc, sfDir).count() > 0)
+    assert(Graft.dedup.entityResolve(sc, sfDir).count() > 0)
+    assert(Graft.training.shardPlan(sc, sfDir).count() > 0)
+    assert(Graft.training.curationFunnel(sc, sfDir).count() == 4)
+    assert(Graft.ops.zoneMapReport(sc, sfDir).count() == 4)
+    assert(Graft.ml.lDiversity(sc, sfDir).count() > 0)
+    assert(Graft.ml.theilSen(sc, sfDir).count() == 5)
   }
 }
