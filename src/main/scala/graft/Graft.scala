@@ -119,6 +119,7 @@ object Graft {
     def dataCard(s: SparkSession, dir: String): DataFrame = operators.GovernanceOps.qDataCard(s, dir)
     def skewProfile(s: SparkSession, dir: String): DataFrame = operators.ScaleOps.qSkewProfile(s, dir)
     def zoneMapReport(s: SparkSession, dir: String): DataFrame = operators.LayoutOps.qZoneMap(s, dir)
+    def joinSizeEstimate(s: SparkSession, dir: String): DataFrame = operators.Analytics.qJoinSizeEst(s, dir)
   }
 
   /** Geospatial (the reference's vehicle-positioning domain). */
@@ -178,6 +179,7 @@ object Graft {
     def kAnonymity(s: SparkSession, dir: String): DataFrame = operators.FeatureOps.qKAnonymity(s, dir)
     def lDiversity(s: SparkSession, dir: String): DataFrame = operators.GovernanceOps.qLDiversity(s, dir)
     def theilSen(s: SparkSession, dir: String): DataFrame = operators.TimeSeriesOps.qTheilSen(s, dir)
+    def madOutliers(s: SparkSession, dir: String): DataFrame = operators.TimeSeriesOps.qMadOutlier(s, dir)
     def reservoirSample(s: SparkSession, dir: String): DataFrame = operators.FeatureOps.qReservoirSample(s, dir)
     def hybridRrf(s: SparkSession, dir: String): DataFrame = operators.FeatureOps.qHybridRrf(s, dir)
   }

@@ -26,7 +26,8 @@ object SqlParityProbe {
           else s"DIFFER ${viaSql.size} vs ${viaDf.size}"
         } catch {
           case e: Exception =>
-            "ERR " + Option(e.getMessage).getOrElse("?").linesIterator.next().take(110)
+            "ERR " + Option(e.getMessage).getOrElse("?").linesIterator
+              .map(_.trim).find(_.nonEmpty).getOrElse("?").take(160)
         }
       println(s"[parity] $name: $status")
     }

@@ -241,6 +241,125 @@ object Analytics {
        |FROM counts CROSS JOIN stats CROSS JOIN ex""".stripMargin
   }
 
+  /** Sketch-driven JOIN-SIZE estimation — what a cost-based planner
+    * does before committing to a join strategy at 100 TB: estimate
+    * |orders ⋈ customer| from two 2 KB KMV sketches plus the row
+    * counts the catalog already has, never running the join. The
+    * estimator is the classic distinct-value model: |L ⋈ R| ≈
+    * D̂(∩) · (|L|/D̂(L)) · (|R|/D̂(R)), with D̂(∩) from the KMV set
+    * algebra ([[qKmvSetOps]], Beyer et al. SIGMOD'07). Every estimate
+    * is floored to BIGINT before feeding the next term, so the double
+    * chain stays short and bit-identical in the oracle (which
+    * replicates the sketch hash in HUGEINT splitmix64). The exact
+    * join count rides along to grade the estimate.
+    */
+  def qJoinSizeEst(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(s)
+    val k = 256
+    val ord = Tables(s, dir, "orders")
+    val cust = Tables(s, dir, "customer")
+    val skO = ord.agg(expr(s"graft_kmv_values(o_custkey, $k)").as("sko"),
+      count(lit(1)).as("n_rows_o"))
+    val skC = cust.agg(expr(s"graft_kmv_values(c_custkey, $k)").as("skc"),
+      count(lit(1)).as("n_rows_c"))
+    val exact = ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      .agg(count(lit(1)).as("exact_join_rows"))
+    def est(arr: Column): Column =
+      when(size(arr) < k, size(arr).cast(LongType))
+        .otherwise(floor(lit((k - 1).toDouble) * lit(9.223372036854776e18)
+          / element_at(arr, k).cast(DoubleType) + 0.5).cast(LongType))
+    val merged = array_sort(array_union(col("sko"), col("skc")))
+    val kEff = least(size(merged), lit(k))
+    val common = size(array_intersect(
+      array_intersect(slice(merged, lit(1), kEff), col("sko")), col("skc")))
+    val jac = common.cast(DoubleType) / greatest(kEff, lit(1))
+    skO.crossJoin(skC).crossJoin(exact)
+      .select(col("sko"), col("skc"), col("n_rows_o"), col("n_rows_c"),
+        col("exact_join_rows"),
+        est(col("sko")).as("est_keys_o"), est(col("skc")).as("est_keys_c"),
+        floor(jac * est(merged).cast(DoubleType) + 0.5).cast(LongType)
+          .as("est_key_overlap"))
+      .select(col("n_rows_o"), col("n_rows_c"),
+        col("est_keys_o"), col("est_keys_c"), col("est_key_overlap"),
+        floor(col("est_key_overlap").cast(DoubleType)
+          * (col("n_rows_o").cast(DoubleType) /
+             greatest(col("est_keys_o"), lit(1L)).cast(DoubleType))
+          * (col("n_rows_c").cast(DoubleType) /
+             greatest(col("est_keys_c"), lit(1L)).cast(DoubleType)) + 0.5)
+          .cast(LongType).as("est_join_rows"),
+        col("exact_join_rows"))
+      .withColumn("rel_err",
+        round(abs(col("est_join_rows") - col("exact_join_rows")).cast(DoubleType) /
+          greatest(col("exact_join_rows"), lit(1L)).cast(DoubleType), 6))
+  }
+
+  private val qJoinSizeEstSql = {
+    val c1 = BigInt("9e3779b97f4a7c15", 16)
+    val c2 = BigInt("bf58476d1ce4e5b9", 16)
+    val c3 = BigInt("94d049bb133111eb", 16)
+    val k = 256
+    val estExpr = (n: String, kv: String) =>
+      s"CASE WHEN $n < $k THEN CAST($n AS BIGINT) ELSE CAST(floor(${k - 1}.0 * 9.223372036854776e18 / CAST($kv AS DOUBLE) + 0.5) AS BIGINT) END"
+    s"""WITH vals AS (
+       |  SELECT DISTINCT 'O' AS f, CAST(o_custkey AS HUGEINT) AS v
+       |  FROM orders WHERE o_custkey IS NOT NULL
+       |  UNION
+       |  SELECT DISTINCT 'C' AS f, CAST(c_custkey AS HUGEINT) AS v
+       |  FROM customer WHERE c_custkey IS NOT NULL),
+       |s0 AS (SELECT f, (v + $c1) % $M64 AS u FROM vals),
+       |s1 AS (SELECT f, ${xor64("u", "(u // 1073741824)")} AS x FROM s0),
+       |s2 AS (SELECT f, ${mulMod("x", c2)} AS u2 FROM s1),
+       |s3 AS (SELECT f, ${xor64("u2", "(u2 // 134217728)")} AS x2 FROM s2),
+       |s4 AS (SELECT f, ${mulMod("x2", c3)} AS u3 FROM s3),
+       |s5 AS (SELECT f, ${xor64("u3", "(u3 // 2147483648)")} AS h FROM s4),
+       |sk AS (SELECT f, kv FROM (
+       |    SELECT f, h // 2 AS kv,
+       |      row_number() OVER (PARTITION BY f ORDER BY (h // 2) ASC) AS rk
+       |    FROM (SELECT DISTINCT f, h FROM s5)) WHERE rk <= $k),
+       |counts AS (SELECT
+       |    (SELECT COUNT(*) FROM sk WHERE f = 'O') AS n_o,
+       |    (SELECT COUNT(*) FROM sk WHERE f = 'C') AS n_c),
+       |m AS (SELECT kv, row_number() OVER (ORDER BY kv ASC) AS rk,
+       |             COUNT(*) OVER () AS n
+       |      FROM (SELECT DISTINCT kv FROM sk)),
+       |mk AS (SELECT kv, n FROM m WHERE rk <= least(n, $k)),
+       |stats AS (SELECT
+       |    (SELECT max(n) FROM m) AS n_m,
+       |    (SELECT max(kv) FROM m WHERE rk = $k) AS kth_m,
+       |    (SELECT COUNT(*) FROM mk
+       |       WHERE kv IN (SELECT kv FROM sk WHERE f = 'O')
+       |         AND kv IN (SELECT kv FROM sk WHERE f = 'C')) AS common,
+       |    (SELECT least(max(n), $k) FROM m) AS k_eff,
+       |    (SELECT max(kv) FROM (SELECT kv, row_number() OVER (ORDER BY kv ASC) AS rk
+       |                          FROM (SELECT DISTINCT kv FROM sk WHERE f = 'O')) WHERE rk = $k) AS kth_o,
+       |    (SELECT max(kv) FROM (SELECT kv, row_number() OVER (ORDER BY kv ASC) AS rk
+       |                          FROM (SELECT DISTINCT kv FROM sk WHERE f = 'C')) WHERE rk = $k) AS kth_c),
+       |rows_tab AS (SELECT
+       |    (SELECT COUNT(*) FROM orders) AS n_rows_o,
+       |    (SELECT COUNT(*) FROM customer) AS n_rows_c,
+       |    (SELECT COUNT(*) FROM orders JOIN customer ON o_custkey = c_custkey)
+       |      AS exact_join_rows),
+       |ests AS (SELECT
+       |    ${estExpr("counts.n_o", "stats.kth_o")} AS est_keys_o,
+       |    ${estExpr("counts.n_c", "stats.kth_c")} AS est_keys_c,
+       |    CAST(floor((CAST(stats.common AS DOUBLE) / greatest(stats.k_eff, 1))
+       |      * CAST(${estExpr("stats.n_m", "stats.kth_m")} AS DOUBLE) + 0.5) AS BIGINT)
+       |      AS est_key_overlap
+       |  FROM counts CROSS JOIN stats)
+       |SELECT r.n_rows_o, r.n_rows_c, e.est_keys_o, e.est_keys_c, e.est_key_overlap,
+       |  CAST(floor(CAST(e.est_key_overlap AS DOUBLE)
+       |    * (CAST(r.n_rows_o AS DOUBLE) / CAST(greatest(e.est_keys_o, 1) AS DOUBLE))
+       |    * (CAST(r.n_rows_c AS DOUBLE) / CAST(greatest(e.est_keys_c, 1) AS DOUBLE))
+       |    + 0.5) AS BIGINT) AS est_join_rows,
+       |  r.exact_join_rows,
+       |  round(CAST(abs(CAST(floor(CAST(e.est_key_overlap AS DOUBLE)
+       |      * (CAST(r.n_rows_o AS DOUBLE) / CAST(greatest(e.est_keys_o, 1) AS DOUBLE))
+       |      * (CAST(r.n_rows_c AS DOUBLE) / CAST(greatest(e.est_keys_c, 1) AS DOUBLE))
+       |      + 0.5) AS BIGINT) - r.exact_join_rows) AS DOUBLE)
+       |    / CAST(greatest(r.exact_join_rows, 1) AS DOUBLE), 6) AS rel_err
+       |FROM rows_tab r CROSS JOIN ests e""".stripMargin
+  }
+
   /** Distinct-count family: exact distinct (shuffle on key) — the
     * scale-path approximate variant is qApproxDistinctKmv (KMV sketch).
     */
@@ -820,6 +939,7 @@ object Analytics {
     "q_stats_agg" -> (qStatsAgg(_, _)),
     "q_approx_distinct_kmv" -> (qApproxDistinctKmv(_, _)),
     "q_kmv_set_ops" -> (qKmvSetOps(_, _)),
+    "q_join_size_est" -> (qJoinSizeEst(_, _)),
     "q_rollup" -> (qRollup(_, _)),
     "q_cube" -> (qCube(_, _)),
     "q_grouping_sets" -> (qGroupingSets(_, _)),
@@ -846,6 +966,7 @@ object Analytics {
   def oracles: Map[String, String] = Map(
     "q_approx_distinct_kmv" -> qApproxDistinctKmvSql,
     "q_kmv_set_ops" -> qKmvSetOpsSql,
+    "q_join_size_est" -> qJoinSizeEstSql,
     "q1_pricing_summary" -> q1Sql,
     "q2_topk_orders" -> q2Sql,
     "q3_shipping_priority" -> q3Sql,

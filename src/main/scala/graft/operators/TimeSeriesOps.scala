@@ -525,6 +525,89 @@ object TimeSeriesOps {
        |  round(CAST(SUM(eq) AS DOUBLE) / $FcQ / CAST(COUNT(*) AS DOUBLE), 6) AS mae
        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------ MAD outliers
+
+  /** Robust outlier detection per event type: flag values beyond
+    * 3·1.4826·MAD of the median (the Hampel rule — immune to the very
+    * outliers it hunts, unlike `q_anomaly_zscore`'s moment-based
+    * z-score). Both the median and the MAD are rank-selected LOWER
+    * medians computed on VALUE-LEVEL cents histograms (one groupBy to
+    * (type, cents), cumulative windows over distinct cents only — the
+    * `ta_ks_test` shape), so nothing corpus-sized ever enters a
+    * window and the whole query is two aggregate passes plus
+    * bounded-cardinality joins. The outlier count folds over the same
+    * histogram. Threshold arithmetic is one fixed double chain over
+    * exact integers, identical in the oracle.
+    */
+  def qMadOutlier(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events").where(col("value").isNotNull)
+      .select(col("event_type"), cents(col("value")).as("vc"))
+    val hist = ev.groupBy("event_type", "vc").agg(count(lit(1)).as("c"))
+    val n = hist.groupBy("event_type").agg(sum("c").as("n"))
+    val medRank = floor((col("n") + 1) / 2d)
+    val med = hist
+      .withColumn("cum", sum("c").over(Window.partitionBy("event_type").orderBy("vc")))
+      .join(n, Seq("event_type"))
+      .where(col("cum") >= medRank)
+      .groupBy("event_type").agg(min("vc").as("med"))
+    val dev = hist.join(med, Seq("event_type"))
+      .groupBy(col("event_type"), abs(col("vc") - col("med")).as("ad"))
+      .agg(sum("c").as("c"))
+    val mad = dev
+      .withColumn("cum", sum("c").over(Window.partitionBy("event_type").orderBy("ad")))
+      .join(n, Seq("event_type"))
+      .where(col("cum") >= medRank)
+      .groupBy("event_type").agg(min("ad").as("mad"))
+    val thr = lit(3d) * lit(1.4826d) * col("mad").cast(DoubleType)
+    dev.join(mad, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(sum("c").as("n"), first("mad").as("madc"),
+        sum(when(col("ad").cast(DoubleType) > thr, col("c")).otherwise(0L))
+          .as("n_outliers"))
+      .join(med, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        round(col("med").cast(DoubleType) / 100d, 6).as("median"),
+        round(col("madc").cast(DoubleType) / 100d, 6).as("mad"),
+        col("n_outliers"),
+        round(col("n_outliers").cast(DoubleType) /
+          greatest(col("n"), lit(1L)).cast(DoubleType), 6).as("outlier_rate"))
+      .orderBy("event_type")
+  }
+
+  private val qMadOutlierSql =
+    s"""WITH ev AS (
+       |  SELECT event_type, $CentsSql AS vc FROM events WHERE value IS NOT NULL),
+       |hist AS (SELECT event_type, vc, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+       |n AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+       |med AS (
+       |  SELECT h.event_type, min(h.vc) AS med FROM (
+       |    SELECT event_type, vc,
+       |      CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY vc) AS BIGINT) AS cum
+       |    FROM hist) h JOIN n ON n.event_type = h.event_type
+       |  WHERE h.cum >= floor((n.n + 1) / 2.0) GROUP BY h.event_type),
+       |dev AS (
+       |  SELECT h.event_type, abs(h.vc - m.med) AS ad, CAST(SUM(h.c) AS BIGINT) AS c
+       |  FROM hist h JOIN med m ON m.event_type = h.event_type GROUP BY 1, 2),
+       |mad AS (
+       |  SELECT d.event_type, min(d.ad) AS mad FROM (
+       |    SELECT event_type, ad,
+       |      CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY ad) AS BIGINT) AS cum
+       |    FROM dev) d JOIN n ON n.event_type = d.event_type
+       |  WHERE d.cum >= floor((n.n + 1) / 2.0) GROUP BY d.event_type),
+       |agg AS (
+       |  SELECT d.event_type, CAST(SUM(d.c) AS BIGINT) AS n, min(md.mad) AS madc,
+       |    CAST(SUM(CASE WHEN CAST(d.ad AS DOUBLE) > 3.0 * 1.4826 * CAST(md.mad AS DOUBLE)
+       |             THEN d.c ELSE 0 END) AS BIGINT) AS n_outliers
+       |  FROM dev d JOIN mad md ON md.event_type = d.event_type GROUP BY d.event_type)
+       |SELECT a.event_type, a.n,
+       |  round(CAST(m.med AS DOUBLE) / 100.0, 6) AS median,
+       |  round(CAST(a.madc AS DOUBLE) / 100.0, 6) AS mad,
+       |  a.n_outliers,
+       |  round(CAST(a.n_outliers AS DOUBLE) / CAST(greatest(a.n, 1) AS DOUBLE), 6)
+       |    AS outlier_rate
+       |FROM agg a JOIN med m ON m.event_type = a.event_type
+       |ORDER BY a.event_type""".stripMargin
+
   // ------------------------------------------------------- Theil–Sen
 
   /** Theil–Sen robust trend estimator over each event type's daily
@@ -586,6 +669,7 @@ object TimeSeriesOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_theil_sen" -> (qTheilSen(_, _)),
+    "q_mad_outlier" -> (qMadOutlier(_, _)),
     "q_forecast_snaive" -> (qForecastSnaive(_, _)),
     "q_autocorr" -> (qAutocorr(_, _)),
     "q_changepoint" -> (qChangepoint(_, _)),
@@ -597,6 +681,7 @@ object TimeSeriesOps {
 
   def oracles: Map[String, String] = Map(
     "q_theil_sen" -> qTheilSenSql,
+    "q_mad_outlier" -> qMadOutlierSql,
     "q_forecast_snaive" -> qForecastSnaiveSql,
     "q_autocorr" -> qAutocorrSql,
     "q_changepoint" -> qChangepointSql,
