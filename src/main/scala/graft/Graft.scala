@@ -104,6 +104,7 @@ object Graft {
     def dsirWeights(s: SparkSession, dir: String): DataFrame = operators.CurationOps2.taDsir(s, dir)
     def shardPlan(s: SparkSession, dir: String): DataFrame = operators.LayoutOps.qShardPlan(s, dir)
     def curationFunnel(s: SparkSession, dir: String): DataFrame = operators.Pipelines.qCurationFunnel(s, dir)
+    def domainCap(s: SparkSession, dir: String): DataFrame = operators.TrainingOps2.qDomainCap(s, dir)
   }
 
   /** Warehouse/ops utilities. */
@@ -120,6 +121,7 @@ object Graft {
     def skewProfile(s: SparkSession, dir: String): DataFrame = operators.ScaleOps.qSkewProfile(s, dir)
     def zoneMapReport(s: SparkSession, dir: String): DataFrame = operators.LayoutOps.qZoneMap(s, dir)
     def joinSizeEstimate(s: SparkSession, dir: String): DataFrame = operators.Analytics.qJoinSizeEst(s, dir)
+    def bloomSkipReport(s: SparkSession, dir: String): DataFrame = operators.LayoutOps.qBloomSkip(s, dir)
   }
 
   /** Geospatial (the reference's vehicle-positioning domain). */

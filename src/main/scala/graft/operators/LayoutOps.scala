@@ -139,11 +139,105 @@ object LayoutOps {
        |ORDER BY layout, predicate""".stripMargin
   }
 
+  // ---------------------------------------------------------- bloom skip
+
+  private val BloomBits = 8192
+  private val BloomSeeds = Seq(21, 22, 23)
+  private val NProbes = 20
+
+  /** File-level Bloom-filter skipping audit — the point-lookup
+    * companion to [[qZoneMap]]'s range pruning (the Parquet
+    * bloom_filter / Iceberg skip-index decision): build a 3-hash,
+    * 8192-bit membership filter per file over the part key, probe 20
+    * point-lookup keys, and report per key how many files the filter
+    * admits vs how many truly contain the key — the false-positive
+    * overhead a scanner would pay. The filter is modeled as a DISTINCT
+    * (file, bit-position) relation so both engines compute it exactly
+    * (a deployment stores per-file bitmaps; the admit rule — all k
+    * probe positions set — is the same). One corpus pass builds the
+    * positions (bounded by files × bits); probes are tiny joins.
+    * Bloom's no-false-negative guarantee shows up as
+    * n_candidates ≥ n_true on every row.
+    */
+  def qBloomSkip(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(floor(col("l_orderkey") / FileRows).cast(LongType).as("file_id"),
+        col("l_partkey"))
+    def posCols(key: Column) = array(BloomSeeds.map(seed =>
+      PortableHash.hash64(key.cast(StringType), seed) % BloomBits): _*)
+    val filePos = li
+      .select(col("file_id"), explode(posCols(col("l_partkey"))).as("pos"))
+      .distinct()
+    val probes = s.range(NProbes.toLong).select((col("id") * 100 + 7).as("probe_key"))
+    val probePos = probes
+      .select(col("probe_key"), explode(posCols(col("probe_key"))).as("pos"))
+      .distinct()
+    val needed = probePos.groupBy("probe_key").agg(count(lit(1)).as("np"))
+    val admitted = probePos.join(filePos, Seq("pos"))
+      .groupBy("probe_key", "file_id").agg(count(lit(1)).as("nm"))
+      .join(needed, Seq("probe_key"))
+      .where(col("nm") === col("np"))
+      .groupBy("probe_key").agg(count(lit(1)).as("n_candidates"))
+    val truth = li.distinct()
+      .join(probes, li("l_partkey") === probes("probe_key"))
+      .groupBy("probe_key").agg(count(lit(1)).as("n_true"))
+    val nFiles = li.select("file_id").distinct().agg(count(lit(1)).as("n_files"))
+    probes.crossJoin(broadcast(nFiles))
+      .join(admitted, Seq("probe_key"), "left_outer")
+      .join(truth, Seq("probe_key"), "left_outer")
+      .select(col("probe_key"), col("n_files"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        (coalesce(col("n_candidates"), lit(0L)) -
+          coalesce(col("n_true"), lit(0L))).as("n_false_pos"))
+      .orderBy("probe_key")
+  }
+
+  private val qBloomSkipSql = {
+    def pos(e: String, seed: Int) =
+      s"${PortableHash.sql(s"CAST($e AS VARCHAR)", seed)} % $BloomBits"
+    def posUnion(src: String, idCol: String, e: String) =
+      BloomSeeds.map(sd =>
+        s"SELECT $idCol, ${pos(e, sd)} AS pos FROM $src").mkString("\n  UNION\n  ")
+    s"""WITH li AS (
+       |  SELECT CAST(floor(l_orderkey / $FileRows) AS BIGINT) AS file_id, l_partkey
+       |  FROM lineitem),
+       |file_pos AS (
+       |  ${posUnion("li", "file_id", "l_partkey")}),
+       |probes AS (SELECT CAST(i * 100 + 7 AS BIGINT) AS probe_key
+       |           FROM range(0, $NProbes) t(i)),
+       |probe_pos AS (
+       |  ${posUnion("probes", "probe_key", "probe_key")}),
+       |needed AS (SELECT probe_key, COUNT(*) AS np FROM probe_pos GROUP BY 1),
+       |admitted AS (
+       |  SELECT probe_key, COUNT(*) AS n_candidates FROM (
+       |    SELECT p.probe_key, f.file_id, COUNT(*) AS nm
+       |    FROM probe_pos p JOIN file_pos f ON f.pos = p.pos
+       |    GROUP BY p.probe_key, f.file_id) m
+       |  JOIN needed n USING (probe_key)
+       |  WHERE m.nm = n.np GROUP BY probe_key),
+       |truth AS (
+       |  SELECT p.probe_key, COUNT(*) AS n_true FROM (
+       |    SELECT DISTINCT file_id, l_partkey FROM li) d
+       |  JOIN probes p ON p.probe_key = d.l_partkey GROUP BY 1),
+       |nf AS (SELECT COUNT(DISTINCT file_id) AS n_files FROM li)
+       |SELECT p.probe_key, nf.n_files,
+       |  coalesce(a.n_candidates, 0) AS n_candidates,
+       |  coalesce(t.n_true, 0) AS n_true,
+       |  coalesce(a.n_candidates, 0) - coalesce(t.n_true, 0) AS n_false_pos
+       |FROM probes p CROSS JOIN nf
+       |LEFT JOIN admitted a USING (probe_key)
+       |LEFT JOIN truth t USING (probe_key)
+       |ORDER BY p.probe_key""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_shard_plan" -> (qShardPlan(_, _)),
-    "q_zone_map" -> (qZoneMap(_, _)))
+    "q_zone_map" -> (qZoneMap(_, _)),
+    "q_bloom_skip" -> (qBloomSkip(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_shard_plan" -> qShardPlanSql,
-    "q_zone_map" -> qZoneMapSql)
+    "q_zone_map" -> qZoneMapSql,
+    "q_bloom_skip" -> qBloomSkipSql)
 }

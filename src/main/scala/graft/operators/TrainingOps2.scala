@@ -188,13 +188,58 @@ object TrainingOps2 {
        |  CAST(SUM(CAST(floor(cv * $PriceScale) AS BIGINT)) AS BIGINT) AS sum_winsor_q
        |FROM c""".stripMargin
 
+  // ------------------------------------------------------- domain cap
+
+  private val DomainCap = 10
+
+  /** Per-domain cap sampling — the curation rule "no source may
+    * contribute more than N documents" that keeps a crawl's megadomain
+    * from dominating the training mix (the Gopher/C4 recipe next to
+    * `q_domain_mix`'s proportional targets). Selection is the N
+    * smallest portable hashes per source, so membership is a pure
+    * function of the doc id: re-runs, incremental loads and other
+    * workers agree on the kept set with no coordination. Runs through
+    * the [[graft.plans.GroupedTopK]] physical operator — per-group
+    * bounded heaps, one shuffle by source, never a full per-source
+    * sort; the oracle is DuckDB's window formulation, so two different
+    * algorithms must agree row-for-row.
+    */
+  def qDomainCap(s: SparkSession, dir: String): DataFrame = {
+    // % 2^50 keeps the selection key inside double-exact range: the
+    // GroupedTopK heap compares order keys as Double, and a raw 60-bit
+    // hash would let two distinct keys collide at double precision
+    // (breaking the tie differently than the oracle's exact BIGINT
+    // order). Folded to 50 bits, any double-equal pair is exactly
+    // equal in both engines and falls through to the doc_id tiebreak.
+    val h = PortableHash.hash64(concat(lit("cap:"), col("doc_id").cast(StringType))) %
+      lit(1125899906842624L)
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        h.as("h"))
+    graft.plans.GroupedTopK(docs, s,
+        Seq(col("source")), lit(0L) - col("h"), col("doc_id"), DomainCap)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .orderBy("source", "doc_id")
+  }
+
+  private val qDomainCapSql = {
+    val h = PortableHash.sql("'cap:' || CAST(doc_id AS VARCHAR)") +
+      " % 1125899906842624"
+    s"""SELECT doc_id, source, lang, n_chars FROM documents
+       |QUALIFY row_number() OVER (PARTITION BY source ORDER BY $h ASC, doc_id ASC)
+       |  <= $DomainCap
+       |ORDER BY source, doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_domain_cap" -> (qDomainCap(_, _)),
     "q_domain_mix" -> (qDomainMix(_, _)),
     "q_token_budget" -> (qTokenBudget(_, _)),
     "q_weighted_sample" -> (qWeightedSample(_, _)),
     "q_outlier_trim" -> (qOutlierTrim(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_domain_cap" -> qDomainCapSql,
     "q_domain_mix" -> qDomainMixSql,
     "q_token_budget" -> qTokenBudgetSql,
     "q_weighted_sample" -> qWeightedSampleSql,
