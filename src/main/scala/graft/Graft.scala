@@ -114,6 +114,7 @@ object Graft {
     def scd2(s: SparkSession, dir: String): DataFrame = operators.Analytics5.qScd2(s, dir)
     def keepLatest(s: SparkSession, dir: String): DataFrame = operators.Analytics5.qDedupKeepLatest(s, dir)
     def incrementalAgg(s: SparkSession, dir: String): DataFrame = operators.ScaleOps.qIncrAgg(s, dir)
+    def incrementalJoin(s: SparkSession, dir: String): DataFrame = operators.ScaleOps.qIncrJoin(s, dir)
     def zorderKey(s: SparkSession, dir: String): DataFrame = operators.ScaleOps.qZorder(s, dir)
     def gapFill(s: SparkSession, dir: String): DataFrame = operators.Analytics5.qGapFill(s, dir)
     def bucketedJoin(s: SparkSession, dir: String): DataFrame = operators.ScaleOps.qBucketedJoin(s, dir)
@@ -122,6 +123,7 @@ object Graft {
     def zoneMapReport(s: SparkSession, dir: String): DataFrame = operators.LayoutOps.qZoneMap(s, dir)
     def joinSizeEstimate(s: SparkSession, dir: String): DataFrame = operators.Analytics.qJoinSizeEst(s, dir)
     def bloomSkipReport(s: SparkSession, dir: String): DataFrame = operators.LayoutOps.qBloomSkip(s, dir)
+    def deltaEncodingReport(s: SparkSession, dir: String): DataFrame = operators.LayoutOps.qDeltaEncoding(s, dir)
   }
 
   /** Geospatial (the reference's vehicle-positioning domain). */

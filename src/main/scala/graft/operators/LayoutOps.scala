@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.PortableHash
@@ -231,13 +232,80 @@ object LayoutOps {
        |ORDER BY p.probe_key""".stripMargin
   }
 
+  // ------------------------------------------------------ delta encoding
+
+  /** Delta-encoding advisor — the per-column report behind Parquet's
+    * encoding choice: within each file (insert-order row groups,
+    * [[FileRows]] rows), how many bits does a delta between
+    * consecutive values need vs the raw 64-bit word? The clustered key
+    * (l_orderkey) compresses to a few bits; the unclustered one
+    * (l_partkey) doesn't — the measured gap is the argument for
+    * re-clustering before re-encoding. Bit widths are computed as
+    * binary-string lengths of the per-file max |delta| (integer-exact
+    * in both engines — no float log2), +1 sign bit. The lag windows
+    * partition by file — a CONSTANT [[FileRows]]-row unit of work per
+    * partition regardless of corpus size, the shard-friendly shape.
+    */
+  def qDeltaEncoding(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("file_id").orderBy("l_orderkey", "l_linenumber")
+    val li = Tables(s, dir, "lineitem")
+      .select(floor(col("l_orderkey") / FileRows).cast(LongType).as("file_id"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    def report(colName: String): DataFrame = {
+      val d = li
+        .withColumn("dlt", abs(col(colName) - lag(col(colName), 1).over(w)))
+        .where(col("dlt").isNotNull)
+        .groupBy("file_id")
+        .agg(max("dlt").as("maxd"), count(lit(1)).as("n_deltas"))
+        .withColumn("bits", length(conv(col("maxd").cast(StringType), 10, 2)) + 1)
+      d.agg(count(lit(1)).as("n_files"), sum("n_deltas").as("n_deltas"),
+          sum(col("n_deltas") * col("bits")).as("total_bits"))
+        .select(lit(colName).as("col_name"), col("n_files"), col("n_deltas"),
+          round(col("total_bits").cast(DoubleType) /
+            greatest(col("n_deltas"), lit(1L)).cast(DoubleType), 6)
+            .as("avg_delta_bits"),
+          round(col("total_bits").cast(DoubleType) /
+            greatest(col("n_deltas"), lit(1L)).cast(DoubleType) / 64d, 6)
+            .as("vs_raw64"))
+    }
+    report("l_orderkey").union(report("l_partkey")).orderBy("col_name")
+  }
+
+  private val qDeltaEncodingSql = {
+    def report(c: String) =
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_files,
+         |  CAST(SUM(n_deltas) AS BIGINT) AS n_deltas,
+         |  round(CAST(SUM(n_deltas * bits) AS DOUBLE)
+         |    / CAST(greatest(SUM(n_deltas), 1) AS DOUBLE), 6) AS avg_delta_bits,
+         |  round(CAST(SUM(n_deltas * bits) AS DOUBLE)
+         |    / CAST(greatest(SUM(n_deltas), 1) AS DOUBLE) / 64.0, 6) AS vs_raw64
+         |FROM (
+         |  SELECT file_id, max(dlt) AS maxd, COUNT(*) AS n_deltas,
+         |    length(bin(max(dlt))) + 1 AS bits
+         |  FROM (
+         |    SELECT file_id, abs($c - lag($c, 1) OVER w) AS dlt
+         |    FROM li
+         |    WINDOW w AS (PARTITION BY file_id ORDER BY l_orderkey, l_linenumber))
+         |  WHERE dlt IS NOT NULL GROUP BY file_id)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT CAST(floor(l_orderkey / $FileRows) AS BIGINT) AS file_id,
+       |    l_orderkey, l_linenumber, l_partkey
+       |  FROM lineitem)
+       |${report("l_orderkey")}
+       |UNION ALL
+       |${report("l_partkey")}
+       |ORDER BY col_name""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_shard_plan" -> (qShardPlan(_, _)),
     "q_zone_map" -> (qZoneMap(_, _)),
-    "q_bloom_skip" -> (qBloomSkip(_, _)))
+    "q_bloom_skip" -> (qBloomSkip(_, _)),
+    "q_delta_encoding" -> (qDeltaEncoding(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_shard_plan" -> qShardPlanSql,
     "q_zone_map" -> qZoneMapSql,
-    "q_bloom_skip" -> qBloomSkipSql)
+    "q_bloom_skip" -> qBloomSkipSql,
+    "q_delta_encoding" -> qDeltaEncodingSql)
 }

@@ -127,6 +127,75 @@ object ScaleOps {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Incremental JOIN maintenance — the delta-join identity behind
+    * every streaming materialized view: with both sides split into a
+    * materialized base and a new-arrivals delta,
+    * L⋈R = (Lb⋈Rb) ∪ (ΔL⋈Rb) ∪ (Lb⋈ΔR) ∪ (ΔL⋈ΔR), so refreshing the
+    * view costs only the delta terms (each a join of a SMALL relation
+    * against a base that never re-shuffles — at 100 TB the base stays
+    * bucketed by the join key and each refresh probes it with the
+    * delta). The split is the deterministic portable-hash rule (~10%
+    * delta per side). The query computes the full join and the
+    * four-term incremental union and reports both with a consistency
+    * verdict — row counts and DECIMAL-exact revenue must agree.
+    */
+  def qIncrJoin(s: SparkSession, dir: String): DataFrame = {
+    val dec = col("o_totalprice").cast(DecimalType(12, 2))
+    val ord = Tables(s, dir, "orders")
+      .select(col("o_custkey"), dec.as("p"),
+        (graft.functions.PortableHash.hash64(
+          col("o_orderkey").cast(StringType), 31) % 10 === 0).as("dl"))
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"),
+        (graft.functions.PortableHash.hash64(
+          col("c_custkey").cast(StringType), 37) % 10 === 0).as("dc"))
+    // the four REAL incremental joins (what a view refresh executes);
+    // the oracle partitions the one full join by the same flags — two
+    // different plans whose counts and DECIMAL sums must coincide
+    val (lb, ld) = (ord.where(!col("dl")), ord.where(col("dl")))
+    val (rb, rd) = (cust.where(!col("dc")), cust.where(col("dc")))
+    def agg(df: DataFrame, n: String, sm: String) =
+      df.agg(count(lit(1)).as(n), coalesce(sum("p"), lit(0).cast(DecimalType(12, 2))).as(sm))
+    val full = agg(ord.join(cust, Seq("o_custkey")), "full_rows", "full_sum")
+    val mat = agg(lb.join(rb, Seq("o_custkey")), "mat_rows", "mat_sum")
+    val delta = agg(
+      ld.join(rb, Seq("o_custkey"))
+        .unionByName(lb.join(rd, Seq("o_custkey")))
+        .unionByName(ld.join(rd, Seq("o_custkey"))),
+      "delta_rows", "delta_sum")
+    full.crossJoin(mat).crossJoin(delta)
+      .select(col("full_rows"),
+        (col("mat_rows") + col("delta_rows")).as("incr_rows"),
+        col("delta_rows"),
+        col("full_sum").cast(DoubleType).as("full_value"),
+        (col("mat_sum") + col("delta_sum")).cast(DoubleType).as("incr_value"),
+        (col("full_rows") === col("mat_rows") + col("delta_rows") &&
+          col("full_sum") === col("mat_sum") + col("delta_sum")).as("consistent"))
+  }
+
+  private val qIncrJoinSql = {
+    val hl = graft.functions.PortableHash.sql("CAST(o_orderkey AS VARCHAR)", 31)
+    val hc = graft.functions.PortableHash.sql("CAST(c_custkey AS VARCHAR)", 37)
+    s"""WITH j AS (
+       |  SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS p,
+       |    ($hl % 10 = 0) AS dl, ($hc % 10 = 0) AS dc
+       |  FROM orders JOIN customer ON c_custkey = o_custkey),
+       |f AS (SELECT COUNT(*) AS full_rows,
+       |        coalesce(SUM(p), CAST(0 AS DECIMAL(12,2))) AS full_sum FROM j),
+       |m AS (SELECT COUNT(*) AS mat_rows,
+       |        coalesce(SUM(p), CAST(0 AS DECIMAL(12,2))) AS mat_sum
+       |      FROM j WHERE NOT dl AND NOT dc),
+       |d AS (SELECT COUNT(*) AS delta_rows,
+       |        coalesce(SUM(p), CAST(0 AS DECIMAL(12,2))) AS delta_sum
+       |      FROM j WHERE dl OR dc)
+       |SELECT f.full_rows, m.mat_rows + d.delta_rows AS incr_rows, d.delta_rows,
+       |  CAST(f.full_sum AS DOUBLE) AS full_value,
+       |  CAST(m.mat_sum + d.delta_sum AS DOUBLE) AS incr_value,
+       |  (f.full_rows = m.mat_rows + d.delta_rows
+       |    AND f.full_sum = m.mat_sum + d.delta_sum) AS consistent
+       |FROM f CROSS JOIN m CROSS JOIN d""".stripMargin
+  }
+
   /** Column profiling (the data-quality pass before any pipeline run):
     * per-column row/null/distinct counts, numeric min/max. One narrow
     * scan, one aggregate row exploded to a row per column.
@@ -316,6 +385,7 @@ object ScaleOps {
     "q_hash_sample" -> (qHashSample(_, _)),
     "q_train_split" -> (qTrainSplit(_, _)),
     "q_incr_agg" -> (qIncrAgg(_, _)),
+    "q_incr_join" -> (qIncrJoin(_, _)),
     "q_profile" -> (qProfile(_, _)),
     "q_zorder" -> (qZorder(_, _)),
     "q_skew_profile" -> (qSkewProfile(_, _)))
@@ -327,6 +397,7 @@ object ScaleOps {
     "q_hash_sample" -> qHashSampleSql,
     "q_train_split" -> qTrainSplitSql,
     "q_incr_agg" -> qIncrAggSql,
+    "q_incr_join" -> qIncrJoinSql,
     "q_profile" -> qProfileSql,
     "q_zorder" -> qZorderSql,
     "q_skew_profile" -> qSkewProfileSql)
