@@ -141,6 +141,7 @@ object Graft {
     def knnClassify(s: SparkSession, dir: String): DataFrame = operators.MiningOps.qKnnClassify(s, dir)
     def skyline(s: SparkSession, dir: String): DataFrame = operators.MiningOps.qSkyline(s, dir)
     def labelPropCommunities(s: SparkSession, dir: String): DataFrame = operators.GraphOps.qLabelProp(s, dir)
+    def clusteringCoefficients(s: SparkSession, dir: String): DataFrame = operators.GraphOps.qClusteringCoeff(s, dir)
   }
 
   /** In-engine ML primitives (round 11): regression, sketches,

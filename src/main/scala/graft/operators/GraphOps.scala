@@ -676,8 +676,84 @@ object GraphOps {
        |  round(3.0 * t.triangles / w.wedges, 6) AS global_cc
        |FROM cnt c, tri t, wt w""".stripMargin
 
+  /** Per-node clustering coefficient — the local-density readout next
+    * to [[qTriangleCount]]'s global census: cc(v) = 2·T(v)/(d(v)·(d(v)−1)),
+    * the probability two of v's neighbors are themselves connected
+    * (the community-structure signal feeding `q_link_predict`). Same
+    * degree-oriented wedge enumeration as the global count (each
+    * triangle materializes once, at its lowest-degree corner), but the
+    * closure keeps all three corners and explodes them to per-node
+    * counts — one extra |triangles|-sized aggregate over the global
+    * query's cost, still no per-node neighborhood materialization.
+    * Nodes of degree 1 are excluded (coefficient undefined).
+    */
+  def qClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val und = coPairCounts(s, dir)
+      .where(col("src") < col("dst") && col("cnt") >= TriMinSupport)
+      .select(col("src").as("u"), col("dst").as("v"))
+      .localCheckpoint()
+    val deg = und.select(col("u").as("x")).union(und.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val e = und
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+          .as("o"))
+      .select(col("o.s").as("s"), col("o.t").as("t"), col("o.dt").as("dt"))
+      .repartition(math.max(s.sparkContext.defaultParallelism,
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt), col("s"))
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.s") === col("e2.s"))
+      .where(col("e1.dt") < col("e2.dt") ||
+        (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t")))
+      .select(col("e1.s").as("w"), col("e1.t").as("a"), col("e2.t").as("b"))
+    val tri = wedges.join(e.select(col("s").as("a"), col("t").as("b")), Seq("a", "b"))
+    val perNode = tri
+      .select(explode(array(col("w"), col("a"), col("b"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("x"), "left_outer")
+      .where(col("d") >= 2)
+      .select(col("x").as("node"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        round(lit(2.0) * coalesce(col("t"), lit(0L)) /
+          (col("d") * (col("d") - 1)), 6).as("local_cc"))
+      .orderBy("node")
+  }
+
+  private val qClusteringCoeffSql =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |und AS (
+       |  SELECT a.pk AS u, b.pk AS v FROM op a JOIN op b ON a.ok = b.ok
+       |  WHERE a.pk < b.pk GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinSupport),
+       |deg AS (
+       |  SELECT x, COUNT(*) AS d FROM (
+       |    SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und) GROUP BY x),
+       |e AS (
+       |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS s,
+       |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS t,
+       |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN dv.d ELSE du.d END AS dt
+       |  FROM und JOIN deg du ON und.u = du.x JOIN deg dv ON und.v = dv.x),
+       |wedges AS (
+       |  SELECT e1.s AS w, e1.t AS a, e2.t AS b FROM e e1 JOIN e e2 ON e1.s = e2.s
+       |  WHERE e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t)),
+       |tri AS (
+       |  SELECT w.w, w.a, w.b FROM wedges w JOIN e ON e.s = w.a AND e.t = w.b),
+       |pn AS (
+       |  SELECT x, COUNT(*) AS t FROM (
+       |    SELECT w AS x FROM tri UNION ALL SELECT a FROM tri
+       |    UNION ALL SELECT b FROM tri) GROUP BY x)
+       |SELECT deg.x AS node, deg.d AS degree,
+       |  coalesce(pn.t, 0) AS triangles,
+       |  round(2.0 * coalesce(pn.t, 0) / (deg.d * (deg.d - 1)), 6) AS local_cc
+       |FROM deg LEFT JOIN pn ON pn.x = deg.x
+       |WHERE deg.d >= 2 ORDER BY node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_components" -> (ddComponents(_, _)),
+    "q_clustering_coeff" -> (qClusteringCoeff(_, _)),
     "dd_keep_best" -> (ddKeepBest(_, _)),
     "q_pagerank" -> (qPageRank(_, _)),
     "ta_textrank" -> (taTextrank(_, _)),
@@ -687,6 +763,7 @@ object GraphOps {
 
   def oracles: Map[String, String] = Map(
     "dd_components" -> ddComponentsSql,
+    "q_clustering_coeff" -> qClusteringCoeffSql,
     "dd_keep_best" -> ddKeepBestSql,
     "q_pagerank" -> qPageRankSql,
     "ta_textrank" -> taTextrankSql,
