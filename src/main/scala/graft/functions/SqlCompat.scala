@@ -92,15 +92,8 @@ object SqlCompat {
     "from_base64" -> (es => UnBase64(es.head)),
     "xor" -> (es => BitwiseXor(es(0), es(1))),
     "epoch_ms" -> (es => UnixMillis(es.head)),
-    // DuckDB date_diff(unit, start, end); only the 'day' unit over
-    // DATE operands is aliased (→ native DateDiff, arg order swapped)
-    "date_diff" -> { es =>
-      es(0).eval(null).toString match {
-        case "day" => Cast(DateDiff(es(2), es(1)), LongType)
-        case other => throw new IllegalArgumentException(
-          s"date_diff alias supports only 'day', got '$other'")
-      }
-    },
+    // DuckDB bin(x) → binary string; Spark spells it conv(x, 10, 2)
+    "bin" -> (es => Conv(Cast(es.head, StringType), Literal(10), Literal(2))),
     "regexp_matches" -> (es => RLike(es(0), es(1))),
     "json_extract_string" -> (es => GetJsonObject(es(0), es(1))),
     "quantile_cont" -> (es =>

@@ -747,7 +747,7 @@ object GraphOps {
        |    UNION ALL SELECT b FROM tri) GROUP BY x)
        |SELECT deg.x AS node, deg.d AS degree,
        |  coalesce(pn.t, 0) AS triangles,
-       |  round(2.0 * coalesce(pn.t, 0) / (deg.d * (deg.d - 1)), 6) AS local_cc
+       |  round(CAST(2 AS DOUBLE) * coalesce(pn.t, 0) / (deg.d * (deg.d - 1)), 6) AS local_cc
        |FROM deg LEFT JOIN pn ON pn.x = deg.x
        |WHERE deg.d >= 2 ORDER BY node""".stripMargin
 

@@ -14,10 +14,10 @@ class SqlParitySpec extends SparkSuite {
   /** Every oracle whose SQL text runs UNCHANGED on spark.sql (with the
     * [[graft.functions.SqlCompat]] DuckDB-dialect alias pack
     * registered) with row-identical results — probed exhaustively by
-    * SqlParityProbe, 130 of 264 as of round 7. The rest stay off the
+    * SqlParityProbe, 135 of 280 as of round 7's second wave. The rest stay off the
     * list for dialect reasons the pack deliberately does not paper
     * over: `//` integer division and QUALIFY (parse level), 1-based
-    * subscripts (q_array_funcs), base64 chunking (q_encode_funcs),
+    * subscripts (q_array_funcs), quoted date_diff units (q_theil_sen), base64 chunking (q_encode_funcs),
     * INTERVAL arithmetic (q_interval_arith), recursive-CTE UNION
     * semantics, and DuckDB list/variant operators with no exact Spark
     * twin — all exercised against DuckDB by the driver instead.
@@ -58,7 +58,10 @@ class SqlParitySpec extends SparkSuite {
     "q_window_frame", "q_window_lag", "q_window_rank", "q_zipf_fit",
     "q_zorder", "ta_bm25", "ta_bpe", "ta_heavy_hitters", "ta_ks_test",
     "ta_langid_profile", "ta_nb_langid", "ta_oov_rate", "ta_sentiment",
-    "ta_tfidf", "ta_wasserstein")
+    "ta_tfidf", "ta_wasserstein",
+    // round-7 second wave
+    "q_l_diversity", "q_zone_map", "q_delta_encoding", "q_mad_outlier",
+    "q_clustering_coeff")
 
   test("ANSI oracle SQL runs on spark.sql with identical results") {
     val s = sc
