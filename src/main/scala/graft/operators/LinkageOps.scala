@@ -57,10 +57,24 @@ object LinkageOps {
   def qEntityResolve(s: SparkSession, dir: String): DataFrame = {
     val master = Tables(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+    // explicit scoring parallelism (NOTES #27's rule): the dirty side
+    // is byte-small (it inherits the source's 1-2 file splits) but the
+    // per-block cross product is the query's CPU core — spread it over
+    // every core before the broadcast join instead of scoring 9M pairs
+    // in two tasks (47 s -> ~1.5 s at sf0.1)
     val dirty = dirtyNames(Tables(s, dir, "customer"))
+      .repartition(math.max(s.sparkContext.defaultParallelism,
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt))
+    // |len(a) - len(b)| is a levenshtein lower bound: the guard drops
+    // the unmatchable prefix-mangled names (length gap 5) before any
+    // DP runs; the 3-arg levenshtein then runs the BANDED O(n·k)
+    // computation with early exit (-1 past the threshold) instead of
+    // the full O(n²) matrix — same distances for every kept pair
     val cand = dirty.join(master, Seq("c_nationkey"))
-      .withColumn("lev", levenshtein(col("dirty_name"), col("c_name")).cast(LongType))
-      .where(col("lev") <= LevThreshold)
+      .where(abs(length(col("dirty_name")) - length(col("c_name"))) <= LevThreshold)
+      .withColumn("lev",
+        levenshtein(col("dirty_name"), col("c_name"), LevThreshold).cast(LongType))
+      .where(col("lev") >= 0 && col("lev") <= LevThreshold)
       .select("dirty_id", "c_custkey", "lev")
     val best = cand.groupBy("dirty_id").agg(min("lev").as("edit_dist"))
       .withColumnRenamed("dirty_id", "best_id")
