@@ -105,6 +105,7 @@ object Graft {
     def shardPlan(s: SparkSession, dir: String): DataFrame = operators.LayoutOps.qShardPlan(s, dir)
     def curationFunnel(s: SparkSession, dir: String): DataFrame = operators.Pipelines.qCurationFunnel(s, dir)
     def domainCap(s: SparkSession, dir: String): DataFrame = operators.TrainingOps2.qDomainCap(s, dir)
+    def synthSample(s: SparkSession, dir: String): DataFrame = operators.AdvancedOps.qSynthSample(s, dir)
   }
 
   /** Warehouse/ops utilities. */
@@ -185,6 +186,7 @@ object Graft {
     def lDiversity(s: SparkSession, dir: String): DataFrame = operators.GovernanceOps.qLDiversity(s, dir)
     def theilSen(s: SparkSession, dir: String): DataFrame = operators.TimeSeriesOps.qTheilSen(s, dir)
     def madOutliers(s: SparkSession, dir: String): DataFrame = operators.TimeSeriesOps.qMadOutlier(s, dir)
+    def powerAnalysis(s: SparkSession, dir: String): DataFrame = operators.EvalOps2.qPowerAnalysis(s, dir)
     def reservoirSample(s: SparkSession, dir: String): DataFrame = operators.FeatureOps.qReservoirSample(s, dir)
     def hybridRrf(s: SparkSession, dir: String): DataFrame = operators.FeatureOps.qHybridRrf(s, dir)
   }

@@ -232,7 +232,82 @@ object AdvancedOps {
       |  COUNT(*) AS n, min(value) AS mn, max(value) AS mx
       |FROM events, b GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------- synthetic draw
+
+  private val SynthPerType = 100
+  private val SynthQ = 1073741824L // 2^30 uniform-draw modulus
+
+  /** Synthetic data generation by inverse-CDF sampling of the
+    * EMPIRICAL per-type value distribution — the privacy-preserving
+    * "draw a lookalike dataset" op (real values never leave the
+    * histogram; only (value, count) marginals are consulted). The
+    * empirical CDF is the value-level cents histogram with a
+    * per-type cumulative (bounded window, the ta_ks_test shape); each
+    * deterministic draw k ∈ [1, n] then needs the FIRST value whose
+    * cumulative count reaches k — which is exactly an as-of lookup,
+    * so the resolution step runs through the native
+    * [[graft.plans.AsOfJoin]] operator on negated (k, cum) axes
+    * (last −cum ≤ −k ⇔ min cum ≥ k): one exchange + sort per side,
+    * single forward merge, no range-join explosion. Draw indices are
+    * portable-hash uniforms — re-runs regenerate the identical
+    * synthetic set. Oracle: the min-over-qualifying-join formulation,
+    * i.e. a second independent inverse-CDF implementation.
+    */
+  def qSynthSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val hist = Tables(s, dir, "events").where(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 100d + 0.5d).cast(LongType).as("vc"))
+      .groupBy("event_type", "vc").agg(count(lit(1)).as("c"))
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy("event_type").orderBy("vc")))
+    val n = hist.groupBy("event_type").agg(sum("c").as("n"))
+    val probe = n
+      .select(col("event_type"), col("n"),
+        explode(sequence(lit(0), lit(SynthPerType - 1))).as("i"))
+      .withColumn("k",
+        PortableHash.hash64(concat(lit("synth:"), col("event_type"),
+          lit(":"), col("i").cast(StringType))) % SynthQ % col("n") + 1)
+      .select(col("event_type"), col("i").cast(LongType).as("i"), col("k"))
+    val build = hist.select(col("event_type").as("b_type"),
+      col("cum"), col("vc"))
+    graft.plans.AsOfJoin(probe, build, s,
+        graft.functions.PortableHash.hash64(col("event_type")),
+        lit(0L) - col("k"),
+        graft.functions.PortableHash.hash64(col("b_type")),
+        lit(0L) - col("cum"), col("vc"))
+      .select(col("event_type"), col("i"), col("k"),
+        (col("vc").cast(DoubleType) / 100d).as("value"))
+      .orderBy("event_type", "i")
+  }
+
+  private val qSynthSampleSql = {
+    val h = graft.functions.PortableHash.sql(
+      "'synth:' || event_type || ':' || CAST(i AS VARCHAR)")
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+       |  FROM events WHERE value IS NOT NULL),
+       |hist AS (
+       |  SELECT event_type, vc, COUNT(*) AS c,
+       |    CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type ORDER BY vc)
+       |      AS BIGINT) AS cum
+       |  FROM ev GROUP BY event_type, vc),
+       |n AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+       |      FROM hist GROUP BY 1),
+       |probe AS (
+       |  SELECT n.event_type, CAST(t.i AS BIGINT) AS i,
+       |    $h % $SynthQ % n.n + 1 AS k
+       |  FROM n CROSS JOIN range(0, $SynthPerType) t(i))
+       |SELECT p.event_type, p.i, p.k,
+       |  CAST(min(h.vc) AS DOUBLE) / 100.0 AS value
+       |FROM probe p JOIN hist h
+       |  ON h.event_type = p.event_type AND h.cum >= p.k
+       |GROUP BY p.event_type, p.i, p.k
+       |ORDER BY p.event_type, p.i""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_synth_sample" -> (qSynthSample(_, _)),
     "q_equidepth_bucketize" -> (qEquidepthBucketize(_, _)),
     "q_grouped_topk" -> (qGroupedTopK(_, _)),
     "q_asof_join" -> (qAsofJoin(_, _)),
@@ -243,6 +318,7 @@ object AdvancedOps {
     "q_pivot" -> (qPivot(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_synth_sample" -> qSynthSampleSql,
     "q_equidepth_bucketize" -> qEquidepthSql,
     "q_grouped_topk" -> qGroupedTopKSql,
     "q_asof_join" -> qAsofSql,

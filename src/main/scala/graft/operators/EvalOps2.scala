@@ -440,7 +440,71 @@ object EvalOps2 {
 
   // ------------------------------------------------------------ registry
 
+  // ------------------------------------------------------ power analysis
+
+  private val ZAlpha = 1.959964 // two-sided α = 0.05
+  private val ZBeta = 0.841621  // power 80 %
+  private val MdeFrac = 0.05    // detect a 5 % lift of the mean
+
+  /** A/B sample-size calculator — the experiment-design step BEFORE
+    * `q_ab_test` reads one out: per event type, the per-arm n needed
+    * to detect a [[MdeFrac]] lift of the observed mean at α = 0.05 /
+    * 80 % power, n = 2(z_α+z_β)²σ²/δ². Variance comes from the exact
+    * integer cents moments (n, Σq, Σq²) of one map-side-combinable
+    * pass — the engine-exact moment technique every readout here uses
+    * — and the z constants are fixed literals, so the final double
+    * chain is written operand-for-operand identically in the oracle.
+    */
+  def qPowerAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables(s, dir, "events").where(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 100d + 0.5d).cast(LongType).as("q"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("q").as("sq"),
+        sum(col("q") * col("q")).as("sq2"))
+    val nD = col("n").cast(DoubleType)
+    val mean = col("sq").cast(DoubleType) / nD / 100d
+    val variance = (nD * col("sq2").cast(DoubleType) -
+      col("sq").cast(DoubleType) * col("sq").cast(DoubleType)) /
+      (nD * (nD - 1d)) / 10000d
+    val delta = lit(MdeFrac) * mean
+    m.select(col("event_type"), col("n"),
+        round(mean, 6).as("mean"),
+        round(variance, 6).as("variance"),
+        round(delta, 6).as("mde"),
+        ceil(lit(2d) * lit((ZAlpha + ZBeta) * (ZAlpha + ZBeta)) * variance /
+          (delta * delta)).cast(LongType).as("n_per_arm"))
+      .orderBy("event_type")
+  }
+
+  private val qPowerAnalysisSql = {
+    val z2 = (ZAlpha + ZBeta) * (ZAlpha + ZBeta)
+    s"""WITH m AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |    CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(q * q) AS BIGINT) AS sq2
+       |  FROM (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+       |        FROM events WHERE value IS NOT NULL)
+       |  GROUP BY event_type)
+       |SELECT event_type, n,
+       |  round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean,
+       |  round((CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE)
+       |      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+       |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0, 6)
+       |    AS variance,
+       |  round($MdeFrac * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 100.0), 6)
+       |    AS mde,
+       |  CAST(ceil(2.0 * $z2
+       |      * ((CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE)
+       |          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+       |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0)
+       |      / (($MdeFrac * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 100.0))
+       |        * ($MdeFrac * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 100.0))))
+       |    AS BIGINT) AS n_per_arm
+       |FROM m ORDER BY event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_power_analysis" -> (qPowerAnalysis(_, _)),
     "q_confusion_stats" -> (qConfusionStats(_, _)),
     "q_cohen_kappa" -> (qCohenKappa(_, _)),
     "q_psi" -> (qPsi(_, _)),
@@ -451,6 +515,7 @@ object EvalOps2 {
     "ta_wasserstein" -> (taWasserstein(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_power_analysis" -> qPowerAnalysisSql,
     "q_confusion_stats" -> qConfusionStatsSql,
     "q_cohen_kappa" -> qCohenKappaSql,
     "q_psi" -> qPsiSql,
