@@ -29,6 +29,19 @@ class SecondWaveSpec extends SparkSuite {
     }
   }
 
+  test("q_entity_resolve plan: scoring is spread, broadcast, never cartesian") {
+    val p = SparkEntry.queries("q_entity_resolve")(sc, sfDir)
+      .queryExecution.executedPlan.toString
+    // the 47 s shape this pins out: the byte-small dirty side keeps
+    // its 1-2 file splits and the whole block cross product lands on
+    // two tasks — the round-robin exchange before the broadcast join
+    // is the fix (NOTES #23)
+    assert(p.contains("REPARTITION_BY_NUM") || p.contains("RoundRobinPartitioning"),
+      "dirty side must be spread across cores before scoring")
+    assert(p.contains("BroadcastHashJoin"), "block join must broadcast the master")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_bloom_skip: no false negatives, admits bounded by files") {
     val rows = SparkEntry.queries("q_bloom_skip")(sc, sfDir).collect()
     assert(rows.length == 20)
