@@ -106,6 +106,7 @@ object Graft {
     def curationFunnel(s: SparkSession, dir: String): DataFrame = operators.Pipelines.qCurationFunnel(s, dir)
     def domainCap(s: SparkSession, dir: String): DataFrame = operators.TrainingOps2.qDomainCap(s, dir)
     def synthSample(s: SparkSession, dir: String): DataFrame = operators.AdvancedOps.qSynthSample(s, dir)
+    def effectiveSampleSize(s: SparkSession, dir: String): DataFrame = operators.TrainingOps2.qEffectiveSampleSize(s, dir)
   }
 
   /** Warehouse/ops utilities. */
@@ -187,6 +188,7 @@ object Graft {
     def theilSen(s: SparkSession, dir: String): DataFrame = operators.TimeSeriesOps.qTheilSen(s, dir)
     def madOutliers(s: SparkSession, dir: String): DataFrame = operators.TimeSeriesOps.qMadOutlier(s, dir)
     def powerAnalysis(s: SparkSession, dir: String): DataFrame = operators.EvalOps2.qPowerAnalysis(s, dir)
+    def brierScore(s: SparkSession, dir: String): DataFrame = operators.EvalOps2.qBrierScore(s, dir)
     def reservoirSample(s: SparkSession, dir: String): DataFrame = operators.FeatureOps.qReservoirSample(s, dir)
     def hybridRrf(s: SparkSession, dir: String): DataFrame = operators.FeatureOps.qHybridRrf(s, dir)
   }

@@ -503,7 +503,52 @@ object EvalOps2 {
        |FROM m ORDER BY event_type""".stripMargin
   }
 
+  // -------------------------------------------------------- Brier score
+
+  /** Brier score + skill of the length-derived probability
+    * (p = min(n_chars, 1000)/1000) against the is-English label — the
+    * proper-scoring-rule companion to `q_calibration`'s reliability
+    * bins. EXACT by construction: p is the rational k/1000, so each
+    * row's squared error is the integer (k − 1000·y)² ≤ 10⁶ and the
+    * corpus sum is one BIGINT aggregate — no per-row doubles, no
+    * quantization step. The skill score divides by the climatology
+    * reference b̄(1−b̄) in one fixed double chain.
+    */
+  def qBrierScore(s: SparkSession, dir: String): DataFrame = {
+    val k = least(col("n_chars"), lit(1000L)).cast(LongType)
+    val y = when(col("lang") === "en", 1L).otherwise(0L)
+    val d = (k - lit(1000L) * y).as("d")
+    val m = Tables(s, dir, "documents")
+      .select(d, y.as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("sd2"),
+        sum("y").as("npos"))
+    val nD = col("n").cast(DoubleType)
+    val brier = col("sd2").cast(DoubleType) / nD / 1000000d
+    val base = col("npos").cast(DoubleType) / nD
+    m.select(col("n"), col("npos"),
+        round(brier, 6).as("brier"),
+        round(base, 6).as("base_rate"),
+        round(lit(1d) - brier / (base * (lit(1d) - base)), 6).as("brier_skill"))
+  }
+
+  private val qBrierScoreSql =
+    """WITH d AS (
+      |  SELECT least(n_chars, 1000) -
+      |      1000 * (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS d,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |m AS (SELECT COUNT(*) AS n, CAST(SUM(d * d) AS BIGINT) AS sd2,
+      |        CAST(SUM(y) AS BIGINT) AS npos FROM d)
+      |SELECT n, npos,
+      |  round(CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS brier,
+      |  round(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS base_rate,
+      |  round(1.0 - (CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+      |    / ((CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (1.0 - CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS brier_skill
+      |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_brier_score" -> (qBrierScore(_, _)),
     "q_power_analysis" -> (qPowerAnalysis(_, _)),
     "q_confusion_stats" -> (qConfusionStats(_, _)),
     "q_cohen_kappa" -> (qCohenKappa(_, _)),
@@ -515,6 +560,7 @@ object EvalOps2 {
     "ta_wasserstein" -> (taWasserstein(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_brier_score" -> qBrierScoreSql,
     "q_power_analysis" -> qPowerAnalysisSql,
     "q_confusion_stats" -> qConfusionStatsSql,
     "q_cohen_kappa" -> qCohenKappaSql,

@@ -231,7 +231,46 @@ object TrainingOps2 {
        |ORDER BY source, doc_id""".stripMargin
   }
 
+  // --------------------------------------------- effective sample size
+
+  /** Effective sample size of the token-count importance weights, per
+    * source — the readout that tells you whether `q_weighted_sample` /
+    * `ta_dsir`-style weighting has quietly collapsed a source onto a
+    * handful of giant documents: ESS = (Σw)²/Σw² (Kish), reported with
+    * its ratio to n (1.0 = uniform weights, →1/n = one document
+    * dominates). Both moments are exact BIGINT sums from the one
+    * corpus pass; the two divisions are a fixed double chain.
+    */
+  def qEffectiveSampleSize(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables(s, dir, "documents")
+      .select(col("source"), nTok.as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("w").as("sw"),
+        sum(col("w") * col("w")).as("sw2"))
+    val ess = col("sw").cast(DoubleType) * col("sw").cast(DoubleType) /
+      col("sw2").cast(DoubleType)
+    m.select(col("source"), col("n"), col("sw").as("total_tokens"),
+        round(ess, 6).as("ess"),
+        round(ess / col("n").cast(DoubleType), 6).as("ess_ratio"))
+      .orderBy("source")
+  }
+
+  private val qEffectiveSampleSizeSql =
+    """WITH m AS (
+      |  SELECT source, COUNT(*) AS n,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sw,
+      |    CAST(SUM(len(string_split(text, ' ')) * len(string_split(text, ' ')))
+      |      AS BIGINT) AS sw2
+      |  FROM documents GROUP BY source)
+      |SELECT source, n, sw AS total_tokens,
+      |  round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE), 6)
+      |    AS ess,
+      |  round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE)
+      |    / CAST(n AS DOUBLE), 6) AS ess_ratio
+      |FROM m ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ess" -> (qEffectiveSampleSize(_, _)),
     "q_domain_cap" -> (qDomainCap(_, _)),
     "q_domain_mix" -> (qDomainMix(_, _)),
     "q_token_budget" -> (qTokenBudget(_, _)),
@@ -239,6 +278,7 @@ object TrainingOps2 {
     "q_outlier_trim" -> (qOutlierTrim(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_ess" -> qEffectiveSampleSizeSql,
     "q_domain_cap" -> qDomainCapSql,
     "q_domain_mix" -> qDomainMixSql,
     "q_token_budget" -> qTokenBudgetSql,
