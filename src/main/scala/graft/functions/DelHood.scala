@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deletion-neighborhood kernel (FastSS — Bocek, Hunt & Stiller, "Fast
+  * Similarity Search in Large Dictionaries", 2007; the symmetric-delete
+  * scheme SymSpell popularized): the DISTINCT 64-bit hashes of every
+  * variant of `s` obtainable by deleting ≤ k characters. Two strings
+  * within edit distance k always share a variant (delete the aligned
+  * edit columns from each side), so an equi-join on these keys is a
+  * recall-exact candidate generator for thresholded edit-distance
+  * matching, with key volume linear in the corpus.
+  *
+  * Each variant's hash is STREAMED over the surviving characters —
+  * no variant string is ever materialized, so the kernel is
+  * O(L · |neighborhood|) with zero per-variant allocation. A hash
+  * collision only ADDs a candidate pair, which the downstream
+  * levenshtein verify rejects; recall is unaffected.
+  *
+  * Top-level object so generated code can call the static forwarder
+  * directly (a nested object has none — NOTES.md round-4).
+  */
+object DelHood {
+
+  private val FnvOffset = 0xcbf29ce484222325L
+  private val FnvPrime = 0x100000001b3L
+
+  /** FNV-1a over the chars of `s`, skipping positions `skip1`/`skip2`
+    * (-1 = no skip) — the hash of the deletion variant, computed
+    * without building it.
+    */
+  private def fnv(s: String, skip1: Int, skip2: Int): Long = {
+    var h = FnvOffset
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (i != skip1 && i != skip2) h = (h ^ s.charAt(i).toLong) * FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** Distinct variant hashes of the ≤k-deletion neighborhood of `u`
+    * (k ≤ 2): 1 + n + n(n-1)/2 raw variants, deduped via sort (runs of
+    * repeated characters share deletion variants — ~172 raw → ~60 on
+    * `Customer#%09d`-shaped names).
+    */
+  def hashes(u: UTF8String, k: Int): ArrayData = {
+    require(k >= 0 && k <= 2, s"deletion neighborhood supports k <= 2, got $k")
+    val s = u.toString
+    val n = s.length
+    val cnt = 1 + (if (k >= 1) n else 0) + (if (k >= 2) n * (n - 1) / 2 else 0)
+    val hs = new Array[Long](cnt)
+    var c = 0
+    hs(c) = fnv(s, -1, -1); c += 1
+    if (k >= 1) {
+      var j = 0
+      while (j < n) { hs(c) = fnv(s, j, -1); c += 1; j += 1 }
+    }
+    if (k >= 2) {
+      var j = 1
+      while (j < n) {
+        var i = 0
+        while (i < j) { hs(c) = fnv(s, i, j); c += 1; i += 1 }
+        j += 1
+      }
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var r = 0
+    while (r < cnt) {
+      if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    val out = new Array[Long](w)
+    System.arraycopy(hs, 0, out, 0, w)
+    new GenericArrayData(out)
+  }
+}

@@ -778,6 +778,39 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** `graft_del_hood(text, k)`: the distinct 64-bit hashes of the
+    * ≤k-deletion neighborhood of a string as array<long> — one linear
+    * pass per variant in [[DelHood]] with the hash streamed over the
+    * surviving characters (no variant string materialized), replacing
+    * the interpreted nested-transform/sequence HOF chain the linkage
+    * blocking would otherwise pay per row. Single static call; stays
+    * in whole-stage codegen.
+    */
+  case class DelNeighborhoodExpr(child: Expression, k: Int)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects string, got $other")
+      }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_del_hood"
+
+    override def nullSafeEval(input: Any): Any =
+      DelHood.hashes(input.asInstanceOf[UTF8String], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.DelHood.hashes($s, $k);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `graft_cdc(text, w, modulus)`: content-defined chunks of a
     * document as array<struct<chash, n_tok>> — one linear pass in
     * [[Cdc]] replacing the explode → window-hash → running-sum →
@@ -828,6 +861,8 @@ object GraftExpressions {
       es(1).eval(null).toString.toInt, es(2).eval(null).toString.toInt)),
     "graft_cdc" -> (es => CdcChunks(es(0),
       es(1).eval(null).toString.toInt, es(2).eval(null).toString.toLong)),
+    "graft_del_hood" -> (es => DelNeighborhoodExpr(es(0),
+      es(1).eval(null).toString.toInt)),
     "graft_geomean" -> (es => GeoMeanQ(es.head).toAggregateExpression()),
     // Spark ships these two only as internal expressions for its
     // runtime-filter rewrite — surfacing them lets operators build

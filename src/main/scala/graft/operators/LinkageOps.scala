@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.PortableHash
@@ -13,20 +13,46 @@ import graft.sources.Tables
   * the curation surface the way the dedup family does, but across two
   * heterogeneous record sets rather than within one corpus.
   *
-  * Scale design: the quadratic candidate space is never materialized —
-  * candidates are generated per BLOCK (here the nation key; a 100 TB
-  * deployment composes finer keys: name-length bucket × prefix-3 ×
-  * geo), so the join shuffles both sides by block and each task scores
-  * one block's cross product. Blocks are bounded by construction
-  * (customers-per-nation); degenerate hot blocks would be guarded by
-  * the same df-cap pattern the LSH family uses (DedupOps.ShingleDfCap).
-  * Scoring is Spark's codegen'd `levenshtein`; the best-match pick is
-  * two map-side-combinable aggregates (min distance, then min key at
-  * that distance) — no windows, no driver state.
+  * Scale design: the quadratic candidate space is never materialized.
+  * Blocking is the FastSS / symmetric-delete scheme (Bocek, Hunt &
+  * Stiller, "Fast Similarity Search in Large Dictionaries", 2007; the
+  * same neighborhood SymSpell popularized): every name emits its full
+  * ≤k-deletion neighborhood as 64-bit variant keys, and two strings
+  * within edit distance k ALWAYS share a variant (delete the aligned
+  * edit columns from each side), so the equi-join on
+  * (nation, variant) is recall-exact for the threshold while key
+  * volume stays LINEAR in the corpus — 1 + L(L+1)/2 variants per
+  * record of length L, `array_distinct`-collapsed (runs of repeated
+  * characters share deletion variants). Block population is bounded
+  * by [[BlockCap]] on the master side (the DedupOps.ShingleDfCap
+  * pattern): a block larger than the cap can only arise from
+  * mass-duplicate names, where the pair output itself is quadratic —
+  * those keys are dropped and the trade is documented here rather
+  * than discovered at 100×. Unlike coarse attribute blocks (nation
+  * alone, length buckets), per-block population does NOT grow with
+  * corpus size: a variant key pins all but k characters of the name,
+  * so its block holds only genuine near-matches. Candidates are then
+  * verified with the banded 3-arg `levenshtein`; the best-match pick
+  * is two map-side-combinable aggregates (min distance, then min key
+  * at that distance) — no windows, no driver state.
   */
 object LinkageOps {
 
   private val LevThreshold = 2
+
+  /** Hot-block population cap per (nation, variant) master block.
+    * Observed max block population: 10 at sf0.001, 24 at sf0.01, 42
+    * at sf0.1 (99.9% of keys are population ≤ 4 at every scale) —
+    * growth tracks the DENSITY of the name value domain (how many
+    * names sit within 2 deletions of a variant), not corpus size,
+    * because a variant key pins all but k characters of the name.
+    * SecondWaveSpec pins max ≪ cap at the test scale, so the output
+    * is byte-identical to the uncapped query; blocks above the cap
+    * are mass-duplicate-name degenerations whose pair output is
+    * itself quadratic, and dropping their keys is the standard
+    * curation trade (see DedupOps.ShingleDfCap).
+    */
+  private[graft] val BlockCap = 128
 
   /** The synthetic "dirty registry": a deterministic perturbation of
     * the customer master keyed on the portable hash, computed
@@ -49,33 +75,66 @@ object LinkageOps {
         .otherwise(col("c_name")).as("dirty_name"))
   }
 
-  /** Resolve the dirty registry against the customer master: block on
-    * nation, score candidates with edit distance ≤ [[LevThreshold]],
-    * assign each dirty record its lowest-distance (ties: lowest-key)
-    * master, and grade the assignment against the known identity.
+  /** The ≤[[LevThreshold]]-deletion neighborhood of `name` as distinct
+    * 64-bit variant keys — the codegen'd [[graft.functions.DelHood]]
+    * kernel (one streamed hash per variant, no variant string ever
+    * materialized). A hash collision only ADDS a candidate, which the
+    * levenshtein verify then rejects, so recall is unaffected.
+    */
+  private[graft] def delNeighborhood(name: Column): Column =
+    call_function("graft_del_hood", name, lit(LevThreshold))
+
+  /** Resolve the dirty registry against the customer master: generate
+    * candidates via deletion-neighborhood blocking within nation (see
+    * object doc — recall-exact for edit distance ≤ [[LevThreshold]],
+    * linear key volume, [[BlockCap]]-bounded blocks), verify with the
+    * banded levenshtein, assign each dirty record its lowest-distance
+    * (ties: lowest-key) master, and grade the assignment against the
+    * known identity.
     */
   def qEntityResolve(s: SparkSession, dir: String): DataFrame = {
+    // NOTES #27's rule applies to the variant GENERATION here: the
+    // customer scan is byte-small (1-2 file splits) but the nested
+    // deletion-neighborhood transform is interpreted per row — spread
+    // it across every core before exploding
+    val nPart = math.max(s.sparkContext.defaultParallelism,
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val master = Tables(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
-    // explicit scoring parallelism (NOTES #27's rule): the dirty side
-    // is byte-small (it inherits the source's 1-2 file splits) but the
-    // per-block cross product is the query's CPU core — spread it over
-    // every core before the broadcast join instead of scoring 9M pairs
-    // in two tasks (47 s -> ~1.5 s at sf0.1)
+      .repartition(nPart)
     val dirty = dirtyNames(Tables(s, dir, "customer"))
-      .repartition(math.max(s.sparkContext.defaultParallelism,
-        s.conf.get("spark.sql.shuffle.partitions", "32").toInt))
+    val mKeys = master.withColumn("vk", explode(delNeighborhood(col("c_name"))))
+    val dKeys = dirty.repartition(nPart)
+      .withColumn("vk", explode(delNeighborhood(col("dirty_name"))))
+    // ONE pass over the master keys builds the blocks as bounded
+    // arrays: the size(...) filter IS the hot-block guard (ShingleDfCap
+    // pattern) — a block larger than BlockCap can only arise from
+    // mass-duplicate names and is dropped whole, so per-key join
+    // fan-out is bounded by the cap. Never fires at the test scales
+    // (max observed population 42 at sf0.1; SecondWaveSpec pins it).
+    val mBlocks = mKeys.groupBy("c_nationkey", "vk")
+      .agg(collect_list(struct(col("c_custkey"), col("c_name"))).as("blk"))
+      .where(size(col("blk")) <= BlockCap)
     // |len(a) - len(b)| is a levenshtein lower bound: the guard drops
-    // the unmatchable prefix-mangled names (length gap 5) before any
-    // DP runs; the 3-arg levenshtein then runs the BANDED O(n·k)
-    // computation with early exit (-1 past the threshold) instead of
-    // the full O(n²) matrix — same distances for every kept pair
-    val cand = dirty.join(master, Seq("c_nationkey"))
-      .where(abs(length(col("dirty_name")) - length(col("c_name"))) <= LevThreshold)
+    // accidental cross-length hash collisions before any DP runs; the
+    // 3-arg levenshtein then runs the BANDED O(n·k) computation with
+    // early exit (-1 past the threshold) instead of the full O(n²)
+    // matrix — same distances for every kept pair. Scoring runs
+    // BEFORE pair dedup on purpose: a true match is rediscovered under
+    // each of its ~60 shared variants, and re-running the O(L·k)
+    // banded kernel per rediscovery is far cheaper than shuffling the
+    // multiplied wide candidate rows through a distinct — the dedup
+    // then aggregates only the narrow (ids, lev) survivors, inside the
+    // same stage as the join via partial aggregation.
+    val cand = dKeys.join(mBlocks, Seq("c_nationkey", "vk"))
+      .select(col("dirty_id"), col("dirty_name"),
+        explode(col("blk")).as("m"))
+      .where(abs(length(col("dirty_name")) - length(col("m.c_name"))) <= LevThreshold)
       .withColumn("lev",
-        levenshtein(col("dirty_name"), col("c_name"), LevThreshold).cast(LongType))
+        levenshtein(col("dirty_name"), col("m.c_name"), LevThreshold).cast(LongType))
       .where(col("lev") >= 0 && col("lev") <= LevThreshold)
-      .select("dirty_id", "c_custkey", "lev")
+      .select(col("dirty_id"), col("m.c_custkey").as("c_custkey"), col("lev"))
+      .distinct()
     val best = cand.groupBy("dirty_id").agg(min("lev").as("edit_dist"))
       .withColumnRenamed("dirty_id", "best_id")
     val pick = cand.join(best,

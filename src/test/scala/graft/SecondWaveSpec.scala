@@ -29,17 +29,35 @@ class SecondWaveSpec extends SparkSuite {
     }
   }
 
-  test("q_entity_resolve plan: scoring is spread, broadcast, never cartesian") {
+  test("q_entity_resolve plan: deletion-neighborhood blocking, capped, never cartesian") {
     val p = SparkEntry.queries("q_entity_resolve")(sc, sfDir)
       .queryExecution.executedPlan.toString
-    // the 47 s shape this pins out: the byte-small dirty side keeps
-    // its 1-2 file splits and the whole block cross product lands on
-    // two tasks — the round-robin exchange before the broadcast join
-    // is the fix (NOTES #23)
-    assert(p.contains("REPARTITION_BY_NUM") || p.contains("RoundRobinPartitioning"),
-      "dirty side must be spread across cores before scoring")
-    assert(p.contains("BroadcastHashJoin"), "block join must broadcast the master")
+    // the r7 `weak` this pins out: nation-only blocks grow linearly
+    // with the corpus, so per-block pairs grow quadratically at 100×.
+    // The FastSS variant-key join keeps candidate volume linear; the
+    // hot-block anti-join bounds per-key fan-out at BlockCap.
+    assert(p.contains("Generate explode"),
+      "candidates must come from the exploded deletion-neighborhood keys")
+    assert(p.contains(s"<= ${graft.operators.LinkageOps.BlockCap}"),
+      "the block-population cap must guard the candidate join")
+    assert(p.contains("RoundRobinPartitioning"),
+      "variant generation must be spread across cores (NOTES #27)")
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_entity_resolve blocking: block populations stay far below the cap") {
+    // the cap-never-fires precondition for oracle identity: measure
+    // the real (nation, variant) master-side block population at this
+    // scale and pin it below BlockCap with headroom
+    val s = sc
+    import org.apache.spark.sql.functions.{col, count => cnt, explode, lit, max => mx}
+    val maxPop = graft.sources.Tables(s, sfDir, "customer")
+      .select(col("c_nationkey"),
+        explode(graft.operators.LinkageOps.delNeighborhood(col("c_name"))).as("vk"))
+      .groupBy("c_nationkey", "vk").agg(cnt(lit(1)).as("pop"))
+      .agg(mx("pop")).collect().head.getLong(0)
+    assert(maxPop <= graft.operators.LinkageOps.BlockCap / 2,
+      s"max block population $maxPop must leave headroom under the cap")
   }
 
   test("q_bloom_skip: no false negatives, admits bounded by files") {
