@@ -191,6 +191,9 @@ object Graft {
     def brierScore(s: SparkSession, dir: String): DataFrame = operators.EvalOps2.qBrierScore(s, dir)
     def reservoirSample(s: SparkSession, dir: String): DataFrame = operators.FeatureOps.qReservoirSample(s, dir)
     def hybridRrf(s: SparkSession, dir: String): DataFrame = operators.FeatureOps.qHybridRrf(s, dir)
+    def meanReciprocalRank(s: SparkSession, dir: String): DataFrame = operators.MiningOps.qMrr(s, dir)
+    def giniConcentration(s: SparkSession, dir: String): DataFrame = operators.EvalOps2.qGini(s, dir)
+    def htEstimate(s: SparkSession, dir: String): DataFrame = operators.EvalOps2.qHtEstimate(s, dir)
   }
 
   /** Multimodal (binary-column) operators. */

@@ -187,18 +187,33 @@ object EvalOps2 {
     * rank-sum identity G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) computed
     * ENTIRELY on the distinct-revenue value histogram: a tie group
     * (value v, count c, min-rank r) contributes v·(c·r + c(c−1)/2) —
-    * integers throughout, one cumulative window over distinct values
-    * (bounded by the value domain), one final division. Row-count
-    * bound: terms grow as n²·max_cents — int64-exact to ~10⁶ customers
-    * at this price domain; beyond, pre-divide ranks to fixed point.
+    * integers throughout, one final division. Per-customer revenue
+    * sums are near-UNIQUE, so the histogram is customer-sized and a
+    * flat cumulative window over it would be a single-partition sort
+    * of the customer domain; the cumulative count instead runs
+    * two-level (the qRfm monetary shape): per-(cents >> 20) bucket
+    * masses, one bounded cumulative window over the DISTINCT buckets
+    * (the quantized price domain, ~400 buckets here), and a window
+    * PARTITIONED by bucket for the within-bucket remainder —
+    * identical cumc, no corpus-sized sort anywhere. Row-count bound:
+    * terms grow as n²·max_cents — int64-exact to ~10⁶ customers at
+    * this price domain; beyond, pre-divide ranks to fixed point.
     */
   def qGini(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val per = Tables(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType)).as("cents"))
     val hist = per.groupBy("cents").agg(count(lit(1)).as("c"))
-    val cum = hist.withColumn("cumc", sum("c").over(
-      org.apache.spark.sql.expressions.Window.orderBy("cents")))
+      .withColumn("_b", shiftright(col("cents"), 20))
+    val boff = hist.groupBy("_b").agg(sum("c").as("_cb"))
+      .withColumn("_off", coalesce(sum("_cb").over(
+        Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("_b", "_off")
+    val cum = hist.join(boff, Seq("_b"))
+      .withColumn("cumc", col("_off") +
+        sum("c").over(Window.partitionBy("_b").orderBy("cents")))
     // min-rank of the tie group = cumc − c + 1
     val agg = cum.select(col("cents"), col("c"),
         (col("cents") * (col("c") * (col("cumc") - col("c") + 1) +

@@ -34,6 +34,11 @@ object SurpriseStream {
     val hist = corpus.select(binCol.as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("c"))
     val rows = hist.collect().map(r => r.getLong(0) -> r.getLong(1))
+    // empty reference corpus: (c+1)/(n+b) is 1/0 = Inf and the log
+    // blows up — degrade to the defined always-flag sentinel instead
+    // of taking the router down (EmptyInputSpec philosophy, which the
+    // batch suite enforces but streaming modules must self-guard)
+    if (rows.isEmpty) return (Map.empty, Long.MaxValue)
     val n = rows.map(_._2).sum
     val b = rows.length.toLong
     def sq(c: Long): Long =

@@ -24,5 +24,8 @@ class GraftFacadeSpec extends SparkSuite {
     assert(Graft.ops.zoneMapReport(sc, sfDir).count() == 4)
     assert(Graft.ml.lDiversity(sc, sfDir).count() > 0)
     assert(Graft.ml.theilSen(sc, sfDir).count() == 5)
+    assert(Graft.ml.meanReciprocalRank(sc, sfDir).count() > 0)
+    assert(Graft.ml.giniConcentration(sc, sfDir).count() == 1)
+    assert(Graft.ml.htEstimate(sc, sfDir).count() == 1)
   }
 }

@@ -36,6 +36,19 @@ class SurpriseStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("an empty reference corpus degrades to the always-flag sentinel") {
+    val s = sc
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_chars")
+    val (model, unseenQ) = SurpriseStream.binSurprise(empty)
+    assert(model.isEmpty && unseenQ == Long.MaxValue)
+    // route() stays alive and flags everything under the empty model
+    val doc = Seq((1L, 500L)).toDF("doc_id", "n_chars")
+    val r = SurpriseStream.route(doc, empty).head()
+    assert(r.getAs[Long]("surprise_q") == Long.MaxValue)
+    assert(r.getAs[Boolean]("flagged"))
+  }
+
   test("an unseen bin takes the zero-count fallback and flags") {
     val s = sc
     import s.implicits._
