@@ -23,6 +23,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object DelHood {
 
+  /** Hard input-length cap. The ≤2-deletion neighborhood is
+    * 1 + n + n(n-1)/2 variants — quadratic in the input — so an
+    * unbounded `graft_del_hood` call is a per-row allocation bomb
+    * (a 10k-char input would allocate a ~50M-element long array, and
+    * past ~65k chars the Int count overflows to a negative array
+    * size). Deletion-neighborhood blocking is a short-key technique;
+    * at the cap the worst case is ~525k variants (~4 MB transient).
+    * Longer inputs fail legibly: truncate or hash the key first.
+    */
+  private[graft] val MaxLen = 1024
+
   private val FnvOffset = 0xcbf29ce484222325L
   private val FnvPrime = 0x100000001b3L
 
@@ -50,6 +61,10 @@ object DelHood {
     require(k >= 0 && k <= 2, s"deletion neighborhood supports k <= 2, got $k")
     val s = u.toString
     val n = s.length
+    require(n <= MaxLen,
+      s"graft_del_hood: input is $n chars (cap $MaxLen) — the deletion " +
+        "neighborhood grows quadratically with length; truncate or hash " +
+        "long keys before blocking on them")
     val cnt = 1 + (if (k >= 1) n else 0) + (if (k >= 2) n * (n - 1) / 2 else 0)
     val hs = new Array[Long](cnt)
     var c = 0

@@ -54,6 +54,18 @@ object LinkageOps {
     */
   private[graft] val BlockCap = 128
 
+  /** Name of the per-execution observed metric ([[qEntityResolve]]
+    * attaches it via `Dataset.observe`) that makes a capped run
+    * distinguishable from an exact one: `dropped_blocks` counts blocks
+    * the [[BlockCap]] guard removed whole (0 ⇒ the output is
+    * byte-identical to the uncapped query), `max_block_pop` is the
+    * largest block population seen. Surfaced on every execution through
+    * `QueryExecution.observedMetrics` and any registered
+    * `QueryExecutionListener` (e.g. [[graft.Metrics.ObservationListener]],
+    * which warns when a cap fires) — no extra pass over the data.
+    */
+  private[graft] val CapMetric = "graft.linkage.block_cap"
+
   /** The synthetic "dirty registry": a deterministic perturbation of
     * the customer master keyed on the portable hash, computed
     * identically in the oracle. ~1/7 of names get an unmatchable
@@ -92,7 +104,11 @@ object LinkageOps {
     * (ties: lowest-key) master, and grade the assignment against the
     * known identity.
     */
-  def qEntityResolve(s: SparkSession, dir: String): DataFrame = {
+  def qEntityResolve(s: SparkSession, dir: String): DataFrame =
+    qEntityResolveCapped(s, dir, BlockCap)
+
+  private[graft] def qEntityResolveCapped(
+      s: SparkSession, dir: String, cap: Int): DataFrame = {
     // NOTES #27's rule applies to the variant GENERATION here: the
     // customer scan is byte-small (1-2 file splits) but the nested
     // deletion-neighborhood transform is interpreted per row — spread
@@ -108,13 +124,20 @@ object LinkageOps {
       .withColumn("vk", explode(delNeighborhood(col("dirty_name"))))
     // ONE pass over the master keys builds the blocks as bounded
     // arrays: the size(...) filter IS the hot-block guard (ShingleDfCap
-    // pattern) — a block larger than BlockCap can only arise from
+    // pattern) — a block larger than the cap can only arise from
     // mass-duplicate names and is dropped whole, so per-key join
     // fan-out is bounded by the cap. Never fires at the test scales
     // (max observed population 42 at sf0.1; SecondWaveSpec pins it).
+    // The observe() makes a capped run DISTINGUISHABLE from an exact
+    // one at any scale: dropped_blocks/max_block_pop ride the existing
+    // aggregate's output rows as an observed metric (no extra pass) and
+    // reach every QueryExecutionListener.
     val mBlocks = mKeys.groupBy("c_nationkey", "vk")
       .agg(collect_list(struct(col("c_custkey"), col("c_name"))).as("blk"))
-      .where(size(col("blk")) <= BlockCap)
+      .observe(CapMetric,
+        sum(when(size(col("blk")) > cap, 1L).otherwise(0L)).as("dropped_blocks"),
+        max(size(col("blk"))).as("max_block_pop"))
+      .where(size(col("blk")) <= cap)
     // |len(a) - len(b)| is a levenshtein lower bound: the guard drops
     // accidental cross-length hash collisions before any DP runs; the
     // 3-arg levenshtein then runs the BANDED O(n·k) computation with

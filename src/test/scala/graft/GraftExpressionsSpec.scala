@@ -149,6 +149,30 @@ class GraftExpressionsSpec extends SparkSuite {
     a.foreach { case (_, g) => assert(g >= mn && g <= mx) }
   }
 
+  test("graft_del_hood: quadratic-neighborhood inputs fail legibly at the length cap") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.DelHood
+    // boundary: the cap itself still evaluates (worst case ~525k
+    // variants, a bounded transient allocation)
+    val atCap = DelHood.hashes(UTF8String.fromString("a" * DelHood.MaxLen), 2)
+    assert(atCap.numElements() > 0)
+    // one past the cap: a clear, named error — not a
+    // NegativeArraySizeException or a silent multi-MB allocation
+    val ex = intercept[IllegalArgumentException] {
+      DelHood.hashes(UTF8String.fromString("a" * (DelHood.MaxLen + 1)), 2)
+    }
+    assert(ex.getMessage.contains("graft_del_hood"))
+    assert(ex.getMessage.contains(DelHood.MaxLen.toString))
+    // the SQL surface propagates the same legible failure
+    GraftExpressions.register(spark)
+    val sqlEx = intercept[Exception] {
+      spark.sql(s"SELECT graft_del_hood(repeat('x', ${DelHood.MaxLen * 2}), 2)")
+        .collect()
+    }
+    assert(sqlEx.getMessage.contains("graft_del_hood") ||
+      Option(sqlEx.getCause).exists(_.getMessage.contains("graft_del_hood")))
+  }
+
   test("GraftExtensions wires every kernel and both planner strategies without error") {
     // The shared test JVM already owns a SparkContext, so a session
     // built THROUGH spark.sql.extensions can't be constructed here;

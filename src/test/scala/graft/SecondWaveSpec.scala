@@ -60,6 +60,36 @@ class SecondWaveSpec extends SparkSuite {
       s"max block population $maxPop must leave headroom under the cap")
   }
 
+  test("q_entity_resolve cap signal: capped runs are observable, exact runs report zero") {
+    val s = sc
+    val l = Metrics.attachObservations(s)
+    try {
+      // production cap at test scale: the metric must prove exactness
+      val exact = graft.operators.LinkageOps.qEntityResolveCapped(
+        s, sfDir, graft.operators.LinkageOps.BlockCap)
+      exact.collect()
+      val m0 = exact.queryExecution.observedMetrics(
+        graft.operators.LinkageOps.CapMetric)
+      assert(m0.getAs[Long]("dropped_blocks") == 0L,
+        "the shipped cap must not fire at test scale (oracle identity)")
+      assert(m0.getAs[Int]("max_block_pop") >= 1)
+      // a cap low enough to fire: the same metric must flag the drop
+      val capped = graft.operators.LinkageOps.qEntityResolveCapped(s, sfDir, 1)
+      capped.collect()
+      val m1 = capped.queryExecution.observedMetrics(
+        graft.operators.LinkageOps.CapMetric)
+      assert(m1.getAs[Long]("dropped_blocks") > 0L,
+        "a firing cap must be observable, not silent")
+      // and it must reach listeners (the driver-log channel) too
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var seen = l.latest(graft.operators.LinkageOps.CapMetric)
+      while (seen.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(50); seen = l.latest(graft.operators.LinkageOps.CapMetric)
+      }
+      assert(seen.nonEmpty, "observed metric must reach QueryExecutionListeners")
+    } finally Metrics.removeObservations(s, l)
+  }
+
   test("q_bloom_skip: no false negatives, admits bounded by files") {
     val rows = SparkEntry.queries("q_bloom_skip")(sc, sfDir).collect()
     assert(rows.length == 20)
