@@ -49,32 +49,56 @@ object GraphOps2 {
   /** Fixed-round k-core peeling (Seidman 1983; distributed peeling as in
     * Montresor et al. 2013): each round drop every node whose current
     * degree is < [[KcK]], restrict the edge list to surviving endpoints,
-    * repeat. [[KcIters]] rounds are run unconditionally — deterministic
-    * and oracle-unrollable, and each round is one map-side-combined
-    * degree aggregate plus two hash joins against the (distinct,
-    * |nodes|-bounded) survivor set. At 100 TB the survivor set is what
-    * AQE decides to broadcast or shuffle; the edge list itself never
-    * re-partitions (it stays keyed by src). Output: surviving nodes with
-    * their in-subgraph degree.
+    * repeat. Up to [[KcIters]] rounds — with a CONVERGENCE early-exit:
+    * when a round's survivor count equals the current node count, no
+    * node was peeled, the restriction joins are the identity, and every
+    * remaining round would repeat them verbatim — so the loop stops
+    * with output byte-identical to the fixed-round unrolling the oracle
+    * runs (the survivor count is already computed for the broadcast
+    * gate, so the check costs one count on an aggregated relation, and
+    * a converged round skips its two joins + checkpoint entirely).
+    * Each live round is one map-side-combined degree aggregate plus two
+    * hash joins against the (distinct, |nodes|-bounded) survivor set.
+    * At 100 TB the survivor set is what AQE decides to broadcast or
+    * shuffle; the edge list itself never re-partitions (it stays keyed
+    * by src). Output: surviving nodes with their in-subgraph degree.
     */
-  def qKcore(s: SparkSession, dir: String): DataFrame = {
+  def qKcore(s: SparkSession, dir: String): DataFrame =
+    kcoreLoop(s, dir)._1
+
+  /** The peeling loop, exposed with its executed-round count so the
+    * early-exit is spec-testable ([[qKcore]] discards the count).
+    */
+  private[graft] def kcoreLoop(s: SparkSession, dir: String): (DataFrame, Int) = {
     var g = symEdges(s, dir).localCheckpoint()
     // runtime-size-gated broadcast (see GraphOps.pagerankLoop): the
     // survivor set only shrinks from the initial node count, so one
     // count up front decides every round's hint
+    var nCur = g.select("src").distinct().count()
     val gate: DataFrame => DataFrame =
-      if (g.select("src").distinct().count() <= GraphOps.BroadcastNodeCap)
-        broadcast else identity
-    for (_ <- 1 to KcIters) {
+      if (nCur <= GraphOps.BroadcastNodeCap) broadcast else identity
+    var round = 0
+    var converged = false
+    while (round < KcIters && !converged) {
       val keep = g.groupBy("src").agg(count(lit(1)).as("d"))
-        .where(col("d") >= KcK).select("src")
-      g = g.join(gate(keep), "src")
-        .join(gate(keep.withColumnRenamed("src", "dst")), "dst")
-        .select("src", "dst")
-        .localCheckpoint()
+        .where(col("d") >= KcK).select("src").localCheckpoint()
+      val k = keep.count()
+      if (k == nCur) {
+        converged = true // nothing peeled: remaining rounds are no-ops
+      } else {
+        g = g.join(gate(keep), "src")
+          .join(gate(keep.withColumnRenamed("src", "dst")), "dst")
+          .select("src", "dst")
+          .localCheckpoint()
+        nCur = k
+        round += 1
+      }
     }
-    g.groupBy(col("src").as("part")).agg(count(lit(1)).as("degree"))
-      .orderBy("part")
+    if (converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .info(s"kcore peeling converged after $round/$KcIters rounds")
+    (g.groupBy(col("src").as("part")).agg(count(lit(1)).as("degree"))
+      .orderBy("part"), round)
   }
 
   private val qKcoreSql = {
@@ -145,34 +169,56 @@ object GraphOps2 {
   // ---------------------------------------------------------------------
 
   /** Multi-source BFS: hop distance from the seed set (every part key
-    * divisible by 100 that appears in the graph) after [[BfsRounds]]
-    * fixed expansion rounds. Per round: frontier ⋈ edges (keyed by src,
-    * the edge list's resident partitioning) then a min-distance
-    * aggregate — the textbook iterative-BFS shape whose only exchange
-    * is the |reached-nodes|-row aggregate. Output: distance histogram
-    * with the smallest node per ring (nodes beyond the horizon are not
-    * rows — a fixed-round frontier, not a convergence claim).
+    * divisible by 100 that appears in the graph) after up to
+    * [[BfsRounds]] expansion rounds, with a CONVERGENCE early-exit:
+    * unit-hop BFS sets every node's distance exactly when it is first
+    * reached (offers only ever come from already-exact frontiers), so
+    * a round that adds no new node changes nothing and every remaining
+    * round would be the identity — the loop stops with output
+    * byte-identical to the fixed-round unrolling the oracle runs. The
+    * check is one count on the checkpointed reached set. Per live
+    * round: frontier ⋈ edges (keyed by src, the edge list's resident
+    * partitioning) then a min-distance aggregate — the textbook
+    * iterative-BFS shape whose only exchange is the |reached-nodes|-row
+    * aggregate. Output: distance histogram with the smallest node per
+    * ring (nodes beyond the horizon are not rows — a bounded-round
+    * frontier, not a full-graph convergence claim).
     */
-  def qBfsDist(s: SparkSession, dir: String): DataFrame = {
+  def qBfsDist(s: SparkSession, dir: String): DataFrame =
+    bfsLoop(s, dir)._1
+
+  /** The BFS loop, exposed with its executed-round count so the
+    * early-exit is spec-testable ([[qBfsDist]] discards the count).
+    */
+  private[graft] def bfsLoop(s: SparkSession, dir: String): (DataFrame, Int) = {
     val sym = symEdges(s, dir)
     // one distinct-node materialization serves both the seed set and
     // the gate's node count (same single-count reuse as qSssp)
     val nodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
     var dist = nodes.where(col("node") % 100 === 0)
-      .withColumn("dist", lit(0L))
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var reached = dist.count()
     // reached set is bounded by |nodes| — one gate decision up front
     val gate: DataFrame => DataFrame =
       if (nodes.count() <= GraphOps.BroadcastNodeCap) broadcast else identity
-    for (_ <- 1 to BfsRounds) {
+    var round = 0
+    var converged = false
+    while (round < BfsRounds && !converged) {
       val next = gate(dist).join(sym.withColumnRenamed("src", "node"), "node")
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-      dist = dist.union(next)
+      val upd = dist.union(next)
         .groupBy("node").agg(min("dist").as("dist"))
         .localCheckpoint()
+      val n = upd.count()
+      if (n == reached) converged = true // frontier exhausted: fixpoint
+      else { dist = upd; reached = n; round += 1 }
     }
-    dist.groupBy("dist")
+    if (converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .info(s"bfs expansion converged after $round/$BfsRounds rounds")
+    (dist.groupBy("dist")
       .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"))
-      .orderBy("dist")
+      .orderBy("dist"), round)
   }
 
   private val qBfsDistSql = {

@@ -157,6 +157,81 @@ class PlanAuditSpec extends SparkSuite {
     assert(failedToPlan.isEmpty, s"queries that failed to plan: $failedToPlan")
   }
 
+  test("registry-wide: compute-heavy work above a broadcast join runs at shuffled parallelism") {
+    // The NOTES #27 failure class, promoted from a hand-placed rule to
+    // a mechanical gate: a broadcast join's STREAMED side keeps the
+    // partitioning of its input, so when that input is a byte-small
+    // file scan (1-2 splits) and the join's output feeds a per-row
+    // compute bomb (levenshtein DP, deletion-neighborhood expansion),
+    // the whole multiplied workload lands on < defaultParallelism
+    // tasks — q_entity_resolve ran 47 s that way at sf0.1. The gate:
+    // any node evaluating a heavy kernel with a broadcast join below
+    // it must have a real redistribution (shuffle exchange, aggregate,
+    // or checkpoint scan — anything that resets partitioning to
+    // shuffle.partitions) somewhere on the STREAMED path of that join.
+    // Shuffle-based joins (SMJ/SHJ) redistribute by construction and
+    // need no check. Linear per-token kernels over corpus scans
+    // (shingles, wordpiece, …) are excluded on purpose: scan
+    // parallelism is the right parallelism for unjoined corpus work.
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Levenshtein}
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    import graft.functions.GraftExpressions.DelNeighborhoodExpr
+
+    def heavyExpr(e: Expression): Boolean = e.exists {
+      case _: Levenshtein => true
+      case _: DelNeighborhoodExpr => true
+      case _ => false
+    }
+    def hasHeavy(n: SparkPlan): Boolean = n.expressions.exists(heavyExpr)
+    val redistributes: SparkPlan => Boolean = PlanAuditSpec.redistributes
+    def streamedSides(n: SparkPlan): Seq[SparkPlan] = n.collect {
+      case j: BroadcastHashJoinExec =>
+        if (j.buildSide == BuildLeft) j.right else j.left
+      case j: BroadcastNestedLoopJoinExec =>
+        if (j.buildSide == BuildLeft) j.right else j.left
+    }
+    val failedToPlan = scala.collection.mutable.ListBuffer[String]()
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(sc, sfDir).queryExecution.sparkPlan
+        plan.collect {
+          case n if hasHeavy(n) =>
+            streamedSides(n).collect {
+              case side if !redistributes(side) =>
+                s"$name: heavy kernel above a broadcast join whose streamed " +
+                  s"side keeps raw scan parallelism (${side.nodeName})"
+            }
+        }.flatten
+      } catch { case e: Throwable =>
+        failedToPlan += s"$name: ${e.getClass.getSimpleName}"; Nil
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+    assert(failedToPlan.isEmpty, s"queries that failed to plan: $failedToPlan")
+  }
+
+  test("quadratic per-row kernels never run on raw file-split parallelism") {
+    // DelNeighborhoodExpr is O(L²) per row with array output — the one
+    // kernel whose cost profile justifies a redistribution even over an
+    // UNJOINED scan (the NOTES #27 site: a byte-small dimension scan
+    // inherits 1-2 file splits, then pays the whole neighborhood
+    // expansion there). Every evaluation site must have a shuffle,
+    // aggregate, or checkpoint below it.
+    import graft.functions.GraftExpressions.DelNeighborhoodExpr
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(sc, sfDir).queryExecution.sparkPlan.collect {
+          case n if n.expressions.exists(_.exists(_.isInstanceOf[DelNeighborhoodExpr]))
+            && n.children.nonEmpty && !n.children.exists(PlanAuditSpec.redistributes) =>
+            s"$name: ${n.nodeName} expands a deletion neighborhood at file-split parallelism"
+        }
+      } catch { case _: Throwable => Nil } // planning failures caught by the sibling gate
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("dd_ngram_jaccard pairs on the df-capped shingle base") {
     // candidate generation must go through the ShingleDfCap filter —
     // without it, one boilerplate shingle in df documents contributes
@@ -164,5 +239,40 @@ class PlanAuditSpec extends SparkSuite {
     val p = plan("dd_ngram_jaccard")
     assert(p.contains("<= 128"), p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+}
+
+object PlanAuditSpec {
+  /** True when `p`'s subtree re-establishes real (shuffled) parallelism
+    * before reaching a raw leaf: a shuffle exchange, an aggregate, a
+    * checkpointed relation, or a cached/leaf relation whose output
+    * partitioning is itself the product of a shuffle (hash / range /
+    * round-robin) — an InMemoryTableScan of a shuffled plan keeps that
+    * plan's partitioning, so compute above it already runs wide.
+    */
+  private[graft] def redistributes(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.physical.{
+      HashPartitioning, RangePartitioning, RoundRobinPartitioning}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    p match {
+      case _: ShuffleExchangeLike => true
+      case _: BaseAggregateExec => true
+      // a cached relation runs at its CACHED plan's parallelism — audit
+      // that plan, not the scan leaf standing in for it
+      case imts: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        redistributes(imts.relation.cachedPlan)
+      // AQE wraps cached plans in a leaf-like node; look through it
+      case aqe: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        redistributes(aqe.executedPlan)
+      case leaf if leaf.children.isEmpty =>
+        leaf.nodeName.contains("ExistingRDD") || (leaf.outputPartitioning match {
+          case _: HashPartitioning | _: RangePartitioning |
+               _: RoundRobinPartitioning => true
+          case _ => false
+        })
+      case other => other.children.exists(redistributes)
+    }
   }
 }
