@@ -16,12 +16,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen.
   *
   * Scope: only name-for-name semantic matches are aliased. Dialect
-  * differences that change MEANING (`//` integer division, QUALIFY,
-  *  `range(a,b)`'s exclusive bound, recursive-CTE UNION semantics)
-  * are deliberately NOT papered over — those statements should fail
-  * loudly rather than return different rows. SqlParitySpec pins, per
-  * query, that the shared text produces row-identical results through
-  * both frontends.
+  * differences that change MEANING (QUALIFY, `range(a,b)`'s exclusive
+  * bound, recursive-CTE UNION semantics, quoted `date_diff` units,
+  * DuckDB's `CAST('0x…' AS BIGINT)` hex parse) are deliberately NOT
+  * papered over — those statements should fail loudly rather than
+  * return different rows. `//` integer division is bridged through its
+  * NAMED spelling instead: DuckDB's `divide(a, b)` IS `//`
+  * (truncation toward zero, verified on negatives), and Spark's `div`
+  * has identical semantics, so oracle statements write `divide(a, b)`
+  * and run exactly on both engines. SqlParitySpec pins, per query,
+  * that the shared text produces row-identical results through both
+  * frontends.
   */
 object SqlCompat {
 
@@ -38,6 +43,20 @@ object SqlCompat {
     override lazy val replacement: Expression = child.dataType match {
       case _: ArrayType | _: MapType => Size(child, legacySizeOfNull = false)
       case _ => Length(child)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** DuckDB `epoch_ms` both ways: timestamp → millis, and integer
+    * millis → timestamp (Spark spells the latter `timestamp_millis`).
+    */
+  case class EpochMsCompat(child: Expression) extends UnaryExpression
+      with RuntimeReplaceable {
+    override lazy val replacement: Expression = child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        MillisToTimestamp(child)
+      case _ => UnixMillis(child)
     }
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -91,11 +110,35 @@ object SqlCompat {
     "sha256" -> (es => Sha2(es.head, Literal(256))),
     "from_base64" -> (es => UnBase64(es.head)),
     "xor" -> (es => BitwiseXor(es(0), es(1))),
-    "epoch_ms" -> (es => UnixMillis(es.head)),
+    // DuckDB's epoch_ms/epoch_us are POLYMORPHIC: timestamp → integer
+    // epoch, and integer → timestamp (the reverse). Type-dispatch waits
+    // for the child to resolve, as LenCompat does.
+    "epoch_ms" -> (es => EpochMsCompat(es.head)),
+    "epoch_us" -> (es => UnixMicros(es.head)),
     // DuckDB bin(x) → binary string; Spark spells it conv(x, 10, 2)
     "bin" -> (es => Conv(Cast(es.head, StringType), Literal(10), Literal(2))),
     "regexp_matches" -> (es => RLike(es(0), es(1))),
     "json_extract_string" -> (es => GetJsonObject(es(0), es(1))),
+    // DuckDB's named spelling of `//`: integer division truncating
+    // toward zero — exactly Spark's `div` (IntegralDivide). The named
+    // form is the one integer-division spelling BOTH parsers accept,
+    // so oracle statements use it instead of the `//` operator.
+    "divide" -> (es => IntegralDivide(es(0), es(1))),
+    "list_contains" -> (es => ArrayContains(es(0), es(1))),
+    "list_max" -> (es => ArrayMax(es.head)),
+    // strftime with a LITERAL C-style format: translated to the Java
+    // pattern at bind time (only the directives the oracles use — any
+    // other format must fail loudly, not approximate)
+    "strftime" -> { es =>
+      val fmt = es(1).eval(null).toString
+      val known = Seq("%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd",
+        "%H" -> "HH", "%M" -> "mm", "%S" -> "ss")
+      val java = known.foldLeft(fmt) { case (s, (c, j)) => s.replace(c, j) }
+      require(!java.contains("%"),
+        s"strftime alias: untranslated directive in format '$fmt'")
+      DateFormatClass(es(0),
+        Literal(UTF8String.fromString(java), StringType))
+    },
     "quantile_cont" -> (es =>
       Percentile(es(0), es(1), Literal(1L)).toAggregateExpression()))
 

@@ -283,7 +283,7 @@ object AdvancedOps {
 
   private val qSynthSampleSql = {
     val h = graft.functions.PortableHash.sql(
-      "'synth:' || event_type || ':' || CAST(i AS VARCHAR)")
+      "'synth:' || event_type || ':' || CAST(i AS STRING)")
     s"""WITH ev AS (
        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
        |  FROM events WHERE value IS NOT NULL),

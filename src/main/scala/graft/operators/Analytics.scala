@@ -103,7 +103,7 @@ object Analytics {
   private def mulMod(a: String, b: BigInt) = {
     val bh = b >> 32
     val bl = b & 0xffffffffL
-    s"((($a % 4294967296) * $bl + ((($a % 4294967296) * $bh + ($a // 4294967296) * $bl) % 4294967296) * 4294967296) % $M64)"
+    s"((($a % 4294967296) * $bl + ((($a % 4294967296) * $bh + divide($a, 4294967296) * $bl) % 4294967296) * 4294967296) % $M64)"
   }
 
   private val qApproxDistinctKmvSql = {
@@ -115,12 +115,12 @@ object Analytics {
        |  SELECT DISTINCT l_returnflag, CAST(l_partkey AS HUGEINT) AS v
        |  FROM lineitem WHERE l_partkey IS NOT NULL),
        |s0 AS (SELECT l_returnflag, (v + $c1) % $M64 AS u FROM vals),
-       |s1 AS (SELECT l_returnflag, ${xor64("u", "(u // 1073741824)")} AS x FROM s0),
+       |s1 AS (SELECT l_returnflag, ${xor64("u", "divide(u, 1073741824)")} AS x FROM s0),
        |s2 AS (SELECT l_returnflag, ${mulMod("x", c2)} AS u2 FROM s1),
-       |s3 AS (SELECT l_returnflag, ${xor64("u2", "(u2 // 134217728)")} AS x2 FROM s2),
+       |s3 AS (SELECT l_returnflag, ${xor64("u2", "divide(u2, 134217728)")} AS x2 FROM s2),
        |s4 AS (SELECT l_returnflag, ${mulMod("x2", c3)} AS u3 FROM s3),
-       |s5 AS (SELECT l_returnflag, ${xor64("u3", "(u3 // 2147483648)")} AS h FROM s4),
-       |kept AS (SELECT DISTINCT l_returnflag, h // 2 AS kv FROM s5),
+       |s5 AS (SELECT l_returnflag, ${xor64("u3", "divide(u3, 2147483648)")} AS h FROM s4),
+       |kept AS (SELECT DISTINCT l_returnflag, divide(h, 2) AS kv FROM s5),
        |ranked AS (
        |  SELECT l_returnflag, kv,
        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY kv ASC) AS rk,
@@ -199,14 +199,14 @@ object Analytics {
        |  SELECT DISTINCT l_returnflag AS f, CAST(l_partkey AS HUGEINT) AS v
        |  FROM lineitem WHERE l_returnflag IN ('R', 'A') AND l_partkey IS NOT NULL),
        |s0 AS (SELECT f, (v + $c1) % $M64 AS u FROM vals),
-       |s1 AS (SELECT f, ${xor64("u", "(u // 1073741824)")} AS x FROM s0),
+       |s1 AS (SELECT f, ${xor64("u", "divide(u, 1073741824)")} AS x FROM s0),
        |s2 AS (SELECT f, ${mulMod("x", c2)} AS u2 FROM s1),
-       |s3 AS (SELECT f, ${xor64("u2", "(u2 // 134217728)")} AS x2 FROM s2),
+       |s3 AS (SELECT f, ${xor64("u2", "divide(u2, 134217728)")} AS x2 FROM s2),
        |s4 AS (SELECT f, ${mulMod("x2", c3)} AS u3 FROM s3),
-       |s5 AS (SELECT f, ${xor64("u3", "(u3 // 2147483648)")} AS h FROM s4),
+       |s5 AS (SELECT f, ${xor64("u3", "divide(u3, 2147483648)")} AS h FROM s4),
        |sk AS (SELECT f, kv FROM (
-       |    SELECT f, h // 2 AS kv,
-       |      row_number() OVER (PARTITION BY f ORDER BY (h // 2) ASC) AS rk
+       |    SELECT f, divide(h, 2) AS kv,
+       |      row_number() OVER (PARTITION BY f ORDER BY divide(h, 2) ASC) AS rk
        |    FROM (SELECT DISTINCT f, h FROM s5)) WHERE rk <= $k),
        |counts AS (SELECT
        |    (SELECT COUNT(*) FROM sk WHERE f = 'R') AS n_r,
@@ -307,14 +307,14 @@ object Analytics {
        |  SELECT DISTINCT 'C' AS f, CAST(c_custkey AS HUGEINT) AS v
        |  FROM customer WHERE c_custkey IS NOT NULL),
        |s0 AS (SELECT f, (v + $c1) % $M64 AS u FROM vals),
-       |s1 AS (SELECT f, ${xor64("u", "(u // 1073741824)")} AS x FROM s0),
+       |s1 AS (SELECT f, ${xor64("u", "divide(u, 1073741824)")} AS x FROM s0),
        |s2 AS (SELECT f, ${mulMod("x", c2)} AS u2 FROM s1),
-       |s3 AS (SELECT f, ${xor64("u2", "(u2 // 134217728)")} AS x2 FROM s2),
+       |s3 AS (SELECT f, ${xor64("u2", "divide(u2, 134217728)")} AS x2 FROM s2),
        |s4 AS (SELECT f, ${mulMod("x2", c3)} AS u3 FROM s3),
-       |s5 AS (SELECT f, ${xor64("u3", "(u3 // 2147483648)")} AS h FROM s4),
+       |s5 AS (SELECT f, ${xor64("u3", "divide(u3, 2147483648)")} AS h FROM s4),
        |sk AS (SELECT f, kv FROM (
-       |    SELECT f, h // 2 AS kv,
-       |      row_number() OVER (PARTITION BY f ORDER BY (h // 2) ASC) AS rk
+       |    SELECT f, divide(h, 2) AS kv,
+       |      row_number() OVER (PARTITION BY f ORDER BY divide(h, 2) ASC) AS rk
        |    FROM (SELECT DISTINCT f, h FROM s5)) WHERE rk <= $k),
        |counts AS (SELECT
        |    (SELECT COUNT(*) FROM sk WHERE f = 'O') AS n_o,

@@ -192,12 +192,12 @@ object Analytics3 {
       |    [CAST(c_nationkey AS BIGINT), c_custkey % 5] AS a2
       |  FROM customer)
       |SELECT c_custkey,
-      |  COALESCE(array_to_string(list_transform(list_sort(list_distinct(list_concat(a1, a2))), x -> CAST(x AS VARCHAR)), ','), '') AS union_sorted,
-      |  COALESCE(array_to_string(list_transform(list_sort(list_distinct(list_filter(a1, x -> list_contains(a2, x)))), x -> CAST(x AS VARCHAR)), ','), '') AS intersect_sorted,
+      |  COALESCE(array_to_string(list_transform(list_sort(list_distinct(list_concat(a1, a2))), x -> CAST(x AS STRING)), ','), '') AS union_sorted,
+      |  COALESCE(array_to_string(list_transform(list_sort(list_distinct(list_filter(a1, x -> list_contains(a2, x)))), x -> CAST(x AS STRING)), ','), '') AS intersect_sorted,
       |  CAST(len(list_distinct(list_filter(a1, x -> NOT list_contains(a2, x)))) AS BIGINT) AS except_n,
       |  list_contains(a1, c_custkey % 5) AS has_mod5,
-      |  COALESCE(array_to_string(list_transform(list_slice(a1, 2, 3), x -> CAST(x AS VARCHAR)), ','), '') AS mid_slice,
-      |  COALESCE(array_to_string(list_transform(flatten([a1, a2]), x -> CAST(x AS VARCHAR)), ','), '') AS flat,
+      |  COALESCE(array_to_string(list_transform(list_slice(a1, 2, 3), x -> CAST(x AS STRING)), ','), '') AS mid_slice,
+      |  COALESCE(array_to_string(list_transform(flatten([a1, a2]), x -> CAST(x AS STRING)), ','), '') AS flat,
       |  list_max(a1) AS max_elem,
       |  CAST(COALESCE(list_position(a1, CAST(c_nationkey AS BIGINT)), 0) AS BIGINT) AS nat_pos
       |FROM t ORDER BY c_custkey""".stripMargin

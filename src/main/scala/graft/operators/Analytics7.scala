@@ -68,7 +68,7 @@ object Analytics7 {
     s"""WITH a AS (SELECT max(CAST(ts AS TIMESTAMP)) AS t_max FROM events),
        |t AS (SELECT user_id,
        |    CAST(floor(value * pow(0.5,
-       |      (epoch_us(a.t_max) - epoch_us(CAST(ts AS TIMESTAMP))) // 86400000000
+       |      divide(epoch_us(a.t_max) - epoch_us(CAST(ts AS TIMESTAMP)), 86400000000)
        |    ) * $DecayScale) AS BIGINT) AS term_q
        |  FROM events, a)
        |SELECT user_id, COUNT(*) AS n_events,

@@ -123,7 +123,7 @@ object CorpusPrepOps {
   }
 
   private val qSpanCorruptSql = {
-    val h = PortableHash.sql("'sc:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")
+    val h = PortableHash.sql("'sc:' || CAST(doc_id AS STRING) || ':' || CAST(pos AS STRING)")
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
        |         unnest(range(0, len(string_split(text, ' ')))) AS pos
@@ -144,7 +144,7 @@ object CorpusPrepOps {
        |    FROM marked WHERE m)),
        |sent AS (
        |  SELECT doc_id, min(pos) AS pos,
-       |    '<extra_id_' || CAST(run_id AS VARCHAR) || '>' AS piece
+       |    '<extra_id_' || CAST(run_id AS STRING) || '>' AS piece
        |  FROM runs GROUP BY doc_id, run_id),
        |inp AS (
        |  SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS input_text FROM (

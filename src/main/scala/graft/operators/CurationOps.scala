@@ -426,9 +426,9 @@ object CurationOps {
 
   private val qHllDistinctSql =
     s"""WITH vals AS (
-       |  SELECT DISTINCT ${PortableHash.sql("CAST(user_id AS VARCHAR)")} AS h
+       |  SELECT DISTINCT ${PortableHash.sql("CAST(user_id AS STRING)")} AS h
        |  FROM events WHERE user_id IS NOT NULL),
-       |parts AS (SELECT h % $HllM AS bucket, h // $HllM AS w FROM vals),
+       |parts AS (SELECT h % $HllM AS bucket, divide(h, $HllM) AS w FROM vals),
        |rho AS (
        |  SELECT bucket, w,
        |    CAST(CASE WHEN w = 0 THEN ${HllWBits + 1}

@@ -65,11 +65,11 @@ object CurationOps2 {
 
   private val synthUrlSql =
     """'https://' ||
-      |  (CASE WHEN doc_id % 2 = 0 THEN upper('site' || ((doc_id // 7) % 10))
-      |        ELSE 'site' || ((doc_id // 7) % 10) END) || '.Example.COM' ||
-      |  '/docs/' || (doc_id // 7) ||
+      |  (CASE WHEN doc_id % 2 = 0 THEN upper('site' || (divide(doc_id, 7) % 10))
+      |        ELSE 'site' || (divide(doc_id, 7) % 10) END) || '.Example.COM' ||
+      |  '/docs/' || divide(doc_id, 7) ||
       |  (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
-      |  (CASE WHEN doc_id % 4 = 0 THEN '?id=' || ((doc_id // 7) % 5) || '&utm_source=feed'
+      |  (CASE WHEN doc_id % 4 = 0 THEN '?id=' || (divide(doc_id, 7) % 5) || '&utm_source=feed'
       |        WHEN doc_id % 4 = 1 THEN '?utm_campaign=x' ELSE '' END) ||
       |  (CASE WHEN doc_id % 5 = 0 THEN '#sec1' ELSE '' END)""".stripMargin
 

@@ -216,15 +216,15 @@ object CurationOps3 {
        |    COUNT(*) AS nb
        |  FROM scored GROUP BY doc_id),
        |av AS (SELECT doc_id,
-       |         (sumq - ((sumq % nb + nb) % nb)) // nb AS avg_q FROM ds),
+       |         divide(sumq - ((sumq % nb + nb) % nb), nb) AS avg_q FROM ds),
        |hist AS (SELECT avg_q, COUNT(*) AS c FROM av GROUP BY avg_q),
        |cum AS (SELECT avg_q,
        |          CAST(SUM(c) OVER (ORDER BY avg_q DESC) AS BIGINT) AS cum
        |        FROM hist),
        |tot AS (SELECT COUNT(*) AS nd FROM av)
        |SELECT a.doc_id, a.avg_q,
-       |  CASE WHEN cum <= (nd + 2) // 3 THEN 'head'
-       |       WHEN cum <= (2 * nd + 2) // 3 THEN 'middle'
+       |  CASE WHEN cum <= divide(nd + 2, 3) THEN 'head'
+       |       WHEN cum <= divide(2 * nd + 2, 3) THEN 'middle'
        |       ELSE 'tail' END AS bucket
        |FROM av a JOIN cum USING (avg_q) CROSS JOIN tot
        |ORDER BY doc_id""".stripMargin

@@ -190,7 +190,7 @@ object DedupOps {
       .mkString(",\n  ")
     val bandExprs = (0 until NumBands).map { b =>
       val parts = (0 until NumPerms / NumBands)
-        .map(r => s"CAST(sig${b * (NumPerms / NumBands) + r} AS VARCHAR)")
+        .map(r => s"CAST(sig${b * (NumPerms / NumBands) + r} AS STRING)")
       s"md5(${parts.mkString(" || ',' || ")}) AS band$b"
     }.mkString(",\n  ")
     val unions = (0 until NumBands).map(b =>

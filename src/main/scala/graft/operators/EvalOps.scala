@@ -266,7 +266,7 @@ object EvalOps {
        |    CAST(ntile($RfmTiles) OVER (ORDER BY freq DESC, custkey ASC) AS BIGINT) AS f,
        |    CAST(ntile($RfmTiles) OVER (ORDER BY monetary DESC, custkey ASC) AS BIGINT) AS m
        |  FROM per, maxd)
-       |SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS segment,
+       |SELECT CAST(r AS STRING) || CAST(f AS STRING) || CAST(m AS STRING) AS segment,
        |  COUNT(*) AS n_customers,
        |  CAST(SUM(monetary) AS DOUBLE) AS revenue
        |FROM scored GROUP BY 1
@@ -395,7 +395,7 @@ object EvalOps {
   }
 
   private val qBootstrapCiSql = {
-    val h = PortableHash.sql("'boot:' || CAST(event_id AS VARCHAR)")
+    val h = PortableHash.sql("'boot:' || CAST(event_id AS STRING)")
     s"""WITH ev AS (
        |  SELECT event_id, event_type,
        |    CAST(floor(value * $BootVQ.0) AS BIGINT) AS vq
@@ -404,7 +404,7 @@ object EvalOps {
        |  SELECT event_type, COUNT(*) AS n, CAST(SUM(vq) AS BIGINT) AS svq
        |  FROM ev GROUP BY event_type),
        |point AS (SELECT event_type, n,
-       |            (svq - ((svq % n + n) % n)) // n AS mean_obs_q FROM pt),
+       |            divide(svq - ((svq % n + n) % n), n) AS mean_obs_q FROM pt),
        |reps AS (
        |  SELECT $h % $BootP AS h, event_type, vq,
        |    unnest(range(0, $BootB)) AS r
@@ -425,7 +425,7 @@ object EvalOps {
        |  FROM ws GROUP BY 1, 2),
        |means AS (
        |  SELECT event_type, r,
-       |    (swv - ((swv % sw + sw) % sw)) // sw AS mean_q
+       |    divide(swv - ((swv % sw + sw) % sw), sw) AS mean_q
        |  FROM rm WHERE sw > 0),
        |ranked AS (
        |  SELECT event_type, r, mean_q,
@@ -435,8 +435,8 @@ object EvalOps {
        |  FROM means),
        |ci AS (
        |  SELECT event_type, CAST(MIN(n_reps) AS BIGINT) AS n_reps,
-       |    MIN(CASE WHEN rn = (n_reps + 19) // 20 THEN mean_q END) AS ci_lo_q,
-       |    MIN(CASE WHEN rn = n_reps + 1 - ((n_reps + 19) // 20)
+       |    MIN(CASE WHEN rn = divide(n_reps + 19, 20) THEN mean_q END) AS ci_lo_q,
+       |    MIN(CASE WHEN rn = n_reps + 1 - divide(n_reps + 19, 20)
        |             THEN mean_q END) AS ci_hi_q
        |  FROM ranked GROUP BY event_type)
        |SELECT p.event_type, p.n, p.mean_obs_q, ci.n_reps, ci.ci_lo_q, ci.ci_hi_q

@@ -163,7 +163,7 @@ object EvalOps2 {
   }
 
   private val qPsiSql =
-    s"""WITH d AS (SELECT n_chars // $PsiBinW AS bin, source = '$PsiSrc' AS ina FROM documents),
+    s"""WITH d AS (SELECT divide(n_chars, $PsiBinW) AS bin, source = '$PsiSrc' AS ina FROM documents),
        |hist AS (
        |  SELECT bin, CAST(SUM(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS ca,
        |         CAST(SUM(CASE WHEN NOT ina THEN 1 ELSE 0 END) AS BIGINT) AS cb
@@ -234,7 +234,7 @@ object EvalOps2 {
       |cum AS (SELECT cents, c,
       |          CAST(SUM(c) OVER (ORDER BY cents) AS BIGINT) AS cumc FROM hist),
       |a AS (
-      |  SELECT CAST(SUM(cents * (c * (cumc - c + 1) + (c * (c - 1)) // 2)) AS BIGINT) AS sri,
+      |  SELECT CAST(SUM(cents * (c * (cumc - c + 1) + divide(c * (c - 1), 2))) AS BIGINT) AS sri,
       |         CAST(SUM(cents * c) AS BIGINT) AS ssx,
       |         CAST(SUM(c) AS BIGINT) AS n
       |  FROM cum)
@@ -273,7 +273,7 @@ object EvalOps2 {
   }
 
   private val qHtEstimateSql = {
-    val h = graft.functions.PortableHash.sql("'ht:' || CAST(o_orderkey AS VARCHAR)")
+    val h = graft.functions.PortableHash.sql("'ht:' || CAST(o_orderkey AS STRING)")
     s"""WITH o AS (
        |  SELECT ($h % 100) < $HtPct AS in_s,
        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents

@@ -111,7 +111,7 @@ object FeatureOps {
   }
 
   private val qReservoirSampleSql = {
-    val h = PortableHash.sql("'rs:' || CAST(doc_id AS VARCHAR)")
+    val h = PortableHash.sql("'rs:' || CAST(doc_id AS STRING)")
     s"""WITH r AS (
        |  SELECT lang, doc_id, (($h % $RsMod) + $RsMod) % $RsMod AS h40
        |  FROM documents)

@@ -70,8 +70,8 @@ object GeoOps {
         .cast(DoubleType) * lit(CoordScale)).as("lng"))
 
   private def coordsSql = Seq(
-    s"$LatBase + CAST(${PortableHash.sql("CAST(event_id AS VARCHAR)")} % 40000 AS DOUBLE) * 1e-5 AS lat",
-    s"$LngBase + CAST(${PortableHash.sql("CAST(event_id AS VARCHAR)", 7)} % 50000 AS DOUBLE) * 1e-5 AS lng")
+    s"$LatBase + CAST(${PortableHash.sql("CAST(event_id AS STRING)")} % 40000 AS DOUBLE) * 1e-5 AS lat",
+    s"$LngBase + CAST(${PortableHash.sql("CAST(event_id AS STRING)", 7)} % 50000 AS DOUBLE) * 1e-5 AS lng")
 
   /** Haversine distance in meters; the expression is written ONCE and
     * rendered into both engines with identical association so every
@@ -213,8 +213,8 @@ object GeoOps {
     val hav = haversineSqlM("p.lat", "p.lng", "s.slat", "s.slng")
     s"""WITH pts AS (SELECT event_id, ${coordsSql.mkString(", ")} FROM events),
        |stops AS (SELECT n_nationkey AS stop_id,
-       |  $LatBase + CAST(${PortableHash.sql("'s:' || CAST(n_nationkey AS VARCHAR)")} % 40000 AS DOUBLE) * 1e-5 AS slat,
-       |  $LngBase + CAST(${PortableHash.sql("'s:' || CAST(n_nationkey AS VARCHAR)", 7)} % 50000 AS DOUBLE) * 1e-5 AS slng
+       |  $LatBase + CAST(${PortableHash.sql("'s:' || CAST(n_nationkey AS STRING)")} % 40000 AS DOUBLE) * 1e-5 AS slat,
+       |  $LngBase + CAST(${PortableHash.sql("'s:' || CAST(n_nationkey AS STRING)", 7)} % 50000 AS DOUBLE) * 1e-5 AS slng
        |  FROM nation),
        |assigned AS (
        |  SELECT event_id, stop_id, d FROM (

@@ -669,7 +669,7 @@ object GraphOps {
        |tri AS (
        |  SELECT COUNT(*) AS triangles FROM wedges w
        |  JOIN e ON e.s = w.a AND e.t = w.b),
-       |wt AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS wedges FROM deg),
+       |wt AS (SELECT CAST(SUM(divide(d * (d - 1), 2)) AS BIGINT) AS wedges FROM deg),
        |cnt AS (SELECT (SELECT COUNT(*) FROM und) AS edges,
        |               (SELECT COUNT(*) FROM deg) AS nodes)
        |SELECT c.nodes, c.edges, t.triangles, w.wedges,

@@ -306,7 +306,7 @@ object GraphOps2 {
        |s0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
        |       FROM we WHERE src % 100 = 0),
        |$iters
-       |SELECT CAST(dist // $SsspRing AS BIGINT) AS ring, COUNT(*) AS n_nodes,
+       |SELECT CAST(divide(dist, $SsspRing) AS BIGINT) AS ring, COUNT(*) AS n_nodes,
        |  MIN(dist) AS min_dist, MIN(node) AS min_node
        |FROM s$SsspRounds GROUP BY 1 ORDER BY ring""".stripMargin
   }

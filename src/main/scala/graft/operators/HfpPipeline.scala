@@ -63,12 +63,12 @@ object HfpPipeline {
   /** The same wire layer in DuckDB SQL (oracle side). */
   private val rawSql =
     s"""SELECT event_id, event_type,
-       |  CASE WHEN event_id % 97 = 0 THEN '' ELSE md5(CAST(event_id AS VARCHAR)) END AS uuid_s,
+       |  CASE WHEN event_id % 97 = 0 THEN '' ELSE md5(CAST(event_id AS STRING)) END AS uuid_s,
        |  CASE WHEN event_id % 13 = 0 THEN '' ELSE event_type END AS desi_s,
-       |  CASE event_id % 11 WHEN 0 THEN '' WHEN 1 THEN 'abc' WHEN 2 THEN '0' WHEN 3 THEN '42px' ELSE CAST(user_id AS VARCHAR) END AS dl_s,
-       |  CASE event_id % 7 WHEN 0 THEN '' WHEN 1 THEN 'NaNope' WHEN 2 THEN '3.5e2oops' ELSE CAST(value AS VARCHAR) END AS spd_s,
+       |  CASE event_id % 11 WHEN 0 THEN '' WHEN 1 THEN 'abc' WHEN 2 THEN '0' WHEN 3 THEN '42px' ELSE CAST(user_id AS STRING) END AS dl_s,
+       |  CASE event_id % 7 WHEN 0 THEN '' WHEN 1 THEN 'NaNope' WHEN 2 THEN '3.5e2oops' ELSE CAST(value AS STRING) END AS spd_s,
        |  CASE event_id % 5 WHEN 0 THEN '' WHEN 1 THEN 'false' WHEN 2 THEN '0' ELSE 'true' END AS drst_s,
-       |  CASE event_id % 4 WHEN 0 THEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') WHEN 1 THEN CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS VARCHAR) WHEN 2 THEN 'garbage-date' ELSE '' END AS tst_s,
+       |  CASE event_id % 4 WHEN 0 THEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') WHEN 1 THEN CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS STRING) WHEN 2 THEN 'garbage-date' ELSE '' END AS tst_s,
        |  CASE event_id % 6 WHEN 0 THEN '' WHEN 1 THEN 'not-a-date' ELSE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') END AS oday_s
        |FROM events""".stripMargin
 
@@ -127,7 +127,7 @@ object HfpPipeline {
       .select(md5(col("event_id").cast(StringType)).as("uuid"))
 
   private val existingKeysSql =
-    """SELECT md5(CAST(event_id AS VARCHAR)) AS uuid FROM events
+    """SELECT md5(CAST(event_id AS STRING)) AS uuid FROM events
       |WHERE event_id % 10 < 3 AND event_id % 97 <> 0""".stripMargin
 
   /** A1: dedup anti-join. No hint: Catalyst broadcasts while the key
@@ -257,12 +257,12 @@ object HfpPipeline {
   private val loadDayE2ESql =
     """WITH syn AS (
       |  SELECT event_id,
-      |    CASE WHEN event_id % 97 = 0 THEN NULL ELSE md5(CAST(event_id AS VARCHAR)) END AS uuid,
+      |    CASE WHEN event_id % 97 = 0 THEN NULL ELSE md5(CAST(event_id AS STRING)) END AS uuid,
       |    CASE WHEN event_type = 'purchase' THEN 'journey' ELSE event_type END AS journey_type,
       |    CASE event_id % 3 WHEN 0 THEN 'stopevent' WHEN 1 THEN 'otherevent' ELSE 'vp' END AS grp
       |  FROM events),
       |existing AS (
-      |  SELECT md5(CAST(event_id AS VARCHAR)) AS uuid FROM events
+      |  SELECT md5(CAST(event_id AS STRING)) AS uuid FROM events
       |  WHERE event_id % 10 < 3 AND event_id % 97 <> 0),
       |routed AS (
       |  SELECT uuid,
@@ -375,7 +375,7 @@ object HfpPipeline {
          |SELECT DISTINCT event_id, uuid FROM unioned ORDER BY event_id""".stripMargin,
     "hfp_union" ->
       s"""WITH e1 AS ($existingKeysSql),
-         |  e2 AS (SELECT md5(CAST(event_id AS VARCHAR)) AS uuid FROM events
+         |  e2 AS (SELECT md5(CAST(event_id AS STRING)) AS uuid FROM events
          |         WHERE event_id % 10 < 3 AND event_id % 97 <> 0 AND event_type <> 'purchase')
          |SELECT uuid FROM (SELECT uuid FROM e1 UNION ALL SELECT uuid FROM e2)
          |ORDER BY uuid""".stripMargin,

@@ -49,7 +49,7 @@ object LayoutOps {
   }
 
   private val qShardPlanSql = {
-    val shard = s"${PortableHash.sql("CAST(doc_id AS VARCHAR)")} % $NumShards"
+    val shard = s"${PortableHash.sql("CAST(doc_id AS STRING)")} % $NumShards"
     s"""WITH per_shard AS (
        |  SELECT $shard AS shard_id, COUNT(*) AS n_docs,
        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
@@ -196,7 +196,7 @@ object LayoutOps {
 
   private val qBloomSkipSql = {
     def pos(e: String, seed: Int) =
-      s"${PortableHash.sql(s"CAST($e AS VARCHAR)", seed)} % $BloomBits"
+      s"${PortableHash.sql(s"CAST($e AS STRING)", seed)} % $BloomBits"
     def posUnion(src: String, idCol: String, e: String) =
       BloomSeeds.map(sd =>
         s"SELECT $idCol, ${pos(e, sd)} AS pos FROM $src").mkString("\n  UNION\n  ")

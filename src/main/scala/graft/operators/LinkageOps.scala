@@ -171,8 +171,8 @@ object LinkageOps {
   }
 
   private val qEntityResolveSql = {
-    val cls = s"${PortableHash.sql("CAST(c_custkey AS VARCHAR)", 11)} % 7"
-    val pos = s"${PortableHash.sql("CAST(c_custkey AS VARCHAR)", 13)}" +
+    val cls = s"${PortableHash.sql("CAST(c_custkey AS STRING)", 11)} % 7"
+    val pos = s"${PortableHash.sql("CAST(c_custkey AS STRING)", 13)}" +
       " % greatest(length(c_name) - 1, 1) + 1"
     s"""WITH dirty AS (
        |  SELECT c_custkey AS dirty_id, c_nationkey,

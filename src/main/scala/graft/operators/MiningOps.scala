@@ -469,7 +469,7 @@ object MiningOps {
 
   private val qSeqMiningSql =
     s"""WITH pt AS (
-       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // $SeqWinUs AS win, event_type,
+       |  SELECT user_id, divide(epoch_us(CAST(ts AS TIMESTAMP)), $SeqWinUs) AS win, event_type,
        |    min(ROW(CAST(ts AS TIMESTAMP), event_id)) AS first_occ,
        |    max(ROW(CAST(ts AS TIMESTAMP), event_id)) AS last_occ
        |  FROM events GROUP BY 1, 2, 3),

@@ -143,7 +143,7 @@ object MlOps {
   }
 
   private def cmsHash(tokExpr: String) =
-    PortableHash.sql(s"CAST(seed AS VARCHAR) || ':' || $tokExpr")
+    PortableHash.sql(s"CAST(seed AS STRING) || ':' || $tokExpr")
 
   private val qCmsHeavySql =
     s"""WITH tc AS (

@@ -237,18 +237,18 @@ object Multimodal {
       |    CAST(list_aggregate(list_transform(regexp_split_to_array(text, ''), c -> ord(c)), 'sum') AS BIGINT) AS checksum
       |  FROM documents),
       |dims AS (SELECT doc_id, checksum,
-      |    CAST((16 + checksum % 16) // 2 AS INT) AS new_w,
-      |    CAST((16 + (checksum // 16) % 16) // 2 AS INT) AS new_h
+      |    CAST(divide(16 + checksum % 16, 2) AS INT) AS new_w,
+      |    CAST(divide(16 + divide(checksum, 16) % 16, 2) AS INT) AS new_h
       |  FROM s),
       |rows_y AS (SELECT doc_id, checksum, new_w, new_h,
       |    unnest(range(0, new_h)) AS by FROM dims),
       |cells AS (SELECT doc_id, checksum, new_w, new_h, by,
       |    unnest(range(0, new_w)) AS bx FROM rows_y),
       |boxes AS (SELECT doc_id, new_w, new_h,
-      |    ((checksum + 31 * (2 * bx) + 17 * (2 * by)) % 256
+      |    divide((checksum + 31 * (2 * bx) + 17 * (2 * by)) % 256
       |     + (checksum + 31 * (2 * bx + 1) + 17 * (2 * by)) % 256
       |     + (checksum + 31 * (2 * bx) + 17 * (2 * by + 1)) % 256
-      |     + (checksum + 31 * (2 * bx + 1) + 17 * (2 * by + 1)) % 256) // 4 AS avg
+      |     + (checksum + 31 * (2 * bx + 1) + 17 * (2 * by + 1)) % 256, 4) AS avg
       |  FROM cells)
       |SELECT doc_id, new_w, new_h, CAST(SUM(avg) AS BIGINT) AS px_sum
       |FROM boxes GROUP BY doc_id, new_w, new_h ORDER BY doc_id""".stripMargin
@@ -306,7 +306,7 @@ object Multimodal {
 
   private val mmAudioVadSql = {
     import graft.functions.{PortableHash => PH}
-    val energy = PH.sql("CAST(doc_id AS VARCHAR) || ':' || CAST(fi AS VARCHAR)") + " % 1000"
+    val energy = PH.sql("CAST(doc_id AS STRING) || ':' || CAST(fi AS STRING)") + " % 1000"
     s"""WITH s AS (SELECT doc_id,
        |    CAST(list_aggregate(list_transform(regexp_split_to_array(text, ''), c -> ord(c)), 'sum') AS BIGINT) AS cs
        |  FROM documents),
@@ -437,13 +437,13 @@ object Multimodal {
   private val mmCropJitterSql = {
     import graft.functions.{PortableHash => PH}
     def h(tag: String) = PH.sql(
-      s"CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR) || ':$tag'")
+      s"CAST(doc_id AS STRING) || ':' || CAST(epoch AS STRING) || ':$tag'")
     s"""WITH s AS (SELECT doc_id,
        |    CAST(list_aggregate(list_transform(regexp_split_to_array(text, ''), c -> ord(c)), 'sum') AS BIGINT) AS cs
        |  FROM documents),
        |dims AS (SELECT doc_id,
        |    CAST(16 + cs % 16 AS INT) AS w,
-       |    CAST(16 + (cs // 16) % 16 AS INT) AS h
+       |    CAST(16 + divide(cs, 16) % 16 AS INT) AS h
        |  FROM s),
        |fan AS (SELECT doc_id, w, h, e.epoch
        |  FROM dims CROSS JOIN range(0, $JitterEpochs) e(epoch))
@@ -505,8 +505,8 @@ object Multimodal {
 
   private val mmAudioFingerprintSql = {
     import graft.functions.{PortableHash => PH}
-    val energy = PH.sql("CAST(doc_id AS VARCHAR) || ':' || CAST(fi AS VARCHAR)") + " % 1000"
-    val fp = PH.sql("CAST(energy % 64 AS VARCHAR) || ':' || CAST(t_energy % 64 AS VARCHAR) || ':' || CAST(t_fi - fi AS VARCHAR)")
+    val energy = PH.sql("CAST(doc_id AS STRING) || ':' || CAST(fi AS STRING)") + " % 1000"
+    val fp = PH.sql("CAST(energy % 64 AS STRING) || ':' || CAST(t_energy % 64 AS STRING) || ':' || CAST(t_fi - fi AS STRING)")
     s"""WITH s AS (SELECT doc_id,
        |    CAST(list_aggregate(list_transform(regexp_split_to_array(text, ''), c -> ord(c)), 'sum') AS BIGINT) AS cs
        |  FROM documents),
@@ -570,7 +570,7 @@ object Multimodal {
 
   private val mmMfccSql = {
     import graft.functions.{PortableHash => PH}
-    val energy = PH.sql("CAST(doc_id AS VARCHAR) || ':' || CAST(fi AS VARCHAR)") + " % 1000"
+    val energy = PH.sql("CAST(doc_id AS STRING) || ':' || CAST(fi AS STRING)") + " % 1000"
     val term = s"CAST(e AS DOUBLE) * cos(pi() * k * (2 * fi + 1) / ${2 * MfccFrames})"
     s"""WITH fr AS (
        |  SELECT doc_id, unnest(range(0, $MfccFrames)) AS fi FROM documents),
@@ -620,7 +620,7 @@ object Multimodal {
 
   private val mmClipFilterSql = {
     import graft.functions.{PortableHash => PH}
-    val h = PH.sql("'t:' || CAST(doc_id AS VARCHAR) || ':' || CAST(d AS VARCHAR)")
+    val h = PH.sql("'t:' || CAST(doc_id AS STRING) || ':' || CAST(d AS STRING)")
     val dot = "list_aggregate(list_transform(list_zip(te, me), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
     def norm(a: String) =
       s"sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
@@ -663,7 +663,7 @@ object Multimodal {
       |  FROM documents)
       |SELECT doc_id, n_bytes, checksum,
       |  CAST(16 + checksum % 16 AS INT) AS width,
-      |  CAST(16 + (checksum // 16) % 16 AS INT) AS height,
+      |  CAST(16 + divide(checksum, 16) % 16 AS INT) AS height,
       |  CAST(checksum AS DOUBLE) / greatest(n_bytes, 1) AS mean_intensity
       |FROM s ORDER BY doc_id""".stripMargin
 
@@ -673,7 +673,7 @@ object Multimodal {
       |  FROM documents),
       |dims AS (SELECT doc_id,
       |    CAST(16 + checksum % 16 AS INT) AS width,
-      |    CAST(16 + (checksum // 16) % 16 AS INT) AS height
+      |    CAST(16 + divide(checksum, 16) % 16 AS INT) AS height
       |  FROM s)
       |SELECT d.doc_id, r.prow, c.pcol,
       |  CAST(least(8, d.width - c.pcol * 8) AS INT) AS patch_w,
@@ -681,8 +681,8 @@ object Multimodal {
       |FROM dims d
       |CROSS JOIN range(0, 4) r(prow)
       |CROSS JOIN range(0, 4) c(pcol)
-      |WHERE r.prow <= (d.height + 7) // 8 - 1
-      |  AND c.pcol <= (d.width + 7) // 8 - 1
+      |WHERE r.prow <= divide(d.height + 7, 8) - 1
+      |  AND c.pcol <= divide(d.width + 7, 8) - 1
       |ORDER BY doc_id, prow, pcol""".stripMargin
 
   def oracles: Map[String, String] = Map(

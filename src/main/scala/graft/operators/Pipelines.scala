@@ -105,7 +105,7 @@ object Pipelines {
   }
 
   private val qStratifiedSampleSql = {
-    val bucket = s"${PortableHash.sql("CAST(doc_id AS VARCHAR)", 7)} % 100"
+    val bucket = s"${PortableHash.sql("CAST(doc_id AS STRING)", 7)} % 100"
     s"""SELECT doc_id, lang, n_chars FROM documents
        |WHERE $bucket < (CASE WHEN lang = 'en' THEN 5 ELSE 20 END)
        |ORDER BY doc_id""".stripMargin
@@ -248,7 +248,7 @@ object Pipelines {
   }
 
   private val qDocPackingSql = {
-    val shard = s"${PortableHash.sql("CAST(doc_id AS VARCHAR)", 11)} % $PackShards"
+    val shard = s"${PortableHash.sql("CAST(doc_id AS STRING)", 11)} % $PackShards"
     s"""WITH d AS (SELECT doc_id, $shard AS shard,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
        |p AS (SELECT doc_id, shard, n_tokens,

@@ -76,7 +76,7 @@ object ScaleOps {
   }
 
   private val qHashSampleSql = {
-    val bucket = s"${graft.functions.PortableHash.sql("CAST(doc_id AS VARCHAR)")} % 100"
+    val bucket = s"${graft.functions.PortableHash.sql("CAST(doc_id AS STRING)")} % 100"
     s"""SELECT doc_id, lang, n_chars FROM documents
        |WHERE $bucket < 10 ORDER BY doc_id""".stripMargin
   }
@@ -94,7 +94,7 @@ object ScaleOps {
   }
 
   private val qTrainSplitSql = {
-    val bucket = s"${graft.functions.PortableHash.sql("CAST(doc_id AS VARCHAR)")} % 100"
+    val bucket = s"${graft.functions.PortableHash.sql("CAST(doc_id AS STRING)")} % 100"
     s"""SELECT CASE WHEN $bucket < 80 THEN 'train'
        |            WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split,
        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -174,8 +174,8 @@ object ScaleOps {
   }
 
   private val qIncrJoinSql = {
-    val hl = graft.functions.PortableHash.sql("CAST(o_orderkey AS VARCHAR)", 31)
-    val hc = graft.functions.PortableHash.sql("CAST(c_custkey AS VARCHAR)", 37)
+    val hl = graft.functions.PortableHash.sql("CAST(o_orderkey AS STRING)", 31)
+    val hc = graft.functions.PortableHash.sql("CAST(c_custkey AS STRING)", 37)
     s"""WITH j AS (
        |  SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS p,
        |    ($hl % 10 = 0) AS dl, ($hc % 10 = 0) AS dc
@@ -374,8 +374,8 @@ object ScaleOps {
       |s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS d,
       |             CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM f),
       |top AS (SELECT key, cnt FROM f ORDER BY cnt DESC, key ASC LIMIT 10)
-      |SELECT key, cnt, (cnt * 1000000) // n AS share_ppm,
-      |  (max_cnt * d + n - 1) // n AS rec_salt
+      |SELECT key, cnt, divide(cnt * 1000000, n) AS share_ppm,
+      |  divide(max_cnt * d + n - 1, n) AS rec_salt
       |FROM top CROSS JOIN s ORDER BY cnt DESC, key ASC""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -134,7 +134,7 @@ object SpectralOps {
   }
 
   private def fdSql(a: String, c: String): String =
-    s"(($a) - ((($a) % ($c) + ($c)) % ($c))) // ($c)"
+    s"divide(($a) - ((($a) % ($c) + ($c)) % ($c)), $c)"
 
   /** The shared unrolled-CTE prefix: quantized vectors + `iters`
     * power-iteration rounds, ending at CTE `v<iters>`. Each round is
@@ -333,11 +333,11 @@ object SpectralOps {
        |        FROM hist)
        |SELECT CAST(pos AS BIGINT) AS pos, n.n AS n,
        |  MIN(v) AS min_q,
-       |  MIN(CASE WHEN cum >= (n.n + 3) // 4 THEN v END) AS q1,
-       |  MIN(CASE WHEN cum >= (n.n + 1) // 2 THEN v END) AS median,
-       |  MIN(CASE WHEN cum >= (3 * n.n + 3) // 4 THEN v END) AS q3,
-       |  MIN(CASE WHEN cum >= (3 * n.n + 3) // 4 THEN v END)
-       |    - MIN(CASE WHEN cum >= (n.n + 3) // 4 THEN v END) AS iqr,
+       |  MIN(CASE WHEN cum >= divide(n.n + 3, 4) THEN v END) AS q1,
+       |  MIN(CASE WHEN cum >= divide(n.n + 1, 2) THEN v END) AS median,
+       |  MIN(CASE WHEN cum >= divide(3 * n.n + 3, 4) THEN v END) AS q3,
+       |  MIN(CASE WHEN cum >= divide(3 * n.n + 3, 4) THEN v END)
+       |    - MIN(CASE WHEN cum >= divide(n.n + 3, 4) THEN v END) AS iqr,
        |  MAX(v) AS max_q
        |FROM cum CROSS JOIN n GROUP BY 1, 2 ORDER BY pos""".stripMargin
   }

@@ -304,7 +304,7 @@ object TextAnalysis2 {
        |SELECT term, COUNT(*) AS df, CAST(SUM(c) AS BIGINT) AS cf,
        |  COALESCE(array_to_string(list_transform(
        |    (list(doc_id ORDER BY doc_id))[1:$PostingsCap],
-       |    x -> CAST(x AS VARCHAR)), ','), '') AS postings
+       |    x -> CAST(x AS STRING)), ','), '') AS postings
        |FROM tdc GROUP BY term ORDER BY term""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -188,7 +188,7 @@ object TimeSeriesOps {
        |      ORDER BY n_chars DESC, doc_id ASC
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
        |  FROM documents)
-       |SELECT source, CAST(cum_before // $TargetBytes AS BIGINT) AS bin,
+       |SELECT source, CAST(divide(cum_before, $TargetBytes) AS BIGINT) AS bin,
        |  COUNT(*) AS n_files, CAST(SUM(n_chars) AS BIGINT) AS bytes,
        |  MAX(n_chars) AS max_file,
        |  CAST(SUM(n_chars) AS DOUBLE) / $TargetBytes AS fill_ratio
@@ -377,8 +377,8 @@ object TimeSeriesOps {
        |    lead(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
        |  FROM events),
        |gaps AS (
-       |  SELECT CASE WHEN nxt IS NOT NULL THEN (nxt - us) // $GapBucketUs
-       |         ELSE ((SELECT maxus FROM horizon) - us) // $GapBucketUs END AS gap_min,
+       |  SELECT CASE WHEN nxt IS NOT NULL THEN divide(nxt - us, $GapBucketUs)
+       |         ELSE divide((SELECT maxus FROM horizon) - us, $GapBucketUs) END AS gap_min,
        |    nxt IS NULL AS censored
        |  FROM g),
        |bygap AS (

@@ -153,7 +153,7 @@ object TokenizerOps {
        |                 unnest(range(1, len(string_split(text, ' ')) + 1)) AS wid
        |          FROM documents),
        |munch(doc_id, wid, w, pos, piece) AS (
-       |  SELECT doc_id, wid, w, 1, CAST(NULL AS VARCHAR) FROM words
+       |  SELECT doc_id, wid, w, 1, CAST(NULL AS STRING) FROM words
        |  UNION ALL
        |  SELECT m.doc_id, m.wid, m.w, m.pos + v.len, v.piece
        |  FROM munch m JOIN vocab v

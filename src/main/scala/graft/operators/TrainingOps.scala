@@ -292,10 +292,10 @@ object TrainingOps {
     s"""WITH m AS (
        |  SELECT e.epoch, d.doc_id,
        |    row_number() OVER (PARTITION BY e.epoch
-       |      ORDER BY ${PortableHash.sql("CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")}, d.doc_id) AS rn
+       |      ORDER BY ${PortableHash.sql("CAST(e.epoch AS STRING) || ':' || CAST(d.doc_id AS STRING)")}, d.doc_id) AS rn
        |  FROM documents d CROSS JOIN range(0, $Epochs) e(epoch))
        |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
-       |  CAST((rn - 1) // $ShardSize AS BIGINT) AS shard,
+       |  CAST(divide(rn - 1, $ShardSize) AS BIGINT) AS shard,
        |  CAST((rn - 1) % $ShardSize AS BIGINT) AS pos
        |FROM m ORDER BY epoch, shard, pos""".stripMargin
 

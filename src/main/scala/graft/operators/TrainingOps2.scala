@@ -141,7 +141,7 @@ object TrainingOps2 {
   }
 
   private val qWeightedSampleSql = {
-    val h = PortableHash.sql("'ws:' || CAST(doc_id AS VARCHAR)")
+    val h = PortableHash.sql("'ws:' || CAST(doc_id AS STRING)")
     s"""SELECT doc_id,
        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
        |  round(ln(($h % 1073741824 + 1) / $UDenom)
@@ -223,7 +223,7 @@ object TrainingOps2 {
   }
 
   private val qDomainCapSql = {
-    val h = PortableHash.sql("'cap:' || CAST(doc_id AS VARCHAR)") +
+    val h = PortableHash.sql("'cap:' || CAST(doc_id AS STRING)") +
       " % 1125899906842624"
     s"""SELECT doc_id, source, lang, n_chars FROM documents
        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY $h ASC, doc_id ASC)
