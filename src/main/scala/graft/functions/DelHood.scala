@@ -23,16 +23,21 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object DelHood {
 
-  /** Hard input-length cap. The ≤2-deletion neighborhood is
-    * 1 + n + n(n-1)/2 variants — quadratic in the input — so an
-    * unbounded `graft_del_hood` call is a per-row allocation bomb
-    * (a 10k-char input would allocate a ~50M-element long array, and
-    * past ~65k chars the Int count overflows to a negative array
-    * size). Deletion-neighborhood blocking is a short-key technique;
-    * at the cap the worst case is ~525k variants (~4 MB transient).
-    * Longer inputs fail legibly: truncate or hash the key first.
+  /** Hard cap on the VARIANT COUNT, not the input length: the
+    * neighborhood is 1 + n + n(n-1)/2 variants — quadratic only at
+    * k = 2 — so an unbounded k = 2 `graft_del_hood` call is a per-row
+    * allocation bomb (a 10k-char input would allocate a ~50M-element
+    * long array, and past ~65k chars the Int count overflows to a
+    * negative array size), while k ≤ 1 is linear and cheap at any
+    * realistic length. Capping the count scales the guard with k: at
+    * k = 2 it bites at n = 1024 (the documented short-key blocking
+    * regime, ~4 MB transient worst case); at k ≤ 1 inputs up to ~525k
+    * chars stay legal. Over-cap inputs fail legibly: truncate or hash
+    * the key first.
     */
   private[graft] val MaxLen = 1024
+  private[graft] val MaxVariants: Long =
+    1L + MaxLen + MaxLen.toLong * (MaxLen - 1) / 2
 
   private val FnvOffset = 0xcbf29ce484222325L
   private val FnvPrime = 0x100000001b3L
@@ -61,11 +66,14 @@ object DelHood {
     require(k >= 0 && k <= 2, s"deletion neighborhood supports k <= 2, got $k")
     val s = u.toString
     val n = s.length
-    require(n <= MaxLen,
-      s"graft_del_hood: input is $n chars (cap $MaxLen) — the deletion " +
-        "neighborhood grows quadratically with length; truncate or hash " +
-        "long keys before blocking on them")
-    val cnt = 1 + (if (k >= 1) n else 0) + (if (k >= 2) n * (n - 1) / 2 else 0)
+    val cntL = 1L + (if (k >= 1) n.toLong else 0L) +
+      (if (k >= 2) n.toLong * (n - 1) / 2 else 0L)
+    require(cntL <= MaxVariants,
+      s"graft_del_hood: input of $n chars at k=$k yields $cntL deletion " +
+        s"variants (cap $MaxVariants — at k=2 that is inputs over $MaxLen " +
+        "chars); the neighborhood grows quadratically with length at k=2, " +
+        "so truncate or hash long keys before blocking on them")
+    val cnt = cntL.toInt
     val hs = new Array[Long](cnt)
     var c = 0
     hs(c) = fnv(s, -1, -1); c += 1

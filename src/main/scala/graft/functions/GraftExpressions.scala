@@ -923,5 +923,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => GraftExpressions.RewriteSelfDot)
     e.injectPlannerStrategy(_ => graft.plans.GroupedTopK.strategy)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoin.strategy)
+    e.injectPlannerStrategy(_ => graft.plans.RangeJoin.strategy)
   }
 }

@@ -128,16 +128,35 @@ object SqlCompat {
     "list_max" -> (es => ArrayMax(es.head)),
     // strftime with a LITERAL C-style format: translated to the Java
     // pattern at bind time (only the directives the oracles use — any
-    // other format must fail loudly, not approximate)
+    // other format must fail loudly, not approximate). Everything
+    // BETWEEN directives is a literal and must be single-quoted in the
+    // Java pattern — alphabetic separators ('T', a literal 'd') would
+    // otherwise be reinterpreted as pattern letters or rejected.
     "strftime" -> { es =>
       val fmt = es(1).eval(null).toString
-      val known = Seq("%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd",
+      val known = Map("%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd",
         "%H" -> "HH", "%M" -> "mm", "%S" -> "ss")
-      val java = known.foldLeft(fmt) { case (s, (c, j)) => s.replace(c, j) }
-      require(!java.contains("%"),
-        s"strftime alias: untranslated directive in format '$fmt'")
+      def quote(lit: String): String =
+        if (lit.isEmpty) "" else "'" + lit.replace("'", "''") + "'"
+      val out = new StringBuilder
+      var i = 0
+      var litStart = 0
+      while (i < fmt.length) {
+        if (fmt.charAt(i) == '%') {
+          require(i + 1 < fmt.length,
+            s"strftime alias: dangling '%' in format '$fmt'")
+          val dir = fmt.substring(i, i + 2)
+          require(known.contains(dir),
+            s"strftime alias: untranslated directive '$dir' in format '$fmt'")
+          out ++= quote(fmt.substring(litStart, i))
+          out ++= known(dir)
+          i += 2
+          litStart = i
+        } else i += 1
+      }
+      out ++= quote(fmt.substring(litStart))
       DateFormatClass(es(0),
-        Literal(UTF8String.fromString(java), StringType))
+        Literal(UTF8String.fromString(out.toString), StringType))
     },
     "quantile_cont" -> (es =>
       Percentile(es(0), es(1), Literal(1L)).toAggregateExpression()))

@@ -70,6 +70,29 @@ object AdvancedOps {
       .orderBy("user_id", "p_id", "e_id")
   }
 
+  /** The same purchase→error interval join through the native
+    * [[graft.plans.RangeJoin]] exec: one exchange + one sort per side,
+    * then a per-key sliding-window merge whose work is
+    * |L_k| + |R_k| + |matches| per key — against the SortMergeJoin
+    * formulation above, which emits |P_k|·|E_k| pairs per user before
+    * the range filter runs (quadratic in a hot user at 100×). Same
+    * rows, same oracle.
+    */
+  def qRangeNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val e = ev.where(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("e_id"),
+        col("ts").as("e_ts"))
+    graft.plans.RangeJoin(p, e, s,
+        col("user_id"), unix_micros(col("p_ts")),
+        col("e_user"), unix_micros(col("e_ts")),
+        loExcl = 0L, hiIncl = 30L * 60 * 1000 * 1000)
+      .select("user_id", "p_id", "e_id", "p_ts", "e_ts")
+      .orderBy("user_id", "p_id", "e_id")
+  }
+
   private val qRangeJoinSql =
     """WITH p AS (SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS p_ts
       |           FROM events WHERE event_type = 'purchase'),
@@ -313,6 +336,7 @@ object AdvancedOps {
     "q_asof_join" -> (qAsofJoin(_, _)),
     "q_asof_native" -> (qAsofNative(_, _)),
     "q_range_join" -> (qRangeJoin(_, _)),
+    "q_range_native" -> (qRangeNative(_, _)),
     "q_sessionize" -> (qSessionize(_, _)),
     "q_percentiles" -> (qPercentiles(_, _)),
     "q_pivot" -> (qPivot(_, _)))
@@ -324,6 +348,7 @@ object AdvancedOps {
     "q_asof_join" -> qAsofSql,
     "q_asof_native" -> qAsofSql,
     "q_range_join" -> qRangeJoinSql,
+    "q_range_native" -> qRangeJoinSql,
     "q_sessionize" -> qSessionizeSql,
     "q_percentiles" -> qPercentilesSql,
     "q_pivot" -> qPivotSql)

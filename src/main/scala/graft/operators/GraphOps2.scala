@@ -74,23 +74,28 @@ object GraphOps2 {
     // runtime-size-gated broadcast (see GraphOps.pagerankLoop): the
     // survivor set only shrinks from the initial node count, so one
     // count up front decides every round's hint
-    var nCur = g.select("src").distinct().count()
+    val n0 = g.select("src").distinct().count()
     val gate: DataFrame => DataFrame =
-      if (nCur <= GraphOps.BroadcastNodeCap) broadcast else identity
+      if (n0 <= GraphOps.BroadcastNodeCap) broadcast else identity
     var round = 0
     var converged = false
     while (round < KcIters && !converged) {
-      val keep = g.groupBy("src").agg(count(lit(1)).as("d"))
-        .where(col("d") >= KcK).select("src").localCheckpoint()
+      // the degree aggregate's group count IS g's live node count, so
+      // the fixpoint check compares against the round's true input —
+      // not a carried-over count that a restriction join can strand
+      // (survivors losing their last edge vanish from g without ever
+      // being "peeled" by the degree filter)
+      val degAll = g.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
+      val nNow = degAll.count()
+      val keep = degAll.where(col("d") >= KcK).select("src").localCheckpoint()
       val k = keep.count()
-      if (k == nCur) {
+      if (k == nNow) {
         converged = true // nothing peeled: remaining rounds are no-ops
       } else {
         g = g.join(gate(keep), "src")
           .join(gate(keep.withColumnRenamed("src", "dst")), "dst")
           .select("src", "dst")
           .localCheckpoint()
-        nCur = k
         round += 1
       }
     }
@@ -120,22 +125,65 @@ object GraphOps2 {
   // Common-neighbor link prediction
   // ---------------------------------------------------------------------
 
+  /** Per-center degree cap on the link-prediction wedge fan-out (the
+    * LinkageOps.BlockCap pattern). Exact common-neighbor counting must
+    * enumerate every wedge — Σ deg(w)² through each center w — and
+    * degree-orientation cannot shrink that set (unlike triangle
+    * counting, every wedge contributes to some pair's count), so the
+    * only scale control is bounding the per-center fan-out. Centers
+    * whose adjacency exceeds the cap are dropped WHOLE: a hub that
+    * dense contributes deg² near-uniform candidate pairs whose Jaccard
+    * is ~0 anyway (the denominator carries both full degrees), and
+    * dropping the keys — not truncating the lists — keeps the
+    * exactness argument binary: observed `dropped_centers` = 0 ⇒
+    * output byte-identical to the uncapped query. Observed max center
+    * degree: 51 at sf0.001, 13 at sf0.01, 6 at sf0.1 — DECREASING
+    * with scale, because the min-support-2 co-purchase filter thins as
+    * orders spread over a growing part catalogue — so the cap is ~80×
+    * headroom at the densest measured graph; GraphLoopSpec pins the
+    * metric.
+    */
+  private[graft] val HubCap = 4096
+
+  /** Observed-metric name for the hub cap (see [[LinkageOps.CapMetric]]
+    * for the pattern): `dropped_centers` = wedge centers removed by the
+    * cap (0 ⇒ exact), `max_center_degree` = largest adjacency seen.
+    */
+  private[graft] val HubCapMetric = "graft.linkpredict.hub_cap"
+
   /** Link prediction by neighborhood overlap (Liben-Nowell & Kleinberg
     * 2003): for every non-adjacent pair sharing ≥ 1 neighbor, score =
-    * Jaccard of the neighbor sets = cn / (deg(a) + deg(b) − cn). The
-    * candidate pairs come from a wedge self-join on the shared center —
-    * fan-out is Σ deg(w)², bounded because the min-support filter caps
-    * hub degree (a production pipeline would additionally cap or sample
-    * hub adjacency lists, as similarity-join engines do). Existing edges
-    * leave via a left-anti join. Top-[[LpTopK]] by (score DESC, pair ASC).
+    * Jaccard of the neighbor sets = cn / (deg(a) + deg(b) − cn).
+    * Candidate pairs come from per-center adjacency blocks: one
+    * groupBy collects each center's neighbor list (bounded by
+    * [[HubCap]] — over-cap hubs are dropped whole, observably, see
+    * [[HubCapMetric]]), and a chained double-explode streams the a < b
+    * wedge pairs through codegen with no self-join shuffle and no
+    * materialization beyond the ≤cap-element block array (the
+    * aggregation buffer itself is bounded by max observed degree, the
+    * same trade [[LinkageOps]] documents for its blocks). Existing
+    * edges leave via a left-anti join. Top-[[LpTopK]] by
+    * (score DESC, pair ASC).
     */
-  def qLinkPredict(s: SparkSession, dir: String): DataFrame = {
+  def qLinkPredict(s: SparkSession, dir: String): DataFrame =
+    qLinkPredictCapped(s, dir, HubCap)
+
+  private[graft] def qLinkPredictCapped(
+      s: SparkSession, dir: String, cap: Int): DataFrame = {
     val sym = symEdges(s, dir)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
-    // wedges through center w, emitted once per unordered pair (a < b)
-    val cn = sym.select(col("src").as("a"), col("dst").as("w"))
-      .join(sym.select(col("src").as("b"), col("dst").as("wb")),
-        col("w") === col("wb") && col("a") < col("b"))
+    // adjacency blocks per wedge center; sym is duplicate-free, so
+    // size(ns) IS deg(w) and the size filter is the hub-degree cap
+    val blocks = sym.groupBy(col("dst").as("w"))
+      .agg(collect_list(col("src")).as("ns"))
+      .observe(HubCapMetric,
+        sum(when(size(col("ns")) > cap, 1L).otherwise(0L)).as("dropped_centers"),
+        max(size(col("ns"))).as("max_center_degree"))
+      .where(size(col("ns")) <= cap)
+    val cn = blocks
+      .select(explode(col("ns")).as("a"), col("ns"))
+      .select(col("a"), explode(col("ns")).as("b"))
+      .where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("cn"))
     val und = sym.where(col("src") < col("dst"))
       .select(col("src").as("a"), col("dst").as("b"))

@@ -163,6 +163,14 @@ class GraftExpressionsSpec extends SparkSuite {
     }
     assert(ex.getMessage.contains("graft_del_hood"))
     assert(ex.getMessage.contains(DelHood.MaxLen.toString))
+    // the guard scales with k: the neighborhood is linear at k <= 1,
+    // so the same over-cap length stays legal there (the cap bounds
+    // VARIANT COUNT, not input length)
+    val linear = DelHood.hashes(UTF8String.fromString("a" * (DelHood.MaxLen * 4)), 1)
+    assert(linear.numElements() > 0)
+    assert(intercept[IllegalArgumentException] {
+      DelHood.hashes(UTF8String.fromString("a" * (DelHood.MaxVariants.toInt + 1)), 1)
+    }.getMessage.contains("graft_del_hood"))
     // the SQL surface propagates the same legible failure
     GraftExpressions.register(spark)
     val sqlEx = intercept[Exception] {
@@ -173,11 +181,11 @@ class GraftExpressionsSpec extends SparkSuite {
       Option(sqlEx.getCause).exists(_.getMessage.contains("graft_del_hood")))
   }
 
-  test("GraftExtensions wires every kernel and both planner strategies without error") {
+  test("GraftExtensions wires every kernel and all planner strategies without error") {
     // The shared test JVM already owns a SparkContext, so a session
     // built THROUGH spark.sql.extensions can't be constructed here;
     // the wiring itself (one injectFunction per registry kernel, the
-    // self-dot rule, GroupedTopK + AsOfJoin strategies) must at least
+    // self-dot rule, GroupedTopK + AsOfJoin + RangeJoin strategies) must at least
     // apply cleanly to a fresh extensions object — a missing builder
     // or duplicate identifier throws at this point. The strategies and
     // every kernel are behavior-tested through the registered queries.

@@ -40,4 +40,33 @@ class GraphLoopSpec extends SparkSuite {
     assert(a == b, "bfs result must be deterministic")
     info(s"bfs executed $r1/3 expansion rounds at $dir")
   }
+
+  test("link-predict hub cap: never fires at test scale (exactness), observable when it does") {
+    // production cap: dropped_centers = 0 proves the output is
+    // byte-identical to the uncapped wedge enumeration the oracle runs
+    val exact = GraphOps2.qLinkPredictCapped(sc, dir, GraphOps2.HubCap)
+    exact.collect()
+    val m0 = exact.queryExecution.observedMetrics(GraphOps2.HubCapMetric)
+    assert(m0.getAs[Long]("dropped_centers") == 0L,
+      "the shipped cap must not fire at test scale (oracle identity)")
+    val maxDeg = m0.getAs[Int]("max_center_degree")
+    assert(maxDeg >= 1 && maxDeg < GraphOps2.HubCap / 4,
+      s"observed max center degree $maxDeg must sit far under the cap")
+    info(s"link-predict max center degree $maxDeg (cap ${GraphOps2.HubCap}) at $dir")
+    // a cap low enough to fire: the drop must be observable, not
+    // silent. Probe at (observed max degree − 1) so the hottest
+    // center(s) drop while nearly all pairs survive — a tiny cap (1-2)
+    // would return ZERO pairs, and AQE's empty-relation propagation
+    // then replaces the whole subtree — CollectMetrics node included —
+    // with an empty LocalTableScan, so no metrics survive to the final
+    // plan (observability is only promised for executions that produce
+    // output, which any real capped run does)
+    val capped = GraphOps2.qLinkPredictCapped(sc, dir, maxDeg - 1)
+    assert(capped.collect().nonEmpty,
+      "capped probe must keep a non-empty result (else AQE empty-relation " +
+        "propagation erases the metric node and the assertion is vacuous)")
+    val m1 = capped.queryExecution.observedMetrics(GraphOps2.HubCapMetric)
+    assert(m1.getAs[Long]("dropped_centers") > 0L,
+      "a firing cap must be observable, not silent")
+  }
 }

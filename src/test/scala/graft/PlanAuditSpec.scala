@@ -232,6 +232,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("q_range_native runs through the native RangeJoinExec merge, not SMJ+filter") {
+    // the custom exec declares its distribution/ordering requirements,
+    // so the plan must show the RangeJoin node with sorts below it and
+    // NO SortMergeJoin (which would mean the strategy failed to fire
+    // and the query fell back to the |P_k|x|E_k| pair-then-filter shape)
+    val p = plan("q_range_native")
+    assert(p.contains("RangeJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
   test("dd_ngram_jaccard pairs on the df-capped shingle base") {
     // candidate generation must go through the ShingleDfCap filter —
     // without it, one boilerplate shingle in df documents contributes
@@ -266,12 +276,20 @@ object PlanAuditSpec {
       // AQE wraps cached plans in a leaf-like node; look through it
       case aqe: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         redistributes(aqe.executedPlan)
+      // ExistingRDD (localCheckpoint scan) gets NO free pass: a
+      // checkpoint preserves its parent plan's partitioning, so a
+      // checkpoint taken straight over a 1-2-split file scan still runs
+      // narrow. LogicalRDD carries the checkpointed plan's
+      // outputPartitioning into the scan node, so the same
+      // shuffled-partitioning check below is the correct test for it —
+      // a checkpoint of a repartition/aggregate passes, a checkpoint of
+      // a raw scan fails.
       case leaf if leaf.children.isEmpty =>
-        leaf.nodeName.contains("ExistingRDD") || (leaf.outputPartitioning match {
+        leaf.outputPartitioning match {
           case _: HashPartitioning | _: RangePartitioning |
                _: RoundRobinPartitioning => true
           case _ => false
-        })
+        }
       case other => other.children.exists(redistributes)
     }
   }
