@@ -74,6 +74,8 @@ object Graft {
     def supershinglePairs(s: SparkSession, dir: String): DataFrame = operators.CurationOps3.ddSupershingle(s, dir)
     def tfidfCosinePairs(s: SparkSession, dir: String): DataFrame = operators.CurationOps3.taTfidfCosine(s, dir)
     def entityResolve(s: SparkSession, dir: String): DataFrame = operators.LinkageOps.qEntityResolve(s, dir)
+    def canonicalize(s: SparkSession, dir: String): DataFrame = operators.DedupOps2.ddCanonical(s, dir)
+    def jointMultimodalPairs(s: SparkSession, dir: String): DataFrame = operators.DedupOps2.mmJointDedup(s, dir)
   }
 
   /** Similarity search over an embeddings table. */
@@ -107,6 +109,9 @@ object Graft {
     def domainCap(s: SparkSession, dir: String): DataFrame = operators.TrainingOps2.qDomainCap(s, dir)
     def synthSample(s: SparkSession, dir: String): DataFrame = operators.AdvancedOps.qSynthSample(s, dir)
     def effectiveSampleSize(s: SparkSession, dir: String): DataFrame = operators.TrainingOps2.qEffectiveSampleSize(s, dir)
+    def hardNegatives(s: SparkSession, dir: String): DataFrame = operators.TrainingOps3.qHardNegatives(s, dir)
+    def negativeSampling(s: SparkSession, dir: String): DataFrame = operators.TrainingOps3.qNegativeSampling(s, dir)
+    def curriculumSchedule(s: SparkSession, dir: String): DataFrame = operators.TrainingOps3.qCurriculum(s, dir)
   }
 
   /** Warehouse/ops utilities. */
@@ -126,6 +131,7 @@ object Graft {
     def joinSizeEstimate(s: SparkSession, dir: String): DataFrame = operators.Analytics.qJoinSizeEst(s, dir)
     def bloomSkipReport(s: SparkSession, dir: String): DataFrame = operators.LayoutOps.qBloomSkip(s, dir)
     def deltaEncodingReport(s: SparkSession, dir: String): DataFrame = operators.LayoutOps.qDeltaEncoding(s, dir)
+    def rangeJoinNative(s: SparkSession, dir: String): DataFrame = operators.AdvancedOps.qRangeNative(s, dir)
   }
 
   /** Geospatial (the reference's vehicle-positioning domain). */
@@ -194,6 +200,11 @@ object Graft {
     def meanReciprocalRank(s: SparkSession, dir: String): DataFrame = operators.MiningOps.qMrr(s, dir)
     def giniConcentration(s: SparkSession, dir: String): DataFrame = operators.EvalOps2.qGini(s, dir)
     def htEstimate(s: SparkSession, dir: String): DataFrame = operators.EvalOps2.qHtEstimate(s, dir)
+    // round-10 wave: ranking eval + distribution diagnostics
+    def mapAtK(s: SparkSession, dir: String): DataFrame = operators.TrainingOps3.qMapAtK(s, dir)
+    def benfordTest(s: SparkSession, dir: String): DataFrame = operators.TrainingOps3.qBenford(s, dir)
+    def tailIndex(s: SparkSession, dir: String): DataFrame = operators.TrainingOps3.qTailIndex(s, dir)
+    def embeddingCenterStats(s: SparkSession, dir: String): DataFrame = operators.TrainingOps3.qEmbeddingCenter(s, dir)
   }
 
   /** Multimodal (binary-column) operators. */

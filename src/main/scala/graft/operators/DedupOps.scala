@@ -331,12 +331,16 @@ object DedupOps {
   private val SimBits = 32
   private val HammingMax = 6
 
-  def ddSimhash(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc 32-bit simhash fingerprints (doc_id, fingerprint) —
+    * doc-sized and cached, shared by [[ddSimhash]]'s band self-join
+    * and [[DedupOps2]]'s cross-modal joint dedup. Hashes the (tiny)
+    * distinct-token dictionary once and broadcasts it; bit votes
+    * weight by per-doc token counts — identical sums to hashing every
+    * occurrence (Σ±1 over occurrences = Σ cnt·(±1)), with the md5
+    * count dropping from |corpus tokens| to |vocabulary|.
+    */
+  private[operators] def simhashFps(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    // hash the (tiny) distinct-token dictionary once and broadcast it;
-    // bit votes weight by per-doc token counts — identical sums to
-    // hashing every occurrence (Σ±1 over occurrences = Σ cnt·(±1)),
-    // with the md5 count dropping from |corpus tokens| to |vocabulary|
     val exploded = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tokCounts = exploded.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
     val dict = exploded.select("tok").distinct()
@@ -349,6 +353,10 @@ object DedupOps {
     val fp = (0 until SimBits)
       .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
+    summed.select(col("doc_id"), fp.as("fingerprint")).cache()
+  }
+
+  def ddSimhash(s: SparkSession, dir: String): DataFrame = {
     // Pigeonhole banding instead of the all-pairs cartesian: split the
     // 32-bit fingerprint into HammingMax+1 = 7 disjoint segments; a
     // pair within hamming 6 has at most 6 differing bits, so at least
@@ -357,7 +365,7 @@ object DedupOps {
     // bucket occupancy, never O(n²) — then the exact hamming filter
     // verifies. fps is doc-sized (two longs), cached because both join
     // sides consume it.
-    val fps = summed.select(col("doc_id"), fp.as("fingerprint")).cache()
+    val fps = simhashFps(s, dir)
     val nBands = HammingMax + 1
     val segs = {
       val base = SimBits / nBands
@@ -397,16 +405,23 @@ object DedupOps {
       .orderBy("a", "b")
   }
 
-  private val ddSimhashSql = {
+  /** CTE chain ending in `fps(doc_id, fingerprint)` — the oracle twin
+    * of [[simhashFps]], shared with [[DedupOps2]]'s joint dedup.
+    */
+  private[operators] val simhashFpsSqlChain: String = {
     val h = PortableHash.sql("tok")
     val bitSums = (0 until SimBits)
       .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n  ")
     val fp = (0 until SimBits)
       .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-    s"""WITH ex AS (SELECT doc_id, $h AS h FROM (
+    s"""ex AS (SELECT doc_id, $h AS h FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
        |summed AS (SELECT doc_id, $bitSums FROM ex GROUP BY doc_id),
-       |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS fingerprint FROM summed)
+       |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS fingerprint FROM summed)""".stripMargin
+  }
+
+  private val ddSimhashSql = {
+    s"""WITH $simhashFpsSqlChain
        |SELECT x.doc_id AS a, y.doc_id AS b,
        |  CAST(bit_count(xor(x.fingerprint, y.fingerprint)) AS BIGINT) AS hamming
        |FROM fps x JOIN fps y ON x.doc_id < y.doc_id

@@ -35,7 +35,7 @@ object GraphOps {
   private val labelsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def componentLabels(s: SparkSession, dir: String): DataFrame =
+  private[operators] def componentLabels(s: SparkSession, dir: String): DataFrame =
     labelsCache.getOrElseUpdate((s, dir), computeLabels(s, dir))
 
   def ddComponents(s: SparkSession, dir: String): DataFrame =

@@ -144,7 +144,13 @@ object Multimodal {
     * (hamming-radius probing adds the simhash-style band trick — same
     * machinery as dd_simhash).
     */
-  def mmPhashBuckets(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc perceptual fingerprints (doc_id, phash) — the synthetic
+    * image-modality hash (segment-mean thresholding over the decoded
+    * byte stream, here the doc's char codes). Doc-sized and cached:
+    * shared by [[mmPhashBuckets]] and [[DedupOps2]]'s cross-modal
+    * joint dedup.
+    */
+  private[operators] def phashFingerprints(s: SparkSession, dir: String): DataFrame = {
     val chars = Tables(s, dir, "documents")
       .select(col("doc_id"),
         posexplode(array_remove(split(col("text"), ""), "")).as(Seq("p", "ch")))
@@ -157,11 +163,16 @@ object Multimodal {
         col("code"))
       .groupBy("doc_id", "seg", "s_all", "n_all")
       .agg(sum("code").as("s_seg"), count(lit(1)).as("n_seg"))
-    val fp = seg
+    seg
       .select(col("doc_id"),
         when(col("s_seg") * col("n_all") > col("s_all") * col("n_seg"),
           expr("shiftleft(CAST(1 AS BIGINT), CAST(seg AS INT))")).otherwise(0L).as("b"))
       .groupBy("doc_id").agg(sum("b").as("phash"))
+      .cache()
+  }
+
+  def mmPhashBuckets(s: SparkSession, dir: String): DataFrame = {
+    val fp = phashFingerprints(s, dir)
     fp.groupBy("phash")
       .agg(count(lit(1)).as("n_docs"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
@@ -169,8 +180,11 @@ object Multimodal {
       .orderBy(desc("n_docs"), asc("phash"))
   }
 
-  private val mmPhashSql =
-    s"""WITH chars AS (
+  /** CTE chain ending in `fp(doc_id, phash)` — the oracle twin of
+    * [[phashFingerprints]], shared with [[DedupOps2]]'s joint dedup.
+    */
+  private[operators] val phashFpSqlChain: String =
+    s"""chars AS (
        |  SELECT doc_id, i - 1 AS p, CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT) AS code
        |  FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i FROM documents)),
        |tot AS (SELECT doc_id, CAST(SUM(code) AS BIGINT) AS s_all,
@@ -184,7 +198,10 @@ object Multimodal {
        |fp AS (
        |  SELECT doc_id, CAST(SUM(CASE WHEN s_seg * n_all > s_all * n_seg
        |    THEN (CAST(1 AS BIGINT) << CAST(seg AS INT)) ELSE 0 END) AS BIGINT) AS phash
-       |  FROM seg GROUP BY doc_id)
+       |  FROM seg GROUP BY doc_id)""".stripMargin
+
+  private val mmPhashSql =
+    s"""WITH $phashFpSqlChain
        |SELECT phash, COUNT(*) AS n_docs,
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM fp GROUP BY phash HAVING COUNT(*) > 1
