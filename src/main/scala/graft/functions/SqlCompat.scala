@@ -126,6 +126,11 @@ object SqlCompat {
     "divide" -> (es => IntegralDivide(es(0), es(1))),
     "list_contains" -> (es => ArrayContains(es(0), es(1))),
     "list_max" -> (es => ArrayMax(es.head)),
+    // DuckDB's 1-based list subscript, by NAME: `l[i]` itself cannot be
+    // bridged (Spark parses [] as 0-based extraction), but DuckDB's
+    // named spelling list_extract(l, i) IS Spark's element_at — both
+    // 1-based — so oracles index lists through the named form
+    "list_extract" -> (es => ElementAt(es(0), es(1))),
     // strftime with a LITERAL C-style format: translated to the Java
     // pattern at bind time (only the directives the oracles use — any
     // other format must fail loudly, not approximate). Everything

@@ -329,9 +329,11 @@ object TrainingOps3 {
   }
 
   private val qEmbeddingCenterSql =
-    s"""WITH dims AS (SELECT unnest(generate_series(1, $EmbDim)) AS dim),
+    s"""WITH dims AS (
+       |  SELECT CAST(dim AS BIGINT) AS dim
+       |  FROM (SELECT unnest(generate_series(1, $EmbDim)) AS dim)),
        |v AS (
-       |  SELECT dim, CAST(embedding[dim] AS DOUBLE) AS x
+       |  SELECT dim, CAST(list_extract(embedding, dim) AS DOUBLE) AS x
        |  FROM embeddings CROSS JOIN dims),
        |agg AS (
        |  SELECT dim, COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2
