@@ -484,7 +484,7 @@ object DedupOps {
   }
 
   private val dotSql =
-    "list_aggregate(list_transform(list_zip(%s, %s), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
+    "list_aggregate(list_transform(generate_series(1, len(%1$s)), i -> CAST(list_extract(%1$s, i) AS DOUBLE) * CAST(list_extract(%2$s, i) AS DOUBLE)), 'sum')"
   private val normSql =
     "sqrt(list_aggregate(list_transform(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
 

@@ -673,7 +673,7 @@ object GraphOps {
        |cnt AS (SELECT (SELECT COUNT(*) FROM und) AS edges,
        |               (SELECT COUNT(*) FROM deg) AS nodes)
        |SELECT c.nodes, c.edges, t.triangles, w.wedges,
-       |  round(3.0 * t.triangles / w.wedges, 6) AS global_cc
+       |  round(CAST(3 AS DOUBLE) * t.triangles / w.wedges, 6) AS global_cc
        |FROM cnt c, tri t, wt w""".stripMargin
 
   /** Per-node clustering coefficient — the local-density readout next

@@ -133,7 +133,7 @@ object KMeansIvf {
   // ---- DuckDB oracle ----------------------------------------------------
 
   private def dotSql(a: String, b: String) =
-    s"list_aggregate(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * s[2]), 'sum')"
+    s"list_aggregate(list_transform(generate_series(1, len($a)), i -> CAST(list_extract($a, i) AS DOUBLE) * list_extract($b, i)), 'sum')"
   private def normSqSql(a: String) =
     s"list_aggregate(list_transform($a, x -> x * x), 'sum')"
 
@@ -179,7 +179,7 @@ object KMeansIvf {
       .map(i => iterSql(s"cent${i - 1}", s"assign$i", s"cent$i"))
       .mkString(",\n")
     val ffDot =
-      "list_aggregate(list_transform(list_zip(e.embedding, q.qe), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
+      "list_aggregate(list_transform(generate_series(1, len(e.embedding)), i -> CAST(list_extract(e.embedding, i) AS DOUBLE) * CAST(list_extract(q.qe, i) AS DOUBLE)), 'sum')"
     def ffNorm(a: String) =
       s"sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
     s"""WITH ve AS (

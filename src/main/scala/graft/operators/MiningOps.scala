@@ -124,7 +124,7 @@ object MiningOps {
   private val TestMod = 25 // vec_id % 25 == 0 → held-out query slice
 
   private def dotSql(a: String, b: String) =
-    s"list_aggregate(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
+    s"list_aggregate(list_transform(generate_series(1, len($a)), i -> CAST(list_extract($a, i) AS DOUBLE) * CAST(list_extract($b, i) AS DOUBLE)), 'sum')"
   private def normSql(a: String) =
     s"sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
 

@@ -322,21 +322,25 @@ object MlOps {
   }
 
   private val qGdTrainSql = {
+    // every numeric literal is spelled CAST(… AS DOUBLE): bare decimal
+    // literals parse as DECIMAL under Spark ANSI and diverge the
+    // rounding chain (the q_clustering_coeff gotcha) — the CAST form
+    // is value-identical in DuckDB and parity-exact through spark.sql
     def step(prev: String, i: Int): String =
       s"""s$i AS (
          |  SELECT w0, w1, COUNT(*) AS n,
-         |    SUM(CAST(floor((w0 + w1 * x - y) * 1073741824.0) AS BIGINT)) AS g0q,
-         |    SUM(CAST(floor(((w0 + w1 * x - y) * x) * 1073741824.0) AS BIGINT)) AS g1q
+         |    SUM(CAST(floor((w0 + w1 * x - y) * CAST(1073741824 AS DOUBLE)) AS BIGINT)) AS g0q,
+         |    SUM(CAST(floor(((w0 + w1 * x - y) * x) * CAST(1073741824 AS DOUBLE)) AS BIGINT)) AS g1q
          |  FROM f, $prev GROUP BY w0, w1),
          |w$i AS (
-         |  SELECT w0 - 0.25 * (CAST(g0q AS DOUBLE) / 1073741824.0 / CAST(n AS DOUBLE)) AS w0,
-         |         w1 - 0.25 * (CAST(g1q AS DOUBLE) / 1073741824.0 / CAST(n AS DOUBLE)) AS w1
+         |  SELECT w0 - CAST(0.25 AS DOUBLE) * (CAST(g0q AS DOUBLE) / CAST(1073741824 AS DOUBLE) / CAST(n AS DOUBLE)) AS w0,
+         |         w1 - CAST(0.25 AS DOUBLE) * (CAST(g1q AS DOUBLE) / CAST(1073741824 AS DOUBLE) / CAST(n AS DOUBLE)) AS w1
          |  FROM s$i)""".stripMargin
     s"""WITH f AS (
-       |  SELECT n_chars / 1024.0 AS x,
-       |         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  SELECT n_chars / CAST(1024 AS DOUBLE) AS x,
+       |         CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
        |  FROM documents),
-       |wa AS (SELECT 0.0 AS w0, 0.0 AS w1),
+       |wa AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1),
        |${step("wa", 1)},
        |${step("w1", 2)},
        |${step("w2", 3)}

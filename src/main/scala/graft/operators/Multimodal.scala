@@ -638,7 +638,7 @@ object Multimodal {
   private val mmClipFilterSql = {
     import graft.functions.{PortableHash => PH}
     val h = PH.sql("'t:' || CAST(doc_id AS STRING) || ':' || CAST(d AS STRING)")
-    val dot = "list_aggregate(list_transform(list_zip(te, me), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
+    val dot = "list_aggregate(list_transform(generate_series(1, len(te)), i -> CAST(list_extract(te, i) AS DOUBLE) * CAST(list_extract(me, i) AS DOUBLE)), 'sum')"
     def norm(a: String) =
       s"sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
     s"""WITH p AS (

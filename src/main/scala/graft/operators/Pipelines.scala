@@ -138,7 +138,7 @@ object Pipelines {
 
   private def planeDotSql(tbl: String, w: Array[Double]): String = {
     val lst = w.map(_.toLong).mkString("[", ", ", "]")
-    s"list_aggregate(list_transform(list_zip($tbl.embedding, $lst), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
+    s"list_aggregate(list_transform(generate_series(1, len($tbl.embedding)), i -> CAST(list_extract($tbl.embedding, i) AS DOUBLE) * CAST(list_extract($lst, i) AS DOUBLE)), 'sum')"
   }
 
   /** Cosine-LSH near-dup: bucket by 8 hyperplane sign bits, verify
@@ -172,7 +172,7 @@ object Pipelines {
     def bucketSql(tbl: String) = Planes.zipWithIndex
       .map { case (w, p) => s"(CASE WHEN ${planeDotSql(tbl, w)} >= 0 THEN ${1L << p} ELSE 0 END)" }
       .mkString(" + ")
-    val dot = "list_aggregate(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
+    val dot = "list_aggregate(list_transform(generate_series(1, len(a.embedding)), i -> CAST(list_extract(a.embedding, i) AS DOUBLE) * CAST(list_extract(b.embedding, i) AS DOUBLE)), 'sum')"
     val nrm = "sqrt(list_aggregate(list_transform(%s.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
     s"""WITH n AS (SELECT vec_id, embedding, ${nrm.format("embeddings")} AS nrm,
        |  CAST(${bucketSql("embeddings")} AS BIGINT) AS bucket FROM embeddings),

@@ -74,11 +74,11 @@ object Similarity3 {
   }
 
   private def dotSql(a: String, b: String) =
-    s"list_aggregate(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
+    s"list_aggregate(list_transform(generate_series(1, len($a)), i -> CAST(list_extract($a, i) AS DOUBLE) * CAST(list_extract($b, i) AS DOUBLE)), 'sum')"
   private def normSql(a: String) =
     s"sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
   private def subDistSqSql(a: String, b: String) =
-    s"list_aggregate(list_transform(list_zip($a, $b), s -> (s[1] - s[2]) * (s[1] - s[2])), 'sum')"
+    s"list_aggregate(list_transform(generate_series(1, len($a)), i -> (list_extract($a, i) - list_extract($b, i)) * (list_extract($a, i) - list_extract($b, i))), 'sum')"
 
   private val annIvfPqSql = {
     val subExpr = "list_transform(embedding[m * 8 + 1 : m * 8 + 8], x -> CAST(x AS DOUBLE))"

@@ -53,7 +53,7 @@ object TopicOps {
   }
 
   private val taClusterTopicsSql = {
-    val dot = "list_aggregate(list_transform(list_zip(n.embedding, cent.ce), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
+    val dot = "list_aggregate(list_transform(generate_series(1, len(n.embedding)), i -> CAST(list_extract(n.embedding, i) AS DOUBLE) * CAST(list_extract(cent.ce, i) AS DOUBLE)), 'sum')"
     def norm(a: String) =
       s"sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
     s"""WITH n AS (SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings),

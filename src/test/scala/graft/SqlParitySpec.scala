@@ -6,25 +6,41 @@ package graft
   * plain SQL (views registered by `Tables.registerAll`) or through the
   * typed API and get identical results — the two entries share Catalyst,
   * so this pins the whole parse→analyze→optimize path, not a re-test of
-  * the operators. (Oracles using DuckDB-only list/lambda functions are
-  * exercised against DuckDB by the driver instead.)
+  * the operators. (Oracles using DuckDB-only constructs are exercised
+  * against DuckDB by the driver instead.)
   */
 class SqlParitySpec extends SparkSuite {
 
   /** Every oracle whose SQL text runs UNCHANGED on spark.sql (with the
     * [[graft.functions.SqlCompat]] DuckDB-dialect alias pack
     * registered) with row-identical results — probed exhaustively by
-    * SqlParityProbe, 135 of 280 as of round 7's second wave. The rest stay off the
-    * list for dialect reasons the pack deliberately does not paper
-    * over: `//` integer division and QUALIFY (parse level), 1-based
-    * subscripts (q_array_funcs), quoted date_diff units (q_theil_sen), base64 chunking (q_encode_funcs),
-    * INTERVAL arithmetic (q_interval_arith), recursive-CTE UNION
-    * semantics, and DuckDB list/variant operators with no exact Spark
-    * twin — all exercised against DuckDB by the driver instead.
+    * SqlParityProbe, 171 of 294 as of round 10. The round-9 dialect
+    * bridge (`divide()`, polymorphic `epoch_ms`, literal `strftime`,
+    * `list_contains`/`list_max`) plus the round-10 rewrites (the shared
+    * dot-product SQL off `list_zip`'s positional `s[1]` subscript and
+    * onto `generate_series`/`list_extract` — both names bridged, both
+    * 1-based; bare decimal literals in q_gd_train/q_triangle_count
+    * spelled `CAST(… AS DOUBLE)` per the ANSI DECIMAL-parse gotcha)
+    * moved the whole ann/embedding family onto the list. The remaining
+    * 123 stay off for dialect reasons the pack deliberately does not
+    * paper over: raw 1-based `l[i]` subscripts where the bracket FORM
+    * is the query's point (q_array_funcs) or pervades a tokenizer
+    * chain (toks[i] n-gram oracles), QUALIFY and aggregate-ORDER-BY
+    * syntax (parse level), quoted date_diff units (q_theil_sen),
+    * base64 chunking (q_encode_funcs), INTERVAL arithmetic
+    * (q_interval_arith), recursive-CTE UNION semantics (components
+    * family — Spark lacks UNION-dedup recursion), list slicing
+    * (ann_matryoshka), and DuckDB list/variant operators with no exact
+    * Spark twin — all exercised against DuckDB by the driver instead.
     */
   private val ansiOracles = Seq(
-    "dd_bag_dedup", "dd_exact", "mm_binary_stats", "mm_frame_sample",
-    "mm_modality_route", "mm_phash_buckets", "mm_scene_split",
+    "ann_brute", "ann_ivf", "ann_ndcg", "ann_range_search",
+    "ann_recall_eval", "dd_bag_dedup", "dd_embed_cosine", "dd_exact",
+    "dd_semantic", "hfp_cast", "hfp_dedup_anti", "hfp_dedup_bloom",
+    "hfp_dedup_within", "hfp_load_day", "hfp_pipeline", "hfp_route",
+    "hfp_union", "mm_binary_stats", "mm_decode_features",
+    "mm_frame_sample", "mm_modality_route", "mm_patchify",
+    "mm_phash_buckets", "mm_resize", "mm_scene_split",
     "q10_returned_items", "q11_important_parts",
     "q12_priority_conditional", "q13_order_dist", "q14_promo_ratio",
     "q15_top_supplier", "q16_supplier_counts", "q17_small_qty_revenue",
@@ -34,34 +50,36 @@ class SqlParitySpec extends SparkSuite {
     "q4_priority_exists", "q5_region_revenue", "q6_selective_agg",
     "q7_bi_nation_volume", "q8_market_share", "q9_product_profit",
     "q_ab_test", "q_anomaly_zscore", "q_anti_join", "q_assoc_rules",
-    "q_auc", "q_autocorr", "q_bfs_dist", "q_bitwise_funcs",
-    "q_bucketed_join", "q_calibration", "q_changepoint", "q_cond_funcs",
-    "q_context_chunks", "q_confusion_stats", "q_cross_join", "q_cube", "q_data_card",
-    "q_dedup_keep_latest", "q_distinct_agg", "q_domain_mix", "q_dq_checks",
-    "q_empty_agg", "q_entropy", "q_equidepth_bucketize", "q_ewma",
+    "q_auc", "q_autocorr", "q_benford", "q_bfs_dist", "q_bitwise_funcs",
+    "q_brier_score", "q_bucketed_join", "q_calibration", "q_changepoint",
+    "q_clustering_coeff", "q_compaction_plan", "q_cond_funcs",
+    "q_confusion_stats", "q_context_chunks", "q_cross_join", "q_cube",
+    "q_curriculum", "q_data_card", "q_decay_agg", "q_dedup_keep_latest",
+    "q_delta_encoding", "q_distinct_agg", "q_domain_mix", "q_dq_checks",
+    "q_empty_agg", "q_entropy", "q_equidepth_bucketize", "q_ess", "q_ewma",
     "q_forecast_snaive", "q_forget_user", "q_full_outer_join", "q_funnel",
-    "q_gap_fill", "q_geomean", "q_grouping_sets", "q_having", "q_hybrid_rrf", "q_k_anonymity",
-    "q_hist_quantiles", "q_histogram", "q_in_subquery", "q_incr_agg",
-    "q_item_cf", "q_json_funcs", "q_kcore", "q_label_prop",
-    "q_lateral_topn", "q_length_buckets", "q_link_predict",
-    "q_map_struct_funcs", "q_math_extended", "q_math_funcs",
-    "q_merge_upsert", "q_modularity", "q_not_in_subquery", "q_ohlc",
-    "q_pagerank", "q_path_transitions", "q_percentiles", "q_profile",
-    "q_range_join", "q_rollup", "q_running_distinct", "q_salted_agg",
+    "q_gap_fill", "q_gd_train", "q_geomean", "q_gini", "q_grouping_sets",
+    "q_hard_negatives", "q_having", "q_hist_quantiles", "q_histogram",
+    "q_hybrid_rrf", "q_in_subquery", "q_incr_agg", "q_item_cf",
+    "q_json_funcs", "q_k_anonymity", "q_kcore", "q_l_diversity",
+    "q_label_prop", "q_lateral_topn", "q_length_buckets", "q_link_predict",
+    "q_mad_outlier", "q_map_struct_funcs", "q_math_extended",
+    "q_math_funcs", "q_merge_upsert", "q_modularity", "q_not_in_subquery",
+    "q_ohlc", "q_pagerank", "q_path_transitions", "q_percentiles",
+    "q_power_analysis", "q_profile", "q_psi", "q_range_join",
+    "q_range_native", "q_rollup", "q_running_distinct", "q_salted_agg",
     "q_salted_join", "q_scalar_subquery", "q_scd2", "q_seasonal_profile",
     "q_semi_join", "q_sessionize", "q_set_except", "q_set_intersect",
-    "q_skyline", "q_snapshot_diff", "q_stats_agg", "q_string_advanced",
-    "q_target_encode",
-    "q_token_budget", "q_trig_funcs", "q_tumbling_window", "q_typed_agg",
-    "q_typed_cogroup", "q_ucb_bandit", "q_union_distinct", "q_unpivot",
-    "q_values_lookup", "q_window_dist", "q_window_first_last",
-    "q_window_frame", "q_window_lag", "q_window_rank", "q_zipf_fit",
-    "q_zorder", "ta_bm25", "ta_bpe", "ta_heavy_hitters", "ta_ks_test",
-    "ta_langid_profile", "ta_nb_langid", "ta_oov_rate", "ta_sentiment",
-    "ta_tfidf", "ta_wasserstein",
-    // round-7 second wave
-    "q_l_diversity", "q_zone_map", "q_delta_encoding", "q_mad_outlier",
-    "q_clustering_coeff")
+    "q_skew_profile", "q_skyline", "q_snapshot_diff", "q_sssp",
+    "q_stats_agg", "q_string_advanced", "q_survival", "q_tail_index",
+    "q_target_encode", "q_token_budget", "q_triangle_count",
+    "q_trig_funcs", "q_tumbling_window", "q_typed_agg", "q_typed_cogroup",
+    "q_ucb_bandit", "q_union_distinct", "q_unpivot", "q_values_lookup",
+    "q_window_dist", "q_window_first_last", "q_window_frame",
+    "q_window_lag", "q_window_rank", "q_zipf_fit", "q_zone_map",
+    "q_zorder", "ta_bm25", "ta_bpe", "ta_cluster_topics",
+    "ta_heavy_hitters", "ta_ks_test", "ta_langid_profile", "ta_nb_langid",
+    "ta_oov_rate", "ta_sentiment", "ta_tfidf", "ta_wasserstein")
 
   test("ANSI oracle SQL runs on spark.sql with identical results") {
     val s = sc
