@@ -131,6 +131,32 @@ object SqlCompat {
     // named spelling list_extract(l, i) IS Spark's element_at — both
     // 1-based — so oracles index lists through the named form
     "list_extract" -> (es => ElementAt(es(0), es(1))),
+    // DuckDB's named list constructor (the `['a', 'b']` literal's
+    // function spelling) IS Spark's array()
+    "list_value" -> (es => CreateArray(es)),
+    // DuckDB's struct/row constructor ROW(a, b, …) IS Spark's struct()
+    "row" -> (es => CreateStruct(es)),
+    // DuckDB's 2-arg regexp_extract_all defaults to group 0 (the whole
+    // match); Spark's defaults to group 1 — pin the DuckDB default.
+    // Explicit 3-arg group indexes mean the same thing on both.
+    "regexp_extract_all" -> (es =>
+      if (es.size == 2) RegExpExtractAll(es(0), es(1), Literal(0))
+      else RegExpExtractAll(es(0), es(1), es(2))),
+    // DuckDB's regexp_replace is first-match unless the 'g' flag makes
+    // it global; Spark's is ALWAYS global, and its optional 4th arg is
+    // a start POSITION. Only the 'g'-flag spelling is aliased (it maps
+    // exactly to Spark's 3-arg form); any other string flag must fail
+    // loudly, and an integer 4th arg keeps Spark's position meaning.
+    "regexp_replace" -> { es =>
+      if (es.size == 4) es(3) match {
+        case Literal(s: UTF8String, StringType) if s.toString == "g" =>
+          RegExpReplace(es(0), es(1), es(2))
+        case Literal(s: UTF8String, StringType) =>
+          throw new IllegalArgumentException(
+            s"regexp_replace alias: unsupported flag '$s' (only 'g' maps to Spark)")
+        case pos => RegExpReplace(es(0), es(1), es(2), pos)
+      } else RegExpReplace(es(0), es(1), es(2))
+    },
     // strftime with a LITERAL C-style format: translated to the Java
     // pattern at bind time (only the directives the oracles use — any
     // other format must fail loudly, not approximate). Everything

@@ -117,7 +117,7 @@ object CorpusOps {
   private val qCdcChunksSql = {
     val winExpr = s"array_to_string(d.toks[i - ${CdcW - 1}:i], ' ')"
     s"""WITH t AS (
-       |  SELECT d.doc_id, i AS p, d.toks[i] AS tok,
+       |  SELECT d.doc_id, i AS p, list_extract(d.toks, i) AS tok,
        |    CASE WHEN i >= $CdcW
        |      AND ${PortableHash.sql(winExpr)} % ${CdcMask + 1} = 0
        |    THEN 1 ELSE 0 END AS cut
@@ -174,7 +174,7 @@ object CorpusOps {
   private val ddChunkLedgerSql = {
     val winExpr = s"array_to_string(d.toks[i - ${CdcW - 1}:i], ' ')"
     s"""WITH t AS (
-       |  SELECT d.doc_id, i AS p, d.toks[i] AS tok,
+       |  SELECT d.doc_id, i AS p, list_extract(d.toks, i) AS tok,
        |    CASE WHEN i >= $CdcW
        |      AND ${PortableHash.sql(winExpr)} % ${CdcMask + 1} = 0
        |    THEN 1 ELSE 0 END AS cut

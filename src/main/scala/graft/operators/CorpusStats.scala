@@ -70,7 +70,7 @@ object CorpusStats {
   private val taCollocationsSql =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |big AS (
-       |  SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS c_ab
+       |  SELECT list_extract(t, i) AS w1, list_extract(t, i + 1) AS w2, COUNT(*) AS c_ab
        |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
        |  GROUP BY 1, 2),
        |uni AS (SELECT unnest(t) AS w FROM toks),

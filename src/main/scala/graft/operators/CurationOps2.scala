@@ -159,7 +159,7 @@ object CurationOps2 {
   }
 
   private val taDsirSql = {
-    val h = PortableHash.sql("toks[i] || ' ' || toks[i+1]")
+    val h = PortableHash.sql("list_extract(toks, i) || ' ' || list_extract(toks, i+1)")
     s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
        |occ AS (
        |  SELECT doc_id, source, $h % $DsirBuckets AS b

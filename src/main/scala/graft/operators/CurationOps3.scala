@@ -199,7 +199,7 @@ object CurationOps3 {
 
   private val taPerplexityBucketSql =
     s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-       |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+       |bg AS (SELECT doc_id, list_extract(toks, i) AS w1, list_extract(toks, i+1) AS w2
        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM d)),
        |unic AS (SELECT w, COUNT(*) AS cw FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w),
        |vocab AS (SELECT COUNT(*) AS v FROM unic),
@@ -297,7 +297,7 @@ object CurationOps3 {
     s"""WITH tf AS (
        |  SELECT doc_id, term, COUNT(*) AS tf
        |  FROM (SELECT doc_id,
-       |          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS term
+       |          list_extract(toks, i) || ' ' || list_extract(toks, i+1) || ' ' || list_extract(toks, i+2) AS term
        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks,
        |                unnest(range(1, len(string_split(text, ' ')) - 1)) AS i
        |              FROM documents))

@@ -73,7 +73,7 @@ object DedupOps {
     */
   private val shinglesSql =
     s"""SELECT DISTINCT doc_id, ${PortableHash.sql("shingle")} AS h FROM (
-      |  SELECT d.doc_id, d.toks[i] || ' ' || d.toks[i+1] || ' ' || d.toks[i+2] AS shingle
+      |  SELECT d.doc_id, list_extract(d.toks, i) || ' ' || list_extract(d.toks, i+1) || ' ' || list_extract(d.toks, i+2) AS shingle
       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)) d)""".stripMargin
 

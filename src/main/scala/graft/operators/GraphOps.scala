@@ -388,10 +388,10 @@ object GraphOps {
   private val taTextrankSql = pagerankSql(
     """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
       |  raw AS (
-      |    SELECT t[i] AS a, t[i+1] AS b
+      |    SELECT list_extract(t, i) AS a, list_extract(t, i+1) AS b
       |    FROM (SELECT t, unnest(range(1, len(t))) AS i FROM d)
       |    UNION ALL
-      |    SELECT t[i] AS a, t[i+2] AS b
+      |    SELECT list_extract(t, i) AS a, list_extract(t, i+2) AS b
       |    FROM (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM d))
       |  SELECT DISTINCT src, dst FROM (
       |    SELECT a AS src, b AS dst FROM raw

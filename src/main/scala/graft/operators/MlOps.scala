@@ -264,7 +264,8 @@ object MlOps {
 
   private val taStemSql =
     s"""WITH tk AS (
-       |  SELECT lower(unnest(string_split(text, ' '))) AS t FROM documents),
+       |  SELECT lower(tok) AS t
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
        |s1 AS (
        |  SELECT CASE
        |    WHEN t LIKE '%sses' THEN substr(t, 1, length(t) - 2)

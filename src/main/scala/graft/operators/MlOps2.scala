@@ -260,7 +260,7 @@ object MlOps2 {
   private val qMutualInformationSql =
     s"""WITH xq AS (
        |  SELECT label, i - 1 AS pos,
-       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $MiVQ) AS BIGINT) AS v
+       |    CAST(floor(CAST(list_extract(embedding, i) AS DOUBLE) * $MiVQ) AS BIGINT) AS v
        |  FROM (SELECT label, embedding,
        |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
        |b AS (SELECT label, pos,

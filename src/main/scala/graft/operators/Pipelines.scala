@@ -32,7 +32,7 @@ object Pipelines {
 
   private val toks = split(col("text"), " ")
   private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is")
-  private val stopListSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val stopListSql = Stopwords.map(w => s"'$w'").mkString("list_value(", ", ", ")")
 
   /** The ta_quality composite score (same formula as TextAnalysis). */
   private[operators] def qualityScore: Column = {
@@ -86,7 +86,7 @@ object Pipelines {
        |SELECT lang, COUNT(*) AS n_docs,
        |  CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
        |  CAST(SUM(CAST(floor(q * 4294967296.0) AS BIGINT)) AS BIGINT) AS sum_q32,
-       |  CAST(SUM(CASE WHEN len(list_filter(toks, t -> list_contains(['the','a','is'], t))) >= 2
+       |  CAST(SUM(CASE WHEN len(list_filter(toks, t -> list_contains(list_value('the','a','is'), t))) >= 2
        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
        |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin
 

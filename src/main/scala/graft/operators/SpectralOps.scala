@@ -164,7 +164,7 @@ object SpectralOps {
     }
     s"""WITH xq AS (
        |  SELECT vec_id, label, i - 1 AS pos,
-       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $q) AS BIGINT) AS x
+       |    CAST(floor(CAST(list_extract(embedding, i) AS DOUBLE) * $q) AS BIGINT) AS x
        |  FROM (SELECT vec_id, label, embedding,
        |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
        |v0 AS (SELECT pos, CAST($q AS BIGINT) AS v
@@ -323,7 +323,7 @@ object SpectralOps {
     val q = PcaQ.toString
     s"""WITH xq AS (
        |  SELECT vec_id, i - 1 AS pos,
-       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $q) AS BIGINT) AS v
+       |    CAST(floor(CAST(list_extract(embedding, i) AS DOUBLE) * $q) AS BIGINT) AS v
        |  FROM (SELECT vec_id, embedding,
        |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
        |n AS (SELECT COUNT(*) AS n FROM embeddings),

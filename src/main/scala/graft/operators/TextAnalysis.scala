@@ -67,7 +67,7 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  private val stopListSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val stopListSql = Stopwords.map(w => s"'$w'").mkString("list_value(", ", ", ")")
 
   private val taQualitySql =
     s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)

@@ -55,12 +55,12 @@ object TextAnalysis2 {
   private val taRepetitionSql =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |b AS (SELECT doc_id, toks, len(toks) AS n,
-      |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs
+      |        list_transform(range(1, len(toks)), i -> list_extract(toks, i) || ' ' || list_extract(toks, i+1)) AS bgs
       |      FROM d)
       |SELECT doc_id,
       |  CAST(n AS BIGINT) AS n_tokens,
       |  CAST(CASE WHEN n < 2 THEN 0
-      |       ELSE len(list_filter(range(1, n), i -> toks[i] = toks[i+1])) END AS BIGINT) AS adj_dup_cnt,
+      |       ELSE len(list_filter(range(1, n), i -> list_extract(toks, i) = list_extract(toks, i+1))) END AS BIGINT) AS adj_dup_cnt,
       |  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n AS dup_token_frac,
       |  CAST(CASE WHEN n < 2 THEN 0
       |       ELSE list_max(list_transform(list_distinct(bgs), g -> len(list_filter(bgs, x -> x = g)))) END AS BIGINT) AS top_bigram_cnt,
@@ -251,7 +251,7 @@ object TextAnalysis2 {
 
   private val taNgramLmSql =
     """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-      |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      |bg AS (SELECT doc_id, list_extract(toks, i) AS w1, list_extract(toks, i+1) AS w2
       |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM d)),
       |unic AS (SELECT w, COUNT(*) AS cw FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w),
       |vocab AS (SELECT COUNT(*) AS v FROM unic),

@@ -36,8 +36,8 @@ object TokenizerOps {
   // BPE training
   // ---------------------------------------------------------------------
 
-  /** Adjacent piece pairs of a delimiter-encoded word: pieces[i] and
-    * pieces[i+1] (pieces = enc split on '|', empties trimmed).
+  /** Adjacent piece pairs of a delimiter-encoded word: list_extract(pieces, i) and
+    * list_extract(pieces, i+1) (pieces = enc split on '|', empties trimmed).
     */
   private def pairCol(enc: Column): Column = {
     val pieces = array_remove(split(enc, "\\|"), "")
@@ -83,7 +83,7 @@ object TokenizerOps {
     // where a line starting with '||' would lose its first pipe
     def pairsOf(encExpr: String): String = {
       val pieces = s"list_filter(string_split($encExpr, '|'), x -> x <> '')"
-      s"list_transform(range(1, len($pieces)), i -> $pieces[i] || '|' || $pieces[i + 1])"
+      s"list_transform(range(1, len($pieces)), i -> list_extract($pieces, i) || '|' || list_extract($pieces, i + 1))"
     }
     val chain = new StringBuilder
     chain ++=
@@ -93,7 +93,7 @@ object TokenizerOps {
     for (step <- 1 to MergeSteps) {
       chain ++= s""",
          |cnt$step AS (
-         |  SELECT string_split(p, '|')[1] AS l, string_split(p, '|')[2] AS r,
+         |  SELECT list_extract(string_split(p, '|'), 1) AS l, list_extract(string_split(p, '|'), 2) AS r,
          |    CAST(SUM(wc) AS BIGINT) AS c
          |  FROM (SELECT unnest(${pairsOf("enc")}) AS p, wc FROM enc${step - 1})
          |  GROUP BY 1, 2),
