@@ -76,6 +76,8 @@ object Graft {
     def entityResolve(s: SparkSession, dir: String): DataFrame = operators.LinkageOps.qEntityResolve(s, dir)
     def canonicalize(s: SparkSession, dir: String): DataFrame = operators.DedupOps2.ddCanonical(s, dir)
     def jointMultimodalPairs(s: SparkSession, dir: String): DataFrame = operators.DedupOps2.mmJointDedup(s, dir)
+    def goldenRecords(s: SparkSession, dir: String): DataFrame = operators.DedupOps2.qSurvivorship(s, dir)
+    def splitLeakage(s: SparkSession, dir: String): DataFrame = operators.DedupOps2.qSplitLeakage(s, dir)
   }
 
   /** Similarity search over an embeddings table. */
@@ -109,6 +111,7 @@ object Graft {
     def domainCap(s: SparkSession, dir: String): DataFrame = operators.TrainingOps2.qDomainCap(s, dir)
     def synthSample(s: SparkSession, dir: String): DataFrame = operators.AdvancedOps.qSynthSample(s, dir)
     def effectiveSampleSize(s: SparkSession, dir: String): DataFrame = operators.TrainingOps2.qEffectiveSampleSize(s, dir)
+    def groupSample(s: SparkSession, dir: String): DataFrame = operators.EvalOps3.qGroupSample(s, dir)
     def hardNegatives(s: SparkSession, dir: String): DataFrame = operators.TrainingOps3.qHardNegatives(s, dir)
     def negativeSampling(s: SparkSession, dir: String): DataFrame = operators.TrainingOps3.qNegativeSampling(s, dir)
     def curriculumSchedule(s: SparkSession, dir: String): DataFrame = operators.TrainingOps3.qCurriculum(s, dir)
@@ -205,6 +208,17 @@ object Graft {
     def benfordTest(s: SparkSession, dir: String): DataFrame = operators.TrainingOps3.qBenford(s, dir)
     def tailIndex(s: SparkSession, dir: String): DataFrame = operators.TrainingOps3.qTailIndex(s, dir)
     def embeddingCenterStats(s: SparkSession, dir: String): DataFrame = operators.TrainingOps3.qEmbeddingCenter(s, dir)
+    def winsorizedMeans(s: SparkSession, dir: String): DataFrame = operators.EvalOps3.qWinsorize(s, dir)
+    def classBalance(s: SparkSession, dir: String): DataFrame = operators.EvalOps3.qClassBalance(s, dir)
+    def sampleRatioMismatch(s: SparkSession, dir: String): DataFrame = operators.EvalOps3.qAbSrm(s, dir)
+    // round-10 preference/eval wave: RLHF data construction + paired tests
+    def preferencePairs(s: SparkSession, dir: String): DataFrame = operators.PrefOps.qPrefPairs(s, dir)
+    def bradleyTerry(s: SparkSession, dir: String): DataFrame = operators.PrefOps.qBradleyTerry(s, dir)
+    def fleissKappa(s: SparkSession, dir: String): DataFrame = operators.PrefOps.qFleissKappa(s, dir)
+    def passAtK(s: SparkSession, dir: String): DataFrame = operators.PrefOps.qPassAtK(s, dir)
+    def mcnemarTest(s: SparkSession, dir: String): DataFrame = operators.PrefOps.qMcnemar(s, dir)
+    def ngramOverlapEval(s: SparkSession, dir: String): DataFrame = operators.PrefOps.qNgramOverlap(s, dir)
+    def paddingWaste(s: SparkSession, dir: String): DataFrame = operators.PrefOps.qPadWaste(s, dir)
   }
 
   /** Multimodal (binary-column) operators. */

@@ -329,7 +329,7 @@ object DedupOps {
   // ---------------------------------------------------------------------
 
   private val SimBits = 32
-  private val HammingMax = 6
+  private[operators] val HammingMax = 6
 
   /** Per-doc 32-bit simhash fingerprints (doc_id, fingerprint) —
     * doc-sized and cached, shared by [[ddSimhash]]'s band self-join

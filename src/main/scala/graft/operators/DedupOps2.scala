@@ -122,11 +122,111 @@ object DedupOps2 {
       // rule); no RECURSIVE CTE here, so the blanket rewrite is safe
       .replace("AS (", "AS MATERIALIZED (")
 
+  // --------------------------------------------------- q_survivorship
+
+  /** Golden-record election over the near-dup components — the field-
+    * level MERGE that follows [[ddCanonical]]'s keep-longest pick: per
+    * cluster, the canonical doc (max n_chars, ties to min doc_id), the
+    * MODAL language (most members, ties to the lexicographically
+    * smallest — a per-field survivorship rule, not a whole-row pick),
+    * and the cluster's mass. Every election is a
+    * map-side-combinable min(struct(...)) argmax; no windows.
+    */
+  def qSurvivorship(s: SparkSession, dir: String): DataFrame = {
+    val mem = GraphOps.componentLabels(s, dir)
+      .select(col("doc_id"), col("lbl").as("component"))
+      .join(Tables(s, dir, "documents").select("doc_id", "n_chars", "lang"), "doc_id")
+    val canon = mem.groupBy("component")
+      .agg(min(struct((-col("n_chars")).as("neg"), col("doc_id").as("id"))).as("b"))
+      .select(col("component"), col("b.id").as("canonical_id"))
+    val modal = mem.groupBy("component", "lang").agg(count(lit(1)).as("n"))
+      .groupBy("component")
+      .agg(min(struct((-col("n")).as("neg"), col("lang").as("lang"))).as("b"))
+      .select(col("component"), col("b.lang").as("modal_lang"))
+    mem.groupBy("component")
+      .agg(count(lit(1)).as("n_members"), sum("n_chars").as("total_chars"))
+      .join(canon, "component").join(modal, "component")
+      .select(col("component"), col("canonical_id"), col("modal_lang"),
+        col("n_members"), col("total_chars"))
+      .orderBy("component")
+  }
+
+  private val qSurvivorshipSql =
+    s"""WITH ${GraphOps.componentsSqlChain},
+       |mem AS (
+       |  SELECT c.doc_id, c.component, d.n_chars, d.lang
+       |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+       |canon AS (
+       |  SELECT component, canonical_id FROM (
+       |    SELECT component, doc_id AS canonical_id,
+       |      row_number() OVER (PARTITION BY component
+       |        ORDER BY n_chars DESC, doc_id ASC) AS rk
+       |    FROM mem) WHERE rk = 1),
+       |lc AS (SELECT component, lang, COUNT(*) AS n FROM mem GROUP BY 1, 2),
+       |ml AS (
+       |  SELECT component, modal_lang FROM (
+       |    SELECT component, lang AS modal_lang,
+       |      row_number() OVER (PARTITION BY component
+       |        ORDER BY n DESC, lang ASC) AS rk
+       |    FROM lc) WHERE rk = 1)
+       |SELECT m.component, c.canonical_id, l.modal_lang,
+       |  COUNT(*) AS n_members, CAST(SUM(m.n_chars) AS BIGINT) AS total_chars
+       |FROM mem m JOIN canon c ON c.component = m.component
+       |JOIN ml l ON l.component = m.component
+       |GROUP BY 1, 2, 3 ORDER BY m.component""".stripMargin
+
+  // -------------------------------------------------- q_split_leakage
+
+  /** Train/test leakage audit: simhash near-dup pairs (the
+    * [[DedupOps.ddSimhash]] relation) whose endpoints land in
+    * DIFFERENT q_train_split buckets — each such pair is an eval
+    * answer the model saw in training. Reports pair counts per
+    * (split, split) cell with an example pair. The split is the
+    * deterministic hash rule itself (no join needed to assign it);
+    * the pair relation is the banded simhash join, so the audit adds
+    * only one aggregate on top of machinery both sides already run.
+    */
+  def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    def split(c: org.apache.spark.sql.Column) = {
+      val bucket = graft.functions.PortableHash.hash64(c.cast(StringType)) % 100
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    }
+    DedupOps.ddSimhash(s, dir)
+      .select(col("a"), col("b"), split(col("a")).as("split_a"),
+        split(col("b")).as("split_b"))
+      .where(col("split_a") =!= col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("a").as("example_a"), min("b").as("example_b"))
+      .orderBy("split_a", "split_b")
+  }
+
+  private val qSplitLeakageSql = {
+    def split(e: String) = {
+      val b = s"${graft.functions.PortableHash.sql(s"CAST($e AS STRING)")} % 100"
+      s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END"
+    }
+    s"""WITH ${DedupOps.simhashFpsSqlChain},
+       |p AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM fps x JOIN fps y ON x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.fingerprint, y.fingerprint)) <= ${DedupOps.HammingMax}),
+       |cls AS (SELECT a, b, ${split("a")} AS split_a, ${split("b")} AS split_b FROM p)
+       |SELECT split_a, split_b, COUNT(*) AS n_pairs,
+       |  min(a) AS example_a, min(b) AS example_b
+       |FROM cls WHERE split_a <> split_b
+       |GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_canonical" -> (ddCanonical(_, _)),
-    "mm_joint_dedup" -> (mmJointDedup(_, _)))
+    "mm_joint_dedup" -> (mmJointDedup(_, _)),
+    "q_survivorship" -> (qSurvivorship(_, _)),
+    "q_split_leakage" -> (qSplitLeakage(_, _)))
 
   def oracles: Map[String, String] = Map(
     "dd_canonical" -> ddCanonicalSql,
-    "mm_joint_dedup" -> mmJointDedupSql)
+    "mm_joint_dedup" -> mmJointDedupSql,
+    "q_survivorship" -> qSurvivorshipSql,
+    "q_split_leakage" -> qSplitLeakageSql)
 }

@@ -52,7 +52,8 @@ class RegistrySpec extends AnyFunSuite {
       operators.SpectralOps.queries, operators.FeatureOps.queries,
       operators.EvalOps2.queries, operators.LinkageOps.queries,
       operators.LayoutOps.queries, operators.DedupOps2.queries,
-      operators.TrainingOps3.queries)
+      operators.TrainingOps3.queries, operators.EvalOps3.queries,
+      operators.PrefOps.queries)
     val keys = all.flatMap(_.keys)
     val dupes = keys.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names across modules: $dupes")
