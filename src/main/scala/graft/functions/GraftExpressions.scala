@@ -888,9 +888,14 @@ object GraftExpressions {
   /** Runtime registration on a live session (what the driver-facing
     * queries use — the driver builds its own plain session).
     */
-  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "built-in")
+  def register(spark: SparkSession): Unit = {
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+    // the NOTES #27 spread rule rides the same every-query-path hook,
+    // so heavy kernels are parallelism-safe on plain driver sessions too
+    graft.plans.SpreadHeavyKernels.register(spark)
   }
 }
 
@@ -921,6 +926,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           builder))
     }
     e.injectOptimizerRule(_ => GraftExpressions.RewriteSelfDot)
+    // once, after the operator-optimization fixpoint: pushdown cannot
+    // re-sink a heavy filter beneath the inserted exchange afterwards
+    e.injectPreCBORule(s => graft.plans.SpreadHeavyKernels(s))
     e.injectPlannerStrategy(_ => graft.plans.GroupedTopK.strategy)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoin.strategy)
     e.injectPlannerStrategy(_ => graft.plans.RangeJoin.strategy)

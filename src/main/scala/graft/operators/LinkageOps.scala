@@ -109,18 +109,16 @@ object LinkageOps {
 
   private[graft] def qEntityResolveCapped(
       s: SparkSession, dir: String, cap: Int): DataFrame = {
-    // NOTES #27's rule applies to the variant GENERATION here: the
-    // customer scan is byte-small (1-2 file splits) but the nested
-    // deletion-neighborhood transform is interpreted per row — spread
-    // it across every core before exploding
-    val nPart = math.max(s.sparkContext.defaultParallelism,
-      s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    // NOTES #27 (variant GENERATION over a byte-small customer scan)
+    // is handled by the planner now: graft.plans.SpreadHeavyKernels
+    // inserts the round-robin spread below each deletion-neighborhood
+    // explode mechanically — no hand-placed repartition here, and
+    // PlanAuditSpec's file-split gate proves the rule fired
     val master = Tables(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
-      .repartition(nPart)
     val dirty = dirtyNames(Tables(s, dir, "customer"))
     val mKeys = master.withColumn("vk", explode(delNeighborhood(col("c_name"))))
-    val dKeys = dirty.repartition(nPart)
+    val dKeys = dirty
       .withColumn("vk", explode(delNeighborhood(col("dirty_name"))))
     // ONE pass over the master keys builds the blocks as bounded
     // arrays: the size(...) filter IS the hot-block guard (ShingleDfCap

@@ -1,0 +1,107 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Levenshtein}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.functions.GraftExpressions.DelNeighborhoodExpr
+
+/** Planning-time promotion of the NOTES #27 rule: a per-row
+  * compute-heavy kernel (quadratic in the value length — the
+  * deletion-neighborhood expansion, the Levenshtein DP) evaluated
+  * directly over a byte-small file scan runs at raw file-split
+  * parallelism (1-2 tasks for a dimension table), so the multiplied
+  * workload lands on a fraction of the cluster. Operators used to
+  * hand-place `.repartition(defaultParallelism)` below each such
+  * kernel (`LinkageOps` r8-r9); this rule inserts the same round-robin
+  * spread mechanically whenever
+  *
+  *  - a node evaluates a heavy kernel expression, and
+  *  - its entire subtree down to the leaves is narrow (projections,
+  *    filters, generators only — no shuffle ever re-established), and
+  *  - the leaves' estimated split count is below the session's
+  *    default parallelism.
+  *
+  * Joins or aggregates anywhere below the kernel mean a shuffle (or a
+  * deliberate broadcast) already decided the parallelism — those
+  * compositions are audited by `PlanAuditSpec`'s broadcast-join gate
+  * rather than rewritten here, so the rule can never fight Catalyst's
+  * join planning. The width test is SCALE-ADAPTIVE by construction: a
+  * 100 TB scan estimates thousands of splits and is never touched; the
+  * spread fires exactly when the scan is too small to feed every core,
+  * which is when the kernel-over-narrow-scan pathology exists.
+  *
+  * Runs once per query (injected via `injectPreCBORule` from
+  * [[graft.functions.GraftExtensions]], or the session's
+  * `experimental.extraOptimizations` on the runtime-registration
+  * path — both sit after the operator-optimization fixpoint, so
+  * predicate pushdown cannot re-sink a heavy filter beneath the
+  * inserted exchange and re-trigger the rule). Idempotent: the
+  * inserted `Repartition(shuffle = true)` makes its subtree wide, so
+  * a second pass leaves the plan unchanged.
+  */
+case class SpreadHeavyKernels(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private def isHeavy(e: Expression): Boolean = e.exists {
+    case _: DelNeighborhoodExpr => true
+    case _: Levenshtein => true
+    case _ => false
+  }
+
+  private def targetPartitions: Int =
+    math.max(session.sparkContext.defaultParallelism,
+      session.sessionState.conf.numShufflePartitions)
+
+  /** Estimated file-split count of a leaf, from its size statistics —
+    * mirrors `FilePartition` byte-based packing closely enough for a
+    * threshold test (tiny dimension files land at 1-2 either way; a
+    * warehouse-scale scan lands at thousands either way).
+    */
+  private def estimatedSplits(leaf: LeafNode): Long = leaf match {
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case fs: HadoopFsRelation =>
+          val maxSplit = math.max(1L, session.sessionState.conf.filesMaxPartitionBytes)
+          math.max(1L, (fs.location.sizeInBytes + maxSplit - 1) / maxSplit)
+        case _ => Long.MaxValue // non-file relations: assume wide, don't touch
+      }
+    case _: LocalRelation => 1L
+    case _ => Long.MaxValue // RDD scans, ranges, streaming sources: leave alone
+  }
+
+  /** True when the subtree is narrow ops only over leaves that are all
+    * estimated below the parallelism target — i.e. inserting a spread
+    * is both safe (no shuffle below to respect) and useful.
+    */
+  private def narrowToSmallScan(p: LogicalPlan): Boolean = p match {
+    case leaf: LeafNode => estimatedSplits(leaf) < targetPartitions
+    case _: Project | _: Filter | _: Generate | _: SubqueryAlias =>
+      p.children.forall(narrowToSmallScan)
+    case _ => false // joins, aggregates, exchanges, unions: out of scope
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (plan.isStreaming) return plan // stateful queries own their distribution
+    plan.transformUp {
+      case n if n.children.nonEmpty && n.expressions.exists(isHeavy) =>
+        n.withNewChildren(n.children.map { c =>
+          if (narrowToSmallScan(c)) Repartition(targetPartitions, shuffle = true, c)
+          else c
+        })
+    }
+  }
+}
+
+object SpreadHeavyKernels {
+  /** Idempotent runtime registration (mirrors the planner strategies'
+    * `register` pattern — the driver builds a plain session, so the
+    * extensions path isn't available there).
+    */
+  def register(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[SpreadHeavyKernels]))
+      spark.experimental.extraOptimizations = cur :+ SpreadHeavyKernels(spark)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.Repartition
+import org.apache.spark.sql.functions._
+
+import graft.plans.SpreadHeavyKernels
+import graft.sources.Tables
+
+/** Gates for the planning-time NOTES #27 rule ([[SpreadHeavyKernels]])
+  * that replaced the hand-placed repartitions below heavy kernels
+  * (r10): it must fire on a heavy kernel over a narrow scan, respect
+  * an explicit user spread, and stay out of the way when the scan is
+  * already wide — the property that makes it safe at 100 TB. The
+  * end-to-end effect on q_entity_resolve is pinned by PlanAuditSpec's
+  * existing file-split-parallelism gate (which would fail if the rule
+  * stopped firing, since the operator no longer repartitions by hand).
+  */
+class SpreadRuleSpec extends SparkSuite {
+
+  private def delHood(c: org.apache.spark.sql.Column) =
+    explode(call_function("graft_del_hood", c, lit(2)))
+
+  private def spreads(df: org.apache.spark.sql.DataFrame): Seq[Repartition] =
+    df.queryExecution.optimizedPlan.collect { case r: Repartition => r }
+
+  test("inserts a shuffled spread below a heavy kernel over a narrow scan") {
+    SpreadHeavyKernels.register(sc)
+    val df = Tables(sc, sfDir, "customer")
+      .select(col("c_custkey"), delHood(col("c_name")).as("vk"))
+    val rs = spreads(df)
+    assert(rs.nonEmpty, df.queryExecution.optimizedPlan.toString)
+    assert(rs.forall(_.shuffle), "the spread must be a real shuffle, not a coalesce")
+    val want = math.max(sc.sparkContext.defaultParallelism,
+      sc.sessionState.conf.numShufflePartitions)
+    assert(rs.exists(_.numPartitions == want), rs.map(_.numPartitions).toString)
+  }
+
+  test("respects an explicit user repartition (no double spread)") {
+    SpreadHeavyKernels.register(sc)
+    val df = Tables(sc, sfDir, "customer")
+      .repartition(8)
+      .select(col("c_custkey"), delHood(col("c_name")).as("vk"))
+    val rs = spreads(df)
+    assert(rs.length == 1, df.queryExecution.optimizedPlan.toString)
+    assert(rs.head.numPartitions == 8, "the user's explicit width must survive")
+  }
+
+  test("leaves a wide scan alone (the 100 TB behavior)") {
+    SpreadHeavyKernels.register(sc)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = sc.conf.get(key)
+    try {
+      // shrink the split size so the SAME file estimates as a
+      // warehouse-scale scan: hundreds of splits >= every core busy
+      sc.conf.set(key, "256")
+      val df = Tables(sc, sfDir, "customer")
+        .select(col("c_custkey"), delHood(col("c_name")).as("vk"))
+      assert(spreads(df).isEmpty, df.queryExecution.optimizedPlan.toString)
+    } finally sc.conf.set(key, old)
+  }
+
+  test("q_entity_resolve: both deletion-neighborhood sites run above rule-inserted spreads") {
+    val plan = SparkEntry.queries("q_entity_resolve")(sc, sfDir)
+      .queryExecution.optimizedPlan
+    // two Generate(del-hood) sites (master keys, dirty keys), each with
+    // a Repartition the RULE placed — the operator code has none
+    val rs = plan.collect { case r: Repartition if r.shuffle => r }
+    assert(rs.length >= 2, plan.toString.take(2000))
+  }
+}
