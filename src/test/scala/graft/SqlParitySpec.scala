@@ -14,7 +14,13 @@ class SqlParitySpec extends SparkSuite {
   /** Every oracle whose SQL text runs UNCHANGED on spark.sql (with the
     * [[graft.functions.SqlCompat]] DuckDB-dialect alias pack
     * registered) with row-identical results — probed exhaustively by
-    * SqlParityProbe, 187 of 294 as of round 10. The round-9 dialect
+    * SqlParityProbe, 196 of 307 as of round 10 (the preference/eval
+    * wave landed 9 of its 13 oracles directly on the list; the other
+    * four stay off for the usual dialect reasons: q_ab_srm,
+    * q_group_sample and q_split_leakage cast a '0x…' hex string to
+    * BIGINT — PortableHash's DuckDB rendering, a cast form SqlCompat's
+    * name aliases cannot bridge — and q_survivorship rides the
+    * components family's recursive-CTE UNION). The round-9 dialect
     * bridge (`divide()`, polymorphic `epoch_ms`, literal `strftime`,
     * `list_contains`/`list_max`) plus the round-10 rewrites (the shared
     * dot-product SQL off `list_zip`'s positional `s[1]` subscript and
@@ -56,13 +62,14 @@ class SqlParitySpec extends SparkSuite {
     "q7_bi_nation_volume", "q8_market_share", "q9_product_profit",
     "q_ab_test", "q_anomaly_zscore", "q_anti_join", "q_assoc_rules",
     "q_auc", "q_autocorr", "q_benford", "q_bfs_dist", "q_bitwise_funcs",
-    "q_brier_score", "q_bucketed_join", "q_calibration", "q_changepoint",
+    "q_bradley_terry", "q_brier_score", "q_bucketed_join", "q_calibration",
+    "q_changepoint", "q_class_balance",
     "q_clustering_coeff", "q_compaction_plan", "q_cond_funcs",
     "q_confusion_stats", "q_context_chunks", "q_cross_join", "q_cube",
     "q_curriculum", "q_data_card", "q_decay_agg", "q_dedup_keep_latest",
     "q_delta_encoding", "q_distinct_agg", "q_domain_mix", "q_dq_checks",
     "q_empty_agg", "q_entropy", "q_equidepth_bucketize", "q_ess", "q_ewma",
-    "q_feature_quantiles", "q_forecast_snaive", "q_forget_user",
+    "q_feature_quantiles", "q_fleiss_kappa", "q_forecast_snaive", "q_forget_user",
     "q_full_outer_join", "q_funnel", "q_gap_fill", "q_gd_train",
     "q_geomean", "q_gini", "q_grouping_sets", "q_hard_negatives",
     "q_having", "q_hist_quantiles", "q_histogram", "q_hybrid_rrf",
@@ -70,9 +77,11 @@ class SqlParitySpec extends SparkSuite {
     "q_k_anonymity", "q_kcore", "q_l_diversity", "q_label_prop",
     "q_lateral_topn", "q_length_buckets", "q_link_predict",
     "q_mad_outlier", "q_map_struct_funcs", "q_math_extended",
-    "q_math_funcs", "q_merge_upsert", "q_modularity",
-    "q_mutual_information", "q_not_in_subquery", "q_ohlc", "q_pagerank",
-    "q_path_transitions", "q_percentiles", "q_power_analysis", "q_profile",
+    "q_math_funcs", "q_mcnemar", "q_merge_upsert", "q_modularity",
+    "q_mutual_information", "q_ngram_overlap", "q_not_in_subquery",
+    "q_ohlc", "q_pad_waste", "q_pagerank", "q_pass_at_k",
+    "q_path_transitions", "q_percentiles", "q_power_analysis",
+    "q_pref_pairs", "q_profile",
     "q_psi", "q_range_join", "q_range_native", "q_rollup",
     "q_running_distinct", "q_salted_agg", "q_salted_join",
     "q_scalar_subquery", "q_scd2", "q_seasonal_profile", "q_semi_join",
@@ -83,7 +92,8 @@ class SqlParitySpec extends SparkSuite {
     "q_triangle_count", "q_trig_funcs", "q_tumbling_window", "q_typed_agg",
     "q_typed_cogroup", "q_ucb_bandit", "q_union_distinct", "q_unpivot",
     "q_values_lookup", "q_window_dist", "q_window_first_last",
-    "q_window_frame", "q_window_lag", "q_window_rank", "q_zipf_fit",
+    "q_window_frame", "q_window_lag", "q_window_rank", "q_winsorize",
+    "q_zipf_fit",
     "q_zone_map", "q_zorder", "ta_bm25", "ta_bpe", "ta_cluster_topics",
     "ta_collocations", "ta_heavy_hitters", "ta_ks_test",
     "ta_langid_profile", "ta_nb_langid", "ta_ngram_lm", "ta_oov_rate",
