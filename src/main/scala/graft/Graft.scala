@@ -219,6 +219,15 @@ object Graft {
     def mcnemarTest(s: SparkSession, dir: String): DataFrame = operators.PrefOps.qMcnemar(s, dir)
     def ngramOverlapEval(s: SparkSession, dir: String): DataFrame = operators.PrefOps.qNgramOverlap(s, dir)
     def paddingWaste(s: SparkSession, dir: String): DataFrame = operators.PrefOps.qPadWaste(s, dir)
+    // round-10 batch-construction/test-statistic wave
+    def chi2Independence(s: SparkSession, dir: String): DataFrame = operators.EvalOps4.qChi2Independence(s, dir)
+    def krippendorffAlpha(s: SparkSession, dir: String): DataFrame = operators.EvalOps4.qKrippendorff(s, dir)
+    def cochranQ(s: SparkSession, dir: String): DataFrame = operators.EvalOps4.qCochranQ(s, dir)
+    def mmrSelect(s: SparkSession, dir: String): DataFrame = operators.EvalOps4.qMmrSelect(s, dir)
+    def sequencePacking(s: SparkSession, dir: String): DataFrame = operators.PackOps.qSeqPack(s, dir)
+    def stratifiedKfold(s: SparkSession, dir: String): DataFrame = operators.PackOps.qStratifiedKfold(s, dir)
+    def domainReweight(s: SparkSession, dir: String): DataFrame = operators.PackOps.qDomainReweight(s, dir)
+    def quantileNormalize(s: SparkSession, dir: String): DataFrame = operators.PackOps.qQuantileNorm(s, dir)
   }
 
   /** Multimodal (binary-column) operators. */
