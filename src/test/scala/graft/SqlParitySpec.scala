@@ -14,13 +14,17 @@ class SqlParitySpec extends SparkSuite {
   /** Every oracle whose SQL text runs UNCHANGED on spark.sql (with the
     * [[graft.functions.SqlCompat]] DuckDB-dialect alias pack
     * registered) with row-identical results — probed exhaustively by
-    * SqlParityProbe, 196 of 307 as of round 10 (the preference/eval
-    * wave landed 9 of its 13 oracles directly on the list; the other
-    * four stay off for the usual dialect reasons: q_ab_srm,
-    * q_group_sample and q_split_leakage cast a '0x…' hex string to
-    * BIGINT — PortableHash's DuckDB rendering, a cast form SqlCompat's
-    * name aliases cannot bridge — and q_survivorship rides the
-    * components family's recursive-CTE UNION). The round-9 dialect
+    * SqlParityProbe, 201 of 315 as of round 10 (the preference/eval
+    * wave landed 9 of its 13 oracles directly on the list and the
+    * batch-construction wave 5 of 8; the exclusions are the usual
+    * dialect reasons: q_ab_srm, q_group_sample, q_split_leakage and
+    * q_stratified_kfold cast a '0x…' hex string to BIGINT —
+    * PortableHash's DuckDB rendering, a cast form SqlCompat's name
+    * aliases cannot bridge — q_survivorship rides the components
+    * family's recursive-CTE UNION, and q_chi2_independence /
+    * q_domain_reweight need `array_agg(x ORDER BY y)` for their
+    * order-pinned double folds, an aggregate-ORDER-BY form Spark's
+    * parser rejects). The round-9 dialect
     * bridge (`divide()`, polymorphic `epoch_ms`, literal `strftime`,
     * `list_contains`/`list_max`) plus the round-10 rewrites (the shared
     * dot-product SQL off `list_zip`'s positional `s[1]` subscript and
@@ -64,7 +68,7 @@ class SqlParitySpec extends SparkSuite {
     "q_auc", "q_autocorr", "q_benford", "q_bfs_dist", "q_bitwise_funcs",
     "q_bradley_terry", "q_brier_score", "q_bucketed_join", "q_calibration",
     "q_changepoint", "q_class_balance",
-    "q_clustering_coeff", "q_compaction_plan", "q_cond_funcs",
+    "q_clustering_coeff", "q_cochran_q", "q_compaction_plan", "q_cond_funcs",
     "q_confusion_stats", "q_context_chunks", "q_cross_join", "q_cube",
     "q_curriculum", "q_data_card", "q_decay_agg", "q_dedup_keep_latest",
     "q_delta_encoding", "q_distinct_agg", "q_domain_mix", "q_dq_checks",
@@ -74,17 +78,20 @@ class SqlParitySpec extends SparkSuite {
     "q_geomean", "q_gini", "q_grouping_sets", "q_hard_negatives",
     "q_having", "q_hist_quantiles", "q_histogram", "q_hybrid_rrf",
     "q_in_subquery", "q_incr_agg", "q_item_cf", "q_json_funcs",
-    "q_k_anonymity", "q_kcore", "q_l_diversity", "q_label_prop",
+    "q_k_anonymity", "q_kcore", "q_krippendorff", "q_l_diversity",
+    "q_label_prop",
     "q_lateral_topn", "q_length_buckets", "q_link_predict",
     "q_mad_outlier", "q_map_struct_funcs", "q_math_extended",
-    "q_math_funcs", "q_mcnemar", "q_merge_upsert", "q_modularity",
+    "q_math_funcs", "q_mcnemar", "q_merge_upsert", "q_mmr_select",
+    "q_modularity",
     "q_mutual_information", "q_ngram_overlap", "q_not_in_subquery",
     "q_ohlc", "q_pad_waste", "q_pagerank", "q_pass_at_k",
     "q_path_transitions", "q_percentiles", "q_power_analysis",
     "q_pref_pairs", "q_profile",
-    "q_psi", "q_range_join", "q_range_native", "q_rollup",
+    "q_psi", "q_quantile_norm", "q_range_join", "q_range_native", "q_rollup",
     "q_running_distinct", "q_salted_agg", "q_salted_join",
     "q_scalar_subquery", "q_scd2", "q_seasonal_profile", "q_semi_join",
+    "q_seq_pack",
     "q_seq_mining", "q_sessionize", "q_set_except", "q_set_intersect",
     "q_skew_profile", "q_skyline", "q_snapshot_diff", "q_sssp",
     "q_stats_agg", "q_string_advanced", "q_string_funcs", "q_survival",
