@@ -23,23 +23,33 @@ object EvalOps3 {
     * DROPS tail rows) winsorizing keeps n constant — the robust-mean
     * variant a metrics pipeline wants when denominators must not move.
     * Two passes: one percentile aggregate (3 groups, broadcast back),
-    * one clamp-and-aggregate.
+    * one clamp-and-aggregate. Both means are exact under any
+    * partitioning: the raw mean is a DECIMAL money sum over a count,
+    * and the winsorized mean decomposes into that same exact interior
+    * sum plus n_low·lo + n_high·hi — two single double products — so
+    * the interpolated (arbitrary-double) bounds never enter a
+    * multi-row float sum.
     */
   def qWinsorize(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
     val q = li.groupBy("l_returnflag")
       .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
         expr("percentile(l_extendedprice, 0.95)").as("hi"))
-    val clamped = when(col("l_extendedprice") < col("lo"), col("lo"))
-      .when(col("l_extendedprice") > col("hi"), col("hi"))
-      .otherwise(col("l_extendedprice"))
+    val p = col("l_extendedprice")
+    val pd = p.cast(DecimalType(12, 2))
     li.join(broadcast(q), "l_returnflag")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_low"),
-        sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_high"),
-        round(avg("l_extendedprice"), 6).as("mean_raw"),
-        round(avg(clamped), 6).as("mean_winsor"))
+        sum(when(p < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(p > col("hi"), 1L).otherwise(0L)).as("n_high"),
+        sum(pd).as("sp"),
+        sum(when(p >= col("lo") && p <= col("hi"), pd)).as("sm"),
+        max("lo").as("lo"), max("hi").as("hi"))
+      .select(col("l_returnflag"), col("n"), col("n_low"), col("n_high"),
+        round(col("sp").cast(DoubleType) / col("n"), 6).as("mean_raw"),
+        round((coalesce(col("sm").cast(DoubleType), lit(0.0)) +
+          col("n_low") * col("lo") + col("n_high") * col("hi")) / col("n"), 6)
+          .as("mean_winsor"))
       .orderBy("l_returnflag")
   }
 
@@ -47,16 +57,22 @@ object EvalOps3 {
     """WITH q AS (
       |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.05) AS lo,
       |         quantile_cont(l_extendedprice, 0.95) AS hi
-      |  FROM lineitem GROUP BY l_returnflag)
-      |SELECT l.l_returnflag, COUNT(*) AS n,
-      |  CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
-      |  CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-      |  round(avg(l_extendedprice), 6) AS mean_raw,
-      |  round(avg(CASE WHEN l_extendedprice < lo THEN lo
-      |            WHEN l_extendedprice > hi THEN hi
-      |            ELSE l_extendedprice END), 6) AS mean_winsor
-      |FROM lineitem l JOIN q ON q.l_returnflag = l.l_returnflag
-      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
+      |  FROM lineitem GROUP BY l_returnflag),
+      |g AS (
+      |  SELECT l.l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |    CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sp,
+      |    SUM(CASE WHEN l_extendedprice >= lo AND l_extendedprice <= hi
+      |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS sm,
+      |    MAX(lo) AS lo, MAX(hi) AS hi
+      |  FROM lineitem l JOIN q ON q.l_returnflag = l.l_returnflag
+      |  GROUP BY l.l_returnflag)
+      |SELECT l_returnflag, n, n_low, n_high,
+      |  round(CAST(sp AS DOUBLE) / n, 6) AS mean_raw,
+      |  round((COALESCE(CAST(sm AS DOUBLE), CAST(0 AS DOUBLE))
+      |    + n_low * lo + n_high * hi) / n, 6) AS mean_winsor
+      |FROM g ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------------ q_class_balance
 

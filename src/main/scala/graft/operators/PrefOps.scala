@@ -96,11 +96,20 @@ object PrefOps {
     val wtot = m.groupBy("i").agg(sum("w").as("wins"), sum("n").as("games"))
     var p = wtot.select(col("i"), lit(1.0).as("p"))
     for (_ <- 1 to BtRounds) {
+      // the denominator folds the opponent-sorted term list
+      // SEQUENTIALLY (the dot-product oracle idiom): the group is
+      // |types|-sized, so collect_list is bounded by the dimension,
+      // and partition order can't perturb the double sum
       val denom = m
         .join(p.select(col("i"), col("p").as("pi")), "i")
         .join(p.select(col("i").as("j"), col("p").as("pj")), "j")
+        .select(col("i"), col("j"),
+          (col("n").cast(DoubleType) / (col("pi") + col("pj"))).as("term"))
         .groupBy("i")
-        .agg(sum(col("n").cast(DoubleType) / (col("pi") + col("pj"))).as("denom"))
+        .agg(sort_array(collect_list(struct(col("j"), col("term")))).as("l"))
+        .select(col("i"),
+          expr("aggregate(l, CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)")
+            .as("denom"))
       p = wtot.join(denom, "i")
         .select(col("i"),
           when(col("wins") === 0, lit(0.0))
@@ -118,7 +127,8 @@ object PrefOps {
          |  SELECT w.i, CASE WHEN w.wins = 0 THEN CAST(0 AS DOUBLE)
          |    ELSE CAST(w.wins AS DOUBLE) / d.denom END AS p
          |  FROM wtot w JOIN (
-         |    SELECT m.i, SUM(CAST(m.n AS DOUBLE) / (pi.p + pj.p)) AS denom
+         |    SELECT m.i, list_aggregate(array_agg(
+         |        CAST(m.n AS DOUBLE) / (pi.p + pj.p) ORDER BY m.j), 'sum') AS denom
          |    FROM m JOIN $prev pi ON pi.i = m.i
          |           JOIN $prev pj ON pj.i = m.j
          |    GROUP BY m.i) d ON d.i = w.i)""".stripMargin
@@ -154,27 +164,32 @@ object PrefOps {
     * the return flag is the assigned category. Per-item agreement
     * P_i = (Σ_j n_ij² − R)/(R(R−1)), chance agreement from the
     * category marginals, κ = (P̄ − P_e)/(1 − P_e) (Fleiss, 1971).
-    * Everything until the final three divisions is integer counting —
-    * two keyed aggregates and a 3-row marginal, no windows.
+    * Everything until the final three divisions is INTEGER counting —
+    * P̄ = (Σ_i s2_i − R·n)/(R(R−1)·n) and P_e = Σ_c cn_c²/(R·n)² are
+    * ratios of exact integer sums — so the coefficient is
+    * bit-identical under any partitioning and across engines. Two
+    * keyed aggregates and a 3-row marginal, no windows.
     */
   def qFleissKappa(s: SparkSession, dir: String): DataFrame = {
-    val r = lit(FkRaters)
     val counts = Tables(s, dir, "lineitem")
       .groupBy("l_orderkey", "l_returnflag").agg(count(lit(1)).as("n"))
     val items = counts.groupBy("l_orderkey")
       .agg(sum("n").as("rtot"), sum(col("n") * col("n")).as("s2"))
       .where(col("rtot") === FkRaters)
-    val tot = items.agg(count(lit(1)).as("n_items"),
-      avg((col("s2") - r).cast(DoubleType) / lit((FkRaters * (FkRaters - 1)).toDouble))
-        .as("p_bar"))
+    val tot = items.agg(count(lit(1)).as("n_items"), sum("s2").as("ss2"))
     val marg = counts.join(items.select("l_orderkey"), "l_orderkey")
       .groupBy("l_returnflag").agg(sum("n").as("cn"))
+    val pb = (col("ss2") - lit(FkRaters.toLong) * col("n_items")).cast(DoubleType) /
+      (lit((FkRaters * (FkRaters - 1)).toLong) * col("n_items")).cast(DoubleType)
+    // square in DOUBLE space: (R·n)² overflows BIGINT near 10⁹ items,
+    // and a product of two identical doubles is deterministic anyway
+    val rn = col("n_items").cast(DoubleType) * FkRaters
+    val pe = col("snc2").cast(DoubleType) / (rn * rn)
     marg.crossJoin(broadcast(tot))
-      .agg(max("n_items").as("n_items"), max("p_bar").as("pb"),
-        sum(pow(col("cn").cast(DoubleType) / (col("n_items") * r), 2)).as("pe"))
-      .select(col("n_items"), round(col("pb"), 6).as("p_bar"),
-        round(col("pe"), 6).as("p_e"),
-        round((col("pb") - col("pe")) / (lit(1.0) - col("pe")), 6).as("kappa"))
+      .groupBy("n_items", "ss2")
+      .agg(sum(col("cn") * col("cn")).as("snc2"))
+      .select(col("n_items"), round(pb, 6).as("p_bar"), round(pe, 6).as("p_e"),
+        round((pb - pe) / (lit(1.0) - pe), 6).as("kappa"))
   }
 
   private val qFleissKappaSql =
@@ -182,23 +197,30 @@ object PrefOps {
        |  SELECT l_orderkey, l_returnflag, COUNT(*) AS n
        |  FROM lineitem GROUP BY 1, 2),
        |items AS (
-       |  SELECT l_orderkey, SUM(n) AS rtot, SUM(n * n) AS s2
+       |  SELECT l_orderkey, SUM(n * n) AS s2
        |  FROM counts GROUP BY 1 HAVING SUM(n) = $FkRaters),
-       |tot AS (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
-       |    AVG(CAST(s2 - $FkRaters AS DOUBLE)
-       |        / CAST(${FkRaters * (FkRaters - 1)} AS DOUBLE)) AS p_bar
-       |  FROM items),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       |  CAST(SUM(s2) AS BIGINT) AS ss2 FROM items),
        |marg AS (
        |  SELECT c.l_returnflag, SUM(c.n) AS cn
        |  FROM counts c JOIN items i ON i.l_orderkey = c.l_orderkey
        |  GROUP BY 1),
        |agg AS (
-       |  SELECT MAX(t.n_items) AS n_items, MAX(t.p_bar) AS pb,
-       |    SUM(pow(CAST(m.cn AS DOUBLE) / (t.n_items * $FkRaters), 2)) AS pe
-       |  FROM marg m CROSS JOIN tot t)
-       |SELECT n_items, round(pb, 6) AS p_bar, round(pe, 6) AS p_e,
-       |  round((pb - pe) / (CAST(1 AS DOUBLE) - pe), 6) AS kappa
+       |  SELECT t.n_items, t.ss2, CAST(SUM(m.cn * m.cn) AS BIGINT) AS snc2
+       |  FROM marg m CROSS JOIN tot t GROUP BY 1, 2)
+       |SELECT n_items,
+       |  round(CAST(ss2 - $FkRaters * n_items AS DOUBLE)
+       |    / CAST(${FkRaters * (FkRaters - 1)} * n_items AS DOUBLE), 6) AS p_bar,
+       |  round(CAST(snc2 AS DOUBLE)
+       |    / ((CAST(n_items AS DOUBLE) * $FkRaters) * (CAST(n_items AS DOUBLE) * $FkRaters)), 6) AS p_e,
+       |  round((CAST(ss2 - $FkRaters * n_items AS DOUBLE)
+       |      / CAST(${FkRaters * (FkRaters - 1)} * n_items AS DOUBLE)
+       |    - CAST(snc2 AS DOUBLE)
+       |      / ((CAST(n_items AS DOUBLE) * $FkRaters) * (CAST(n_items AS DOUBLE) * $FkRaters)))
+       |   / (CAST(1 AS DOUBLE)
+       |    - CAST(snc2 AS DOUBLE)
+       |      / ((CAST(n_items AS DOUBLE) * $FkRaters) * (CAST(n_items AS DOUBLE) * $FkRaters))), 6)
+       |    AS kappa
        |FROM agg""".stripMargin
 
   // -------------------------------------------------- q_pass_at_k
@@ -212,8 +234,11 @@ object PrefOps {
     * attempts and c passes, pass@k = 1 − C(n−c,k)/C(n,k), the
     * combination ratio written as the explicit k-term product (k=
     * [[PassK]]) so both engines evaluate identical arithmetic.
-    * Reported per order priority. One keyed aggregate + one
-    * broadcast-sized join — no windows.
+    * Reported per order priority; the per-problem estimates average
+    * through the exact power-of-two quantization (NOTES #4b:
+    * `floor(p·2³⁰)` summed as BIGINT — p ∈ [0,1], so the sum stays in
+    * range past 10⁹ problems) so summation order can't leak in. One
+    * keyed aggregate + one broadcast-sized join — no windows.
     */
   def qPassAtK(s: SparkSession, dir: String): DataFrame = {
     val att = Tables(s, dir, "lineitem")
@@ -226,12 +251,15 @@ object PrefOps {
       (col("n") * (col("n") - 1) * (col("n") - 2)).cast(DoubleType)
     val pass3 = when(f < PassK, lit(1.0)).otherwise(lit(1.0) - ratio)
     val pass1 = col("c").cast(DoubleType) / col("n").cast(DoubleType)
+    val P2 = 1073741824.0 // 2^30
     Tables(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
       .join(att, col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_problems"),
-        round(avg(pass1), 6).as("pass_at_1"),
-        round(avg(pass3), 6).as("pass_at_3"))
+        sum(floor(pass1 * P2)).as("s1"), sum(floor(pass3 * P2)).as("s3"))
+      .select(col("o_orderpriority"), col("n_problems"),
+        round(col("s1").cast(DoubleType) / P2 / col("n_problems"), 6).as("pass_at_1"),
+        round(col("s3").cast(DoubleType) / P2 / col("n_problems"), 6).as("pass_at_3"))
       .orderBy("o_orderpriority")
   }
 
@@ -241,11 +269,15 @@ object PrefOps {
        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c
        |  FROM lineitem GROUP BY 1 HAVING COUNT(*) >= $PassK)
        |SELECT o.o_orderpriority, COUNT(*) AS n_problems,
-       |  round(AVG(CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE)), 6) AS pass_at_1,
-       |  round(AVG(CASE WHEN a.n - a.c < $PassK THEN CAST(1 AS DOUBLE)
+       |  round(CAST(SUM(CAST(floor(CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE)
+       |      * 1073741824.0) AS BIGINT)) AS DOUBLE) / 1073741824.0 / COUNT(*), 6)
+       |    AS pass_at_1,
+       |  round(CAST(SUM(CAST(floor((CASE WHEN a.n - a.c < $PassK THEN CAST(1 AS DOUBLE)
        |    ELSE CAST(1 AS DOUBLE)
        |      - CAST((a.n - a.c) * (a.n - a.c - 1) * (a.n - a.c - 2) AS DOUBLE)
-       |        / CAST(a.n * (a.n - 1) * (a.n - 2) AS DOUBLE) END), 6) AS pass_at_3
+       |        / CAST(a.n * (a.n - 1) * (a.n - 2) AS DOUBLE) END)
+       |      * 1073741824.0) AS BIGINT)) AS DOUBLE) / 1073741824.0 / COUNT(*), 6)
+       |    AS pass_at_3
        |FROM orders o JOIN att a ON a.l_orderkey = o.o_orderkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -336,12 +368,20 @@ object PrefOps {
         max(when(col("n") === 2, col("p"))).as("p2"))
     val bp = when(col("c_len") > col("r_len"), lit(1.0))
       .otherwise(exp(lit(1.0) - col("r_len").cast(DoubleType) / col("c_len")))
+    // per-pair scores live in [0,1]: average through the exact
+    // power-of-two quantization (NOTES #4b) so summation order can't
+    // leak in — floor(x·2³⁰) sums stay in BIGINT range past 10⁹ pairs
+    val P2 = 1073741824.0 // 2^30
     paired.join(prec, "pair_id")
       .select(col("source"), col("p1"), col("p2"),
         (bp * sqrt(col("p1") * col("p2"))).as("bleu2"))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_pairs"), round(avg("p1"), 6).as("mean_p1"),
-        round(avg("p2"), 6).as("mean_p2"), round(avg("bleu2"), 6).as("mean_bleu2"))
+      .agg(count(lit(1)).as("n_pairs"), sum(floor(col("p1") * P2)).as("s1"),
+        sum(floor(col("p2") * P2)).as("s2"), sum(floor(col("bleu2") * P2)).as("sb"))
+      .select(col("source"), col("n_pairs"),
+        round(col("s1").cast(DoubleType) / P2 / col("n_pairs"), 6).as("mean_p1"),
+        round(col("s2").cast(DoubleType) / P2 / col("n_pairs"), 6).as("mean_p2"),
+        round(col("sb").cast(DoubleType) / P2 / col("n_pairs"), 6).as("mean_bleu2"))
       .orderBy("source")
   }
 
@@ -390,8 +430,13 @@ object PrefOps {
       |      ELSE exp(CAST(1 AS DOUBLE) - CAST(pa.r_len AS DOUBLE) / pa.c_len) END)
       |    * sqrt(pr.p1 * pr.p2) AS bleu2
       |  FROM paired pa JOIN prec pr ON pr.pair_id = pa.pair_id)
-      |SELECT source, COUNT(*) AS n_pairs, round(AVG(p1), 6) AS mean_p1,
-      |  round(AVG(p2), 6) AS mean_p2, round(AVG(bleu2), 6) AS mean_bleu2
+      |SELECT source, COUNT(*) AS n_pairs,
+      |  round(CAST(SUM(CAST(floor(p1 * 1073741824.0) AS BIGINT)) AS DOUBLE)
+      |    / 1073741824.0 / COUNT(*), 6) AS mean_p1,
+      |  round(CAST(SUM(CAST(floor(p2 * 1073741824.0) AS BIGINT)) AS DOUBLE)
+      |    / 1073741824.0 / COUNT(*), 6) AS mean_p2,
+      |  round(CAST(SUM(CAST(floor(bleu2 * 1073741824.0) AS BIGINT)) AS DOUBLE)
+      |    / 1073741824.0 / COUNT(*), 6) AS mean_bleu2
       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ----------------------------------------------------- q_pad_waste

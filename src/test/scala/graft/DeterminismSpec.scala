@@ -64,7 +64,15 @@ class DeterminismSpec extends SparkSuite {
     "dd_supershingle", "ta_perplexity_bucket", "ta_tfidf_cosine",
     // Poisson-bootstrap hash weights + rank-cut intervals; quantized
     // MI log sums; integer ECDF cross-products
-    "q_bootstrap_ci", "q_mutual_information", "ta_ks_test")
+    "q_bootstrap_ci", "q_mutual_information", "ta_ks_test",
+    // round-10: sorted-fold MM denominators (BT) and cell sums (chi2,
+    // reweight); quantized pass@k / BLEU averages; DECIMAL-decomposed
+    // winsorized means; integer agreement coefficients; unrolled
+    // greedy MMR argmaxes; per-shard packing cumsums
+    "q_bradley_terry", "q_pass_at_k", "q_ngram_overlap", "q_winsorize",
+    "q_fleiss_kappa", "q_krippendorff", "q_chi2_independence",
+    "q_domain_reweight", "q_mmr_select", "q_seq_pack", "q_pref_pairs",
+    "q_split_leakage", "q_quantile_norm")
 
   test("results are identical under different shuffle partitionings") {
     val conf = spark.conf

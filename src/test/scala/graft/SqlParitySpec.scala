@@ -14,17 +14,17 @@ class SqlParitySpec extends SparkSuite {
   /** Every oracle whose SQL text runs UNCHANGED on spark.sql (with the
     * [[graft.functions.SqlCompat]] DuckDB-dialect alias pack
     * registered) with row-identical results — probed exhaustively by
-    * SqlParityProbe, 201 of 315 as of round 10 (the preference/eval
-    * wave landed 9 of its 13 oracles directly on the list and the
+    * SqlParityProbe, 200 of 315 as of round 10 (the preference/eval
+    * wave landed 8 of its 13 oracles directly on the list and the
     * batch-construction wave 5 of 8; the exclusions are the usual
     * dialect reasons: q_ab_srm, q_group_sample, q_split_leakage and
     * q_stratified_kfold cast a '0x…' hex string to BIGINT —
     * PortableHash's DuckDB rendering, a cast form SqlCompat's name
     * aliases cannot bridge — q_survivorship rides the components
     * family's recursive-CTE UNION, and q_chi2_independence /
-    * q_domain_reweight need `array_agg(x ORDER BY y)` for their
-    * order-pinned double folds, an aggregate-ORDER-BY form Spark's
-    * parser rejects). The round-9 dialect
+    * q_domain_reweight / q_bradley_terry need `array_agg(x ORDER BY
+    * y)` for their order-pinned double folds, an aggregate-ORDER-BY
+    * form Spark's parser rejects). The round-9 dialect
     * bridge (`divide()`, polymorphic `epoch_ms`, literal `strftime`,
     * `list_contains`/`list_max`) plus the round-10 rewrites (the shared
     * dot-product SQL off `list_zip`'s positional `s[1]` subscript and
@@ -66,7 +66,7 @@ class SqlParitySpec extends SparkSuite {
     "q7_bi_nation_volume", "q8_market_share", "q9_product_profit",
     "q_ab_test", "q_anomaly_zscore", "q_anti_join", "q_assoc_rules",
     "q_auc", "q_autocorr", "q_benford", "q_bfs_dist", "q_bitwise_funcs",
-    "q_bradley_terry", "q_brier_score", "q_bucketed_join", "q_calibration",
+    "q_brier_score", "q_bucketed_join", "q_calibration",
     "q_changepoint", "q_class_balance",
     "q_clustering_coeff", "q_cochran_q", "q_compaction_plan", "q_cond_funcs",
     "q_confusion_stats", "q_context_chunks", "q_cross_join", "q_cube",
