@@ -228,6 +228,11 @@ object Graft {
     def stratifiedKfold(s: SparkSession, dir: String): DataFrame = operators.PackOps.qStratifiedKfold(s, dir)
     def domainReweight(s: SparkSession, dir: String): DataFrame = operators.PackOps.qDomainReweight(s, dir)
     def quantileNormalize(s: SparkSession, dir: String): DataFrame = operators.PackOps.qQuantileNorm(s, dir)
+    // round-10 post-training / serving eval wave
+    def gaeAdvantages(s: SparkSession, dir: String): DataFrame = operators.ServingOps.qGae(s, dir)
+    def temperatureScale(s: SparkSession, dir: String): DataFrame = operators.ServingOps.qTemperatureScale(s, dir)
+    def bestOfN(s: SparkSession, dir: String): DataFrame = operators.ServingOps.qBestOf2(s, dir)
+    def topPCutoff(s: SparkSession, dir: String): DataFrame = operators.ServingOps.qTopPCutoff(s, dir)
   }
 
   /** Multimodal (binary-column) operators. */

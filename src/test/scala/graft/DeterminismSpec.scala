@@ -72,7 +72,11 @@ class DeterminismSpec extends SparkSuite {
     "q_bradley_terry", "q_pass_at_k", "q_ngram_overlap", "q_winsorize",
     "q_fleiss_kappa", "q_krippendorff", "q_chi2_independence",
     "q_domain_reweight", "q_mmr_select", "q_seq_pack", "q_pref_pairs",
-    "q_split_leakage", "q_quantile_norm")
+    "q_split_leakage", "q_quantile_norm",
+    // round-10 serving wave: fixed-tree lead sums + quantized means;
+    // quantized NLL grid argmin; DECIMAL order-statistics sums;
+    // DECIMAL cumulative-mass threshold argmin
+    "q_gae", "q_temperature_scale", "q_best_of_2", "q_top_p_cutoff")
 
   test("results are identical under different shuffle partitionings") {
     val conf = spark.conf
