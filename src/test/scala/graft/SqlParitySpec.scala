@@ -14,9 +14,10 @@ class SqlParitySpec extends SparkSuite {
   /** Every oracle whose SQL text runs UNCHANGED on spark.sql (with the
     * [[graft.functions.SqlCompat]] DuckDB-dialect alias pack
     * registered) with row-identical results — probed exhaustively by
-    * SqlParityProbe, 200 of 315 as of round 10 (the preference/eval
-    * wave landed 8 of its 13 oracles directly on the list and the
-    * batch-construction wave 5 of 8; the exclusions are the usual
+    * SqlParityProbe, 204 of 319 as of round 10 (the preference/eval
+    * wave landed 8 of its 13 oracles directly on the list, the
+    * batch-construction wave 5 of 8, and the post-training/serving
+    * wave all 4; the exclusions are the usual
     * dialect reasons: q_ab_srm, q_group_sample, q_split_leakage and
     * q_stratified_kfold cast a '0x…' hex string to BIGINT —
     * PortableHash's DuckDB rendering, a cast form SqlCompat's name
@@ -65,7 +66,8 @@ class SqlParitySpec extends SparkSuite {
     "q4_priority_exists", "q5_region_revenue", "q6_selective_agg",
     "q7_bi_nation_volume", "q8_market_share", "q9_product_profit",
     "q_ab_test", "q_anomaly_zscore", "q_anti_join", "q_assoc_rules",
-    "q_auc", "q_autocorr", "q_benford", "q_bfs_dist", "q_bitwise_funcs",
+    "q_auc", "q_autocorr", "q_benford", "q_best_of_2", "q_bfs_dist",
+    "q_bitwise_funcs",
     "q_brier_score", "q_bucketed_join", "q_calibration",
     "q_changepoint", "q_class_balance",
     "q_clustering_coeff", "q_cochran_q", "q_compaction_plan", "q_cond_funcs",
@@ -74,7 +76,7 @@ class SqlParitySpec extends SparkSuite {
     "q_delta_encoding", "q_distinct_agg", "q_domain_mix", "q_dq_checks",
     "q_empty_agg", "q_entropy", "q_equidepth_bucketize", "q_ess", "q_ewma",
     "q_feature_quantiles", "q_fleiss_kappa", "q_forecast_snaive", "q_forget_user",
-    "q_full_outer_join", "q_funnel", "q_gap_fill", "q_gd_train",
+    "q_full_outer_join", "q_funnel", "q_gae", "q_gap_fill", "q_gd_train",
     "q_geomean", "q_gini", "q_grouping_sets", "q_hard_negatives",
     "q_having", "q_hist_quantiles", "q_histogram", "q_hybrid_rrf",
     "q_in_subquery", "q_incr_agg", "q_item_cf", "q_json_funcs",
@@ -95,7 +97,8 @@ class SqlParitySpec extends SparkSuite {
     "q_seq_mining", "q_sessionize", "q_set_except", "q_set_intersect",
     "q_skew_profile", "q_skyline", "q_snapshot_diff", "q_sssp",
     "q_stats_agg", "q_string_advanced", "q_string_funcs", "q_survival",
-    "q_tail_index", "q_target_encode", "q_token_budget",
+    "q_tail_index", "q_target_encode", "q_temperature_scale",
+    "q_token_budget", "q_top_p_cutoff",
     "q_triangle_count", "q_trig_funcs", "q_tumbling_window", "q_typed_agg",
     "q_typed_cogroup", "q_ucb_bandit", "q_union_distinct", "q_unpivot",
     "q_values_lookup", "q_window_dist", "q_window_first_last",
