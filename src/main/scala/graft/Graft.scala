@@ -78,6 +78,8 @@ object Graft {
     def jointMultimodalPairs(s: SparkSession, dir: String): DataFrame = operators.DedupOps2.mmJointDedup(s, dir)
     def goldenRecords(s: SparkSession, dir: String): DataFrame = operators.DedupOps2.qSurvivorship(s, dir)
     def splitLeakage(s: SparkSession, dir: String): DataFrame = operators.DedupOps2.qSplitLeakage(s, dir)
+    def thresholdCurve(s: SparkSession, dir: String): DataFrame = operators.DedupOps.ddThresholdCurve(s, dir)
+    def vocabGrowth(s: SparkSession, dir: String): DataFrame = operators.CorpusStats.qVocabGrowth(s, dir)
   }
 
   /** Similarity search over an embeddings table. */

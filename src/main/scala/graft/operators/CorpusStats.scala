@@ -271,15 +271,133 @@ object CorpusStats {
        |    / (CAST(n_words AS DOUBLE) * sxx - sx * sx), 6) AS intercept
        |FROM q""".stripMargin
 
+  // ---------------------------------------------- q_vocab_growth
+
+  private val VgBuckets = 10
+
+  /** Vocabulary-growth (Heaps' law) profile: per source, walk the
+    * corpus in arrival order, checkpoint at each doc-count decile, and
+    * report cumulative tokens vs cumulative DISTINCT vocabulary plus
+    * the fitted Heaps exponent β (log V = log K + β·log N) — the
+    * scaling-law readout that says how much new vocabulary more data
+    * buys. The expanding distinct count is the first-touch rewrite
+    * (q_running_distinct's rule): each word contributes at its
+    * earliest doc rank only, so "vocab seen by checkpoint b" is a
+    * running INTEGER sum over the ≤ [[VgBuckets]] bucket rows — the
+    * unshardable expanding COUNT(DISTINCT) never materializes. The β
+    * fit reuses the q_zipf_fit quantized-OLS kernel (ln's rounded at
+    * 1e-6, sums exact at 2⁻²⁶) over the ≤ 10 checkpoints per source.
+    */
+  def qVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+      .select(col("source"), col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")).cast(LongType))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+    val nPer = docs.groupBy("source").agg(max("rk").as("nd"))
+    val bucketed = docs.join(broadcast(nPer), "source")
+      .withColumn("b", expr(s"(rk * $VgBuckets + nd - 1) div nd"))
+    val tokBuckets = bucketed.groupBy("source", "b")
+      .agg(sum("n_tok").as("bt"), max("rk").as("docs_seen"))
+    val newVocab = bucketed
+      .select(col("source"), col("rk"), col("nd"), explode(col("toks")).as("w"))
+      .groupBy("source", "nd", "w").agg(min("rk").as("fr"))
+      .withColumn("fb", expr(s"(fr * $VgBuckets + nd - 1) div nd"))
+      .groupBy(col("source"), col("fb").as("b")).agg(count(lit(1)).as("nv"))
+    val cum = Window.partitionBy("source").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val chk = tokBuckets.join(newVocab, Seq("source", "b"), "left")
+      .na.fill(0L, Seq("nv"))
+      .withColumn("tokens_seen", sum("bt").over(cum))
+      .withColumn("vocab_seen", sum("nv").over(cum))
+      .select(col("source"), col("b"), col("docs_seen"),
+        col("tokens_seen"), col("vocab_seen"))
+    val x = round(log(col("tokens_seen").cast(DoubleType)), 6)
+    val y = round(log(col("vocab_seen").cast(DoubleType)), 6)
+    val fit = chk.select(col("source"),
+        floor(x * Pow2_26).cast(LongType).as("xq"),
+        floor(y * Pow2_26).cast(LongType).as("yq"),
+        floor(x * y * Pow2_26).cast(LongType).as("xyq"),
+        floor(x * x * Pow2_26).cast(LongType).as("xxq"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("np"),
+        (sum("xq").cast(DoubleType) / Pow2_26).as("sx"),
+        (sum("yq").cast(DoubleType) / Pow2_26).as("sy"),
+        (sum("xyq").cast(DoubleType) / Pow2_26).as("sxy"),
+        (sum("xxq").cast(DoubleType) / Pow2_26).as("sxx"))
+      .select(col("source"),
+        round((col("np") * col("sxy") - col("sx") * col("sy")) /
+          (col("np") * col("sxx") - col("sx") * col("sx")), 6).as("heaps_beta"))
+    chk.join(broadcast(fit), "source")
+      .select(col("source"), col("b").as("decile"), col("docs_seen"),
+        col("tokens_seen"), col("vocab_seen"), col("heaps_beta"))
+      .orderBy("source", "decile")
+  }
+
+  private val qVocabGrowthSql =
+    s"""WITH d AS (
+       |  SELECT source, string_split(text, ' ') AS toks,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+       |      AS BIGINT) AS rk,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |np AS (SELECT source, MAX(rk) AS nd FROM d GROUP BY source),
+       |bk AS (
+       |  SELECT d.source, d.rk, d.n_tok, d.toks, np.nd,
+       |    divide(d.rk * $VgBuckets + np.nd - 1, np.nd) AS b
+       |  FROM d JOIN np ON np.source = d.source),
+       |tb AS (
+       |  SELECT source, b, CAST(SUM(n_tok) AS BIGINT) AS bt,
+       |    MAX(rk) AS docs_seen
+       |  FROM bk GROUP BY source, b),
+       |nv AS (
+       |  SELECT source, divide(fr * $VgBuckets + nd - 1, nd) AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS nv
+       |  FROM (
+       |    SELECT source, nd, w, MIN(rk) AS fr
+       |    FROM (SELECT source, rk, nd, unnest(toks) AS w FROM bk)
+       |    GROUP BY source, nd, w)
+       |  GROUP BY 1, 2),
+       |chk AS (
+       |  SELECT t.source, t.b, t.docs_seen,
+       |    SUM(t.bt) OVER (PARTITION BY t.source ORDER BY t.b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tokens_seen,
+       |    SUM(COALESCE(v.nv, 0)) OVER (PARTITION BY t.source ORDER BY t.b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_seen
+       |  FROM tb t LEFT JOIN nv v ON v.source = t.source AND v.b = t.b),
+       |q AS (
+       |  SELECT source, COUNT(*) AS np,
+       |    CAST(SUM(CAST(floor(round(ln(CAST(tokens_seen AS DOUBLE)), 6)
+       |      * $Pow2_26) AS BIGINT)) AS DOUBLE) / $Pow2_26 AS sx,
+       |    CAST(SUM(CAST(floor(round(ln(CAST(vocab_seen AS DOUBLE)), 6)
+       |      * $Pow2_26) AS BIGINT)) AS DOUBLE) / $Pow2_26 AS sy,
+       |    CAST(SUM(CAST(floor(round(ln(CAST(tokens_seen AS DOUBLE)), 6)
+       |      * round(ln(CAST(vocab_seen AS DOUBLE)), 6)
+       |      * $Pow2_26) AS BIGINT)) AS DOUBLE) / $Pow2_26 AS sxy,
+       |    CAST(SUM(CAST(floor(round(ln(CAST(tokens_seen AS DOUBLE)), 6)
+       |      * round(ln(CAST(tokens_seen AS DOUBLE)), 6)
+       |      * $Pow2_26) AS BIGINT)) AS DOUBLE) / $Pow2_26 AS sxx
+       |  FROM chk GROUP BY source)
+       |SELECT c.source, CAST(c.b AS BIGINT) AS decile, c.docs_seen,
+       |  CAST(c.tokens_seen AS BIGINT) AS tokens_seen,
+       |  CAST(c.vocab_seen AS BIGINT) AS vocab_seen,
+       |  round((q.np * q.sxy - q.sx * q.sy)
+       |    / (q.np * q.sxx - q.sx * q.sx), 6) AS heaps_beta
+       |FROM chk c JOIN q ON q.source = c.source
+       |ORDER BY c.source, decile""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_collocations" -> (taCollocations(_, _)),
     "ta_langid_profile" -> (taLangidProfile(_, _)),
     "q_entropy" -> (qEntropy(_, _)),
-    "q_zipf_fit" -> (qZipfFit(_, _)))
+    "q_zipf_fit" -> (qZipfFit(_, _)),
+    "q_vocab_growth" -> (qVocabGrowth(_, _)))
 
   def oracles: Map[String, String] = Map(
     "ta_collocations" -> taCollocationsSql,
     "ta_langid_profile" -> taLangidProfileSql,
     "q_entropy" -> qEntropySql,
-    "q_zipf_fit" -> qZipfFitSql)
+    "q_zipf_fit" -> qZipfFitSql,
+    "q_vocab_growth" -> qVocabGrowthSql)
 }

@@ -623,6 +623,68 @@ object DedupOps {
        |ORDER BY a, b""".stripMargin
   }
 
+  // ------------------------------------------- dd_threshold_curve
+
+  /** Dedup yield vs threshold — the knob-tuning readout run before
+    * committing to a Hamming cutoff: for every threshold t ≤
+    * [[HammingMax]], how many near-dup pairs fire and how many
+    * documents are touched (a doc counts at its MINIMUM pair
+    * distance, so the doc curve is a running sum of an integer
+    * histogram, never a per-threshold re-scan). Rides the banded
+    * [[ddSimhash]] pair relation — exact for every t the banding
+    * guarantees — and adds two dimension-sized aggregates plus a
+    * 7-row threshold spine; the cumulative counts are spine×histogram
+    * non-equi joins over ≤ 7×7 rows, so nothing corpus-sized moves.
+    */
+  def ddThresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ddSimhash(s, dir).select("a", "b", "hamming")
+    val ph = pairs.groupBy("hamming").agg(count(lit(1)).as("np"))
+    val dh = pairs.select(explode(array(col("a"), col("b"))).as("d"), col("hamming"))
+      .groupBy("d").agg(min("hamming").as("mh"))
+      .groupBy("mh").agg(count(lit(1)).as("nd"))
+    val total = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val spine = s.range(HammingMax + 1).select(col("id").as("t"))
+    val pc = spine.join(ph, col("hamming") <= col("t"), "left")
+      .groupBy("t").agg(coalesce(sum("np"), lit(0L)).as("pairs_within"))
+    val dc = spine.join(dh, col("mh") <= col("t"), "left")
+      .groupBy("t").agg(coalesce(sum("nd"), lit(0L)).as("docs_within"))
+    pc.join(dc, "t").crossJoin(broadcast(total))
+      .select(col("t"), col("pairs_within"), col("docs_within"),
+        // empty corpus ⇒ 0/0: report 0 touched, don't throw (ANSI)
+        when(col("n_docs") === 0, lit(0.0))
+          .otherwise(round(col("docs_within").cast(DoubleType) / col("n_docs"), 6))
+          .as("docs_frac"))
+      .orderBy("t")
+  }
+
+  private val ddThresholdCurveSql =
+    s"""WITH $simhashFpsSqlChain,
+       |p AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b,
+       |    bit_count(xor(x.fingerprint, y.fingerprint)) AS hamming
+       |  FROM fps x JOIN fps y ON x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.fingerprint, y.fingerprint)) <= $HammingMax),
+       |ph AS (SELECT hamming, CAST(COUNT(*) AS BIGINT) AS np
+       |       FROM p GROUP BY hamming),
+       |dh AS (
+       |  SELECT mh, CAST(COUNT(*) AS BIGINT) AS nd FROM (
+       |    SELECT d, MIN(hamming) AS mh FROM (
+       |      SELECT a AS d, hamming FROM p
+       |      UNION ALL SELECT b AS d, hamming FROM p)
+       |    GROUP BY d) GROUP BY mh),
+       |spine AS (SELECT CAST(t AS BIGINT) AS t
+       |          FROM (SELECT unnest(generate_series(0, $HammingMax)) AS t)),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+       |SELECT s.t,
+       |  CAST(COALESCE((SELECT SUM(np) FROM ph WHERE ph.hamming <= s.t), 0)
+       |    AS BIGINT) AS pairs_within,
+       |  CAST(COALESCE((SELECT SUM(nd) FROM dh WHERE dh.mh <= s.t), 0)
+       |    AS BIGINT) AS docs_within,
+       |  CASE WHEN tot.n_docs = 0 THEN CAST(0 AS DOUBLE)
+       |    ELSE round(CAST(COALESCE((SELECT SUM(nd) FROM dh WHERE dh.mh <= s.t), 0)
+       |      AS DOUBLE) / tot.n_docs, 6) END AS docs_frac
+       |FROM spine s CROSS JOIN tot ORDER BY s.t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_incremental" -> (ddIncremental(_, _)),
     "dd_containment" -> (ddContainment(_, _)),
@@ -632,6 +694,7 @@ object DedupOps {
     "dd_edit_distance" -> (ddEditDistance(_, _)),
     "dd_ngram_jaccard" -> (ddNgramJaccard(_, _)),
     "dd_simhash" -> (ddSimhash(_, _)),
+    "dd_threshold_curve" -> (ddThresholdCurve(_, _)),
     "dd_embed_cosine" -> (ddEmbedCosine(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -643,5 +706,6 @@ object DedupOps {
     "dd_edit_distance" -> ddEditDistanceSql,
     "dd_ngram_jaccard" -> ddNgramSql,
     "dd_simhash" -> ddSimhashSql,
+    "dd_threshold_curve" -> ddThresholdCurveSql,
     "dd_embed_cosine" -> ddEmbedSql)
 }

@@ -76,7 +76,10 @@ class DeterminismSpec extends SparkSuite {
     // round-10 serving wave: fixed-tree lead sums + quantized means;
     // quantized NLL grid argmin; DECIMAL order-statistics sums;
     // DECIMAL cumulative-mass threshold argmin
-    "q_gae", "q_temperature_scale", "q_best_of_2", "q_top_p_cutoff")
+    "q_gae", "q_temperature_scale", "q_best_of_2", "q_top_p_cutoff",
+    // first-touch expanding distinct + quantized Heaps OLS; min-distance
+    // histogram running sums over the banded pair relation
+    "q_vocab_growth", "dd_threshold_curve")
 
   test("results are identical under different shuffle partitionings") {
     val conf = spark.conf

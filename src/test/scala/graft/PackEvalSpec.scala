@@ -101,6 +101,46 @@ class PackEvalSpec extends SparkSuite {
     }
   }
 
+  test("q_vocab_growth: checkpoints expand monotonically, vocab never outruns tokens") {
+    val rows = run("q_vocab_growth").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val byD = rs.sortBy(_.getAs[Long]("decile"))
+      Seq("docs_seen", "tokens_seen", "vocab_seen").foreach { c =>
+        val v = byD.map(_.getAs[Long](c))
+        v.sliding(2).foreach { case Array(a, b) =>
+          assert(a <= b, s"$src: $c must be nondecreasing along the walk")
+        }
+      }
+      byD.foreach { r =>
+        assert(r.getAs[Long]("vocab_seen") <= r.getAs[Long]("tokens_seen"),
+          s"$src: distinct vocabulary cannot exceed tokens read")
+      }
+      // one fitted exponent per source; growth is sublinear (Heaps'
+      // law) and a saturated vocabulary legitimately fits beta = 0
+      assert(byD.map(_.getAs[Double]("heaps_beta")).distinct.length == 1)
+      val beta = byD.head.getAs[Double]("heaps_beta")
+      assert(beta >= 0.0 && beta <= 1.0 + 1e-6, s"$src: beta $beta not in [0, 1]")
+    }
+  }
+
+  test("dd_threshold_curve: cumulative in t, docs bounded by corpus") {
+    val rows = run("dd_threshold_curve").collect().sortBy(_.getAs[Long]("t"))
+    assert(rows.map(_.getAs[Long]("t")).toSeq == (0L to 6L))
+    Seq("pairs_within", "docs_within").foreach { c =>
+      rows.map(_.getAs[Long](c)).sliding(2).foreach { case Array(a, b) =>
+        assert(a <= b, s"$c must be cumulative in the threshold")
+      }
+    }
+    rows.foreach { r =>
+      val f = r.getAs[Double]("docs_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    // at the max threshold the pair count equals the dd_simhash relation
+    val all = run("dd_simhash").count()
+    assert(rows.last.getAs[Long]("pairs_within") == all)
+  }
+
   test("q_quantile_norm: per-type decile means are nondecreasing; reference is shared") {
     val rows = run("q_quantile_norm").collect()
     assert(rows.nonEmpty)

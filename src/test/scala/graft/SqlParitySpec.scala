@@ -14,10 +14,13 @@ class SqlParitySpec extends SparkSuite {
   /** Every oracle whose SQL text runs UNCHANGED on spark.sql (with the
     * [[graft.functions.SqlCompat]] DuckDB-dialect alias pack
     * registered) with row-identical results — probed exhaustively by
-    * SqlParityProbe, 204 of 319 as of round 10 (the preference/eval
+    * SqlParityProbe, 205 of 321 as of round 10 (the preference/eval
     * wave landed 8 of its 13 oracles directly on the list, the
     * batch-construction wave 5 of 8, and the post-training/serving
-    * wave all 4; the exclusions are the usual
+    * wave all 4, plus q_vocab_growth — the whole first-touch +
+    * quantized-Heaps pipeline parses verbatim — while
+    * dd_threshold_curve rides the simhash fingerprint chain's '0x'
+    * hex cast; the exclusions are the usual
     * dialect reasons: q_ab_srm, q_group_sample, q_split_leakage and
     * q_stratified_kfold cast a '0x…' hex string to BIGINT —
     * PortableHash's DuckDB rendering, a cast form SqlCompat's name
@@ -101,7 +104,7 @@ class SqlParitySpec extends SparkSuite {
     "q_token_budget", "q_top_p_cutoff",
     "q_triangle_count", "q_trig_funcs", "q_tumbling_window", "q_typed_agg",
     "q_typed_cogroup", "q_ucb_bandit", "q_union_distinct", "q_unpivot",
-    "q_values_lookup", "q_window_dist", "q_window_first_last",
+    "q_values_lookup", "q_vocab_growth", "q_window_dist", "q_window_first_last",
     "q_window_frame", "q_window_lag", "q_window_rank", "q_winsorize",
     "q_zipf_fit",
     "q_zone_map", "q_zorder", "ta_bm25", "ta_bpe", "ta_cluster_topics",
