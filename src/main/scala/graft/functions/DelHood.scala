@@ -23,21 +23,29 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object DelHood {
 
-  /** Hard cap on the VARIANT COUNT, not the input length: the
-    * neighborhood is 1 + n + n(n-1)/2 variants — quadratic only at
-    * k = 2 — so an unbounded k = 2 `graft_del_hood` call is a per-row
-    * allocation bomb (a 10k-char input would allocate a ~50M-element
-    * long array, and past ~65k chars the Int count overflows to a
-    * negative array size), while k ≤ 1 is linear and cheap at any
-    * realistic length. Capping the count scales the guard with k: at
-    * k = 2 it bites at n = 1024 (the documented short-key blocking
-    * regime, ~4 MB transient worst case); at k ≤ 1 inputs up to ~525k
-    * chars stay legal. Over-cap inputs fail legibly: truncate or hash
-    * the key first.
+  /** Two hard caps, scaling the guard with k rather than pinning one
+    * input length. The neighborhood is 1 + n + n(n-1)/2 variants —
+    * quadratic only at k = 2 — so an unbounded k = 2 `graft_del_hood`
+    * call is a per-row allocation bomb (a 10k-char input would allocate
+    * a ~50M-element long array, and past ~65k chars the Int count
+    * overflows to a negative array size). But the variant COUNT alone
+    * is not the cost model: each variant hash re-streams all n chars,
+    * so total per-row compute is count · n — at k ≤ 1 a count-legal
+    * ~500k-char input would still burn ~n² ≈ 2.5e11 char ops, ~500×
+    * the accepted k = 2 worst case. Hence:
+    *
+    *   - MaxVariants caps allocation (bites at n = 1024 when k = 2 —
+    *     the documented short-key blocking regime, ~4 MB transient);
+    *   - MaxWork caps total streamed chars (count · n) at the k = 2
+    *     worst case, so k ≤ 1 inputs are legal up to n ≈ 23k (k = 1)
+    *     / unbounded-in-practice (k = 0), never a compute bomb.
+    *
+    * Over-cap inputs fail legibly: truncate or hash the key first.
     */
   private[graft] val MaxLen = 1024
   private[graft] val MaxVariants: Long =
     1L + MaxLen + MaxLen.toLong * (MaxLen - 1) / 2
+  private[graft] val MaxWork: Long = MaxVariants * MaxLen
 
   private val FnvOffset = 0xcbf29ce484222325L
   private val FnvPrime = 0x100000001b3L
@@ -73,6 +81,11 @@ object DelHood {
         s"variants (cap $MaxVariants — at k=2 that is inputs over $MaxLen " +
         "chars); the neighborhood grows quadratically with length at k=2, " +
         "so truncate or hash long keys before blocking on them")
+    require(cntL * n <= MaxWork,
+      s"graft_del_hood: input of $n chars at k=$k costs $cntL variants x " +
+        s"$n streamed chars = ${cntL * n} char ops (cap $MaxWork, the k=2 " +
+        "worst case); each variant hash re-streams the whole input, so " +
+        "truncate or hash long keys before blocking on them")
     val cnt = cntL.toInt
     val hs = new Array[Long](cnt)
     var c = 0

@@ -315,7 +315,13 @@ object CorpusStats {
         col("tokens_seen"), col("vocab_seen"))
     val x = round(log(col("tokens_seen").cast(DoubleType)), 6)
     val y = round(log(col("vocab_seen").cast(DoubleType)), 6)
-    val fit = chk.select(col("source"),
+    // ln(0) guard: a degenerate prefix (all-empty docs in the first
+    // deciles) yields tokens_seen = 0, where Spark log() returns NULL
+    // (silently dropping the row from the OLS sums) while DuckDB
+    // errors/-inf — keep only log-defined checkpoints on BOTH engines
+    val fit = chk
+      .where(col("tokens_seen") >= 1 && col("vocab_seen") >= 1)
+      .select(col("source"),
         floor(x * Pow2_26).cast(LongType).as("xq"),
         floor(y * Pow2_26).cast(LongType).as("yq"),
         floor(x * y * Pow2_26).cast(LongType).as("xyq"),
@@ -378,7 +384,8 @@ object CorpusStats {
        |    CAST(SUM(CAST(floor(round(ln(CAST(tokens_seen AS DOUBLE)), 6)
        |      * round(ln(CAST(tokens_seen AS DOUBLE)), 6)
        |      * $Pow2_26) AS BIGINT)) AS DOUBLE) / $Pow2_26 AS sxx
-       |  FROM chk GROUP BY source)
+       |  FROM chk WHERE tokens_seen >= 1 AND vocab_seen >= 1
+       |  GROUP BY source)
        |SELECT c.source, CAST(c.b AS BIGINT) AS decile, c.docs_seen,
        |  CAST(c.tokens_seen AS BIGINT) AS tokens_seen,
        |  CAST(c.vocab_seen AS BIGINT) AS vocab_seen,

@@ -194,8 +194,11 @@ object ServingOps {
       .withColumn("rk", row_number().over(
         Window.partitionBy("event_type").orderBy(col("v").desc, col("event_id"))))
       .withColumn("cum", sum("v").over(w))
+    // total mass as sum(v), not max(cum): the running-max equals the
+    // true total only when every value is nonnegative — an exact
+    // DECIMAL sum costs the same and stays right under negative scores
     val tot = ranked.groupBy("event_type")
-      .agg(count(lit(1)).as("n"), max("cum").as("tot"))
+      .agg(count(lit(1)).as("n"), sum("v").as("tot"))
     ranked.join(tot, "event_type")
       .where(col("cum") * 10 >= col("tot") * TopP)
       .groupBy("event_type")
@@ -219,7 +222,7 @@ object ServingOps {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM events),
        |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-       |  MAX(cum) AS tot FROM r GROUP BY event_type),
+       |  SUM(v) AS tot FROM r GROUP BY event_type),
        |hit AS (
        |  SELECT r.event_type, t.n, t.tot, r.rk, r.cum
        |  FROM r JOIN tot t ON t.event_type = r.event_type

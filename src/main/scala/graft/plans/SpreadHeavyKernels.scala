@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
-import graft.functions.GraftExpressions.DelNeighborhoodExpr
+import graft.functions.GraftExpressions.{CdcChunks, DelNeighborhoodExpr,
+  DotProductF, L2NormSqF, ShingleHashesExpr, TrigramCountsExpr,
+  WinnowFingerprints, WordPieceTokens}
 
 /** Planning-time promotion of the NOTES #27 rule: a per-row
   * compute-heavy kernel (quadratic in the value length — the
@@ -44,11 +46,8 @@ import graft.functions.GraftExpressions.DelNeighborhoodExpr
   */
 case class SpreadHeavyKernels(session: SparkSession) extends Rule[LogicalPlan] {
 
-  private def isHeavy(e: Expression): Boolean = e.exists {
-    case _: DelNeighborhoodExpr => true
-    case _: Levenshtein => true
-    case _ => false
-  }
+  private def isHeavy(e: Expression): Boolean =
+    e.exists(SpreadHeavyKernels.isHeavyKernel)
 
   private def targetPartitions: Int =
     math.max(session.sparkContext.defaultParallelism,
@@ -95,6 +94,36 @@ case class SpreadHeavyKernels(session: SparkSession) extends Rule[LogicalPlan] {
 }
 
 object SpreadHeavyKernels {
+
+  /** THE heavy-kernel inventory — the single list shared by the rule
+    * above and `PlanAuditSpec`'s gates, so a kernel added to
+    * `GraftExpressions` shows up in both or in neither (the r10 gap:
+    * the rule knew 2 of the 8 shipped per-row compute kernels, so a
+    * winnow/wordpiece/CDC query over a byte-small scan could re-create
+    * the NOTES #27 pathology with neither the rule nor the gate
+    * firing). Two tiers, one list:
+    *
+    *  - quadratic in value length: [[DelNeighborhoodExpr]] (n²/2
+    *    variants × n-char hashes), [[Levenshtein]] (n·m DP);
+    *  - linear per char/element but with a large constant and often a
+    *    multiplying array output: [[WinnowFingerprints]] (k-gram hash +
+    *    window minima), [[ShingleHashesExpr]], [[TrigramCountsExpr]],
+    *    [[WordPieceTokens]] (longest-match inner loop),
+    *    [[CdcChunks]] (rolling hash), [[DotProductF]]/[[L2NormSqF]]
+    *    (d multiply-adds per row — d is 64-1536 in practice).
+    *
+    * Both tiers deserve the spread: the rule only ever fires when the
+    * scan below is estimated too narrow to feed every core, and in that
+    * regime per-row kernel cost dominates the one extra exchange of a
+    * byte-small input regardless of tier.
+    */
+  private[graft] val isHeavyKernel: Expression => Boolean = {
+    case _: DelNeighborhoodExpr | _: Levenshtein | _: WinnowFingerprints |
+         _: ShingleHashesExpr | _: TrigramCountsExpr | _: WordPieceTokens |
+         _: CdcChunks | _: DotProductF | _: L2NormSqF => true
+    case _ => false
+  }
+
   /** Idempotent runtime registration (mirrors the planner strategies'
     * `register` pattern — the driver builds a plain session, so the
     * extensions path isn't available there).

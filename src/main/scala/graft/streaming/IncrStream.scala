@@ -69,8 +69,12 @@ object IncrStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
+            // rev + 1: the final row must outrank the last correction
+            // so a max-revision upsert is unambiguous (same totals,
+            // but is_final flips — ties would leave the sink's pick
+            // undefined)
             Iterator.single(Correction(new Timestamp(key._1), key._2,
-              s.rev, s.n, s.sumCents, is_final = true))
+              s.rev + 1, s.n, s.sumCents, is_final = true))
           } else {
             var n = 0L
             var cents = 0L

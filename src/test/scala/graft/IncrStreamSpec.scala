@@ -92,9 +92,12 @@ class IncrStreamSpec extends SparkSuite {
         .collect()
         .map(r => (r.getTimestamp(0).toString, r.getInt(1), r.getLong(2),
           r.getLong(3), r.getBoolean(4)))
+      // the final row takes rev 3 (last correction + 1) so a
+      // max-revision upsert is never ambiguous between the final and
+      // its same-totals correction
       val h10 = rows.filter(_._1.startsWith("2024-01-01 10:00"))
       assert(h10.map(x => (x._2, x._3, x._5)).toSeq ==
-        Seq((1, 2L, false), (2, 3L, false), (2, 3L, true)),
+        Seq((1, 2L, false), (2, 3L, false), (3, 3L, true)),
         s"hour-10 correction sequence wrong: ${h10.mkString(", ")}")
       // cents fold: 3 rows × 1.5 = 450 cents on the corrected revision
       assert(h10.last._4 == 450L, s"cents total: ${h10.mkString(", ")}")

@@ -170,20 +170,17 @@ class PlanAuditSpec extends SparkSuite {
     // or checkpoint scan — anything that resets partitioning to
     // shuffle.partitions) somewhere on the STREAMED path of that join.
     // Shuffle-based joins (SMJ/SHJ) redistribute by construction and
-    // need no check. Linear per-token kernels over corpus scans
-    // (shingles, wordpiece, …) are excluded on purpose: scan
-    // parallelism is the right parallelism for unjoined corpus work.
-    import org.apache.spark.sql.catalyst.expressions.{Expression, Levenshtein}
+    // need no check. The kernel list is SpreadHeavyKernels' own — one
+    // shared inventory (r11), so a kernel added to GraftExpressions is
+    // covered by the rule and this gate together or flagged by neither.
+    import org.apache.spark.sql.catalyst.expressions.Expression
     import org.apache.spark.sql.catalyst.optimizer.BuildLeft
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
-    import graft.functions.GraftExpressions.DelNeighborhoodExpr
+    import graft.plans.SpreadHeavyKernels
 
-    def heavyExpr(e: Expression): Boolean = e.exists {
-      case _: Levenshtein => true
-      case _: DelNeighborhoodExpr => true
-      case _ => false
-    }
+    def heavyExpr(e: Expression): Boolean =
+      e.exists(SpreadHeavyKernels.isHeavyKernel)
     def hasHeavy(n: SparkPlan): Boolean = n.expressions.exists(heavyExpr)
     val redistributes: SparkPlan => Boolean = PlanAuditSpec.redistributes
     def streamedSides(n: SparkPlan): Seq[SparkPlan] = n.collect {

@@ -59,6 +59,39 @@ class SpreadRuleSpec extends SparkSuite {
     } finally sc.conf.set(key, old)
   }
 
+  test("fires for every kernel in the shared heavy inventory (not just del-hood)") {
+    // the r10 gap: the rule knew DelNeighborhoodExpr + Levenshtein while
+    // GraftExpressions shipped six more per-row compute kernels — a
+    // winnow/wordpiece/CDC query over a byte-small scan would re-create
+    // the NOTES #27 pathology unguarded. One fire-case per kernel, all
+    // driven through the SAME narrow-scan shape as the del-hood case.
+    SpreadHeavyKernels.register(sc)
+    val docs = () => Tables(sc, sfDir, "documents")
+    val embs = () => Tables(sc, sfDir, "embeddings")
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "levenshtein" -> Tables(sc, sfDir, "customer")
+        .select(levenshtein(col("c_name"), lit("Customer#000000001")).as("d")),
+      "graft_winnow" -> docs().select(
+        call_function("graft_winnow", col("text"), lit(5), lit(4)).as("fp")),
+      "graft_shingle_hashes" -> docs().select(
+        call_function("graft_shingle_hashes", col("text")).as("sh")),
+      "graft_trigram_counts" -> docs().select(
+        call_function("graft_trigram_counts", col("text")).as("tc")),
+      "graft_wordpiece" -> docs().select(
+        call_function("graft_wordpiece", col("text")).as("wp")),
+      "graft_cdc" -> docs().select(
+        call_function("graft_cdc", col("text"), lit(16), lit(64L)).as("ch")),
+      "graft_dot_f" -> embs().select(
+        call_function("graft_dot_f", col("embedding"), col("embedding")).as("dp")),
+      "graft_norm_sq_f" -> embs().select(
+        call_function("graft_norm_sq_f", col("embedding")).as("nsq")))
+    val missing = cases.collect {
+      case (name, df) if spreads(df).isEmpty => name
+    }
+    assert(missing.isEmpty,
+      s"kernels whose narrow-scan evaluation got no spread: $missing")
+  }
+
   test("q_entity_resolve: both deletion-neighborhood sites run above rule-inserted spreads") {
     val plan = SparkEntry.queries("q_entity_resolve")(sc, sfDir)
       .queryExecution.optimizedPlan
