@@ -1,76 +1,17 @@
 package graft
-
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
-
-/** Regenerates PLANS.md (physical-plan evidence for headline queries).
-  * `sbt "runMain graft.PlanDump"` after plan-affecting changes.
-  */
 object PlanDump {
-  val headline: Seq[String] = Seq(
-    "hfp_pipeline", "q1_pricing_summary", "q2_topk_orders",
-    "q3_shipping_priority", "q_grouped_topk", "dd_minhash_lsh", "ann_brute",
-    "q6_selective_agg", "q18_large_orders", "q21_late_suppliers",
-    "kmeans_train", "dd_cosine_lsh", "q_doc_packing", "ta_heavy_hitters",
-    "dd_components", "ann_sq8", "ann_pq", "ann_ivf_pq", "ta_tfidf",
-    "q_gap_fill", "dd_substring", "ta_contamination", "q_merge_upsert",
-    "q_token_budget", "q_outlier_trim", "ann_maxsim", "ta_bpe_train",
-    "q_ohlc", "q_domain_mix",
-    "dd_winnowing", "q_cdc_chunks", "q_assoc_rules", "q_knn_classify",
-    "q_skyline", "q_salted_join", "ta_langid_profile", "q_hll_distinct",
-    "q_spatial_join", "q_nearest_stop", "q_geo_trajectory", "q_geomean",
-    "dd_incremental",
-    // round 3: the de-cartesianed dedups, the bucketed join, DSIR
-    "dd_simhash", "dd_embed_cosine", "q_bucketed_join", "dd_url_dedup",
-    "ta_dsir", "ta_ngram_lm", "ta_bm25",
-    "ta_textrank", "q_label_prop", "q_zipf_fit", "ta_novelty",
-    "q_equidepth_bucketize", "mm_resize",
-    // round 11: in-engine ML primitives
-    "q_ols", "q_cms_heavy", "q_item_cf", "ta_stem", "q_gd_train",
-    "q_dbscan_grid", "q_ucb_bandit", "q_als_step", "q_seasonal_profile",
-    "mm_mfcc",
-    // round 6 additions: spectral + curation
-    "q_pca_power", "q_pca_project", "q_pca_deflate", "dd_supershingle",
-    "ta_perplexity_bucket", "ta_tfidf_cosine", "q_feature_quantiles",
-    "q_bootstrap_ci", "q_mutual_information", "ta_ks_test",
-    // round 7: histogram AUC, two-phase ntile ranks, heap promotions,
-    // release/readout ops
-    "q_auc", "q_calibration", "q_rfm", "q_changepoint", "ta_pipeline",
-    "q_reservoir_sample", "q_hybrid_rrf", "q_k_anonymity", "q_gini",
-    "ta_oov_rate", "ta_wasserstein", "q_mrr", "q_skew_profile",
-    // round-7 second wave: layout planning, linkage, sketch planning,
-    // incremental maintenance, robust stats, graph density
-    "q_curation_funnel", "q_entity_resolve", "q_shard_plan", "q_zone_map",
-    "q_bloom_skip", "q_delta_encoding", "q_join_size_est", "q_domain_cap",
-    "q_incr_join", "q_mad_outlier", "q_theil_sen", "q_l_diversity",
-    "q_clustering_coeff",
-    // round 10: the native range join, the rule-spread linkage shape,
-    // hub-capped link prediction, and the new eval/serving headliners
-    "q_range_native", "q_link_predict", "dd_canonical", "q_bradley_terry",
-    "q_mmr_select", "q_seq_pack", "q_split_leakage", "q_top_p_cutoff")
-
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      // match the shipped sessions (see GraftSession)
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val sb = new StringBuilder
-    sb.append("# PLANS — physical-plan evidence for headline queries\n\n")
-    sb.append("Generated by `graft.PlanDump` from `queryExecution.executedPlan`\n")
-    sb.append(s"at $dir. PlanSpec asserts the load-bearing properties, so\n")
-    sb.append("regressions fail tests, not just docs.\n")
-    headline.foreach { n =>
-      sb.append(s"\n## $n\n\n```\n")
-      sb.append(SparkEntry.queries(n)(spark, dir)
-        .queryExecution.executedPlan.toString.linesIterator.take(40).mkString("\n"))
-      sb.append("\n```\n")
-    }
-    Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"written PLANS.md (${headline.size} queries)")
+    val df = SparkEntry.queries(args(0))(spark, args(1))
+    println("=== OPTIMIZED ===")
+    println(df.queryExecution.optimizedPlan.treeString)
+    println("=== PHYSICAL ===")
+    println(df.queryExecution.sparkPlan.treeString)
     spark.stop()
   }
 }

@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 import graft.functions.GraftExpressions.{CdcChunks, DelNeighborhoodExpr,
-  DotProductF, L2NormSqF, ShingleHashesExpr, TrigramCountsExpr,
-  WinnowFingerprints, WordPieceTokens}
+  DistSq, DotProduct, DotProductF, L2NormSq, L2NormSqF, ShingleHashesExpr,
+  TrigramCountsExpr, WinnowFingerprints, WordPieceTokens}
 
 /** Planning-time promotion of the NOTES #27 rule: a per-row
   * compute-heavy kernel (quadratic in the value length — the
@@ -81,14 +81,55 @@ case class SpreadHeavyKernels(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => false // joins, aggregates, exchanges, unions: out of scope
   }
 
+  /** Which side of a join will (probably) be broadcast: an explicit
+    * hint decides outright; otherwise the smaller side under the
+    * session's auto-broadcast threshold. `None` = neither (a shuffle
+    * join, which redistributes by construction).
+    */
+  private def probableBuildLeft(j: Join): Option[Boolean] = {
+    def hinted(h: Option[HintInfo]) = h.exists(_.strategy.contains(BROADCAST))
+    if (hinted(j.hint.leftHint)) Some(true)
+    else if (hinted(j.hint.rightHint)) Some(false)
+    else {
+      val thr = session.sessionState.conf.autoBroadcastJoinThreshold
+      val (l, r) = (j.left.stats.sizeInBytes, j.right.stats.sizeInBytes)
+      if (thr < 0) None
+      else if (l <= thr && l <= r) Some(true)
+      else if (r <= thr) Some(false)
+      else None
+    }
+  }
+
+  /** Insert the spread at the right depth below a heavy-kernel node:
+    * directly, when the whole subtree is narrow over a small scan; or
+    * on the STREAMED side of a probable broadcast join (descending
+    * through narrow ops), since a broadcast join preserves its streamed
+    * input's partitioning — the r10 rule stopped at the first join and
+    * left kernel-over-broadcast-join compositions (the ann_pq /
+    * dd_embed_cosine shape) at raw scan parallelism. Build sides are
+    * never touched (a spread below a BroadcastExchange is pure waste),
+    * and aggregates/exchanges terminate the descent because they
+    * already redistribute.
+    */
+  private def spread(p: LogicalPlan): LogicalPlan = p match {
+    case _ if narrowToSmallScan(p) =>
+      Repartition(targetPartitions, shuffle = true, p)
+    case j: Join =>
+      probableBuildLeft(j) match {
+        case Some(true) => j.copy(right = spread(j.right))
+        case Some(false) => j.copy(left = spread(j.left))
+        case None => j
+      }
+    case _: Project | _: Filter | _: Generate | _: SubqueryAlias =>
+      p.withNewChildren(p.children.map(spread))
+    case _ => p
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (plan.isStreaming) return plan // stateful queries own their distribution
     plan.transformUp {
       case n if n.children.nonEmpty && n.expressions.exists(isHeavy) =>
-        n.withNewChildren(n.children.map { c =>
-          if (narrowToSmallScan(c)) Repartition(targetPartitions, shuffle = true, c)
-          else c
-        })
+        n.withNewChildren(n.children.map(spread))
     }
   }
 }
@@ -109,8 +150,10 @@ object SpreadHeavyKernels {
     *    multiplying array output: [[WinnowFingerprints]] (k-gram hash +
     *    window minima), [[ShingleHashesExpr]], [[TrigramCountsExpr]],
     *    [[WordPieceTokens]] (longest-match inner loop),
-    *    [[CdcChunks]] (rolling hash), [[DotProductF]]/[[L2NormSqF]]
-    *    (d multiply-adds per row — d is 64-1536 in practice).
+    *    [[CdcChunks]] (rolling hash), and the vector kernels
+    *    [[DotProductF]]/[[L2NormSqF]] plus their generic float/double
+    *    twins [[DotProduct]]/[[L2NormSq]]/[[DistSq]] (d multiply-adds
+    *    per row — d is 64-1536 in practice).
     *
     * Both tiers deserve the spread: the rule only ever fires when the
     * scan below is estimated too narrow to feed every core, and in that
@@ -120,7 +163,8 @@ object SpreadHeavyKernels {
   private[graft] val isHeavyKernel: Expression => Boolean = {
     case _: DelNeighborhoodExpr | _: Levenshtein | _: WinnowFingerprints |
          _: ShingleHashesExpr | _: TrigramCountsExpr | _: WordPieceTokens |
-         _: CdcChunks | _: DotProductF | _: L2NormSqF => true
+         _: CdcChunks | _: DotProductF | _: L2NormSqF |
+         _: DotProduct | _: L2NormSq | _: DistSq => true
     case _ => false
   }
 

@@ -182,25 +182,50 @@ class PlanAuditSpec extends SparkSuite {
     def heavyExpr(e: Expression): Boolean =
       e.exists(SpreadHeavyKernels.isHeavyKernel)
     def hasHeavy(n: SparkPlan): Boolean = n.expressions.exists(heavyExpr)
-    val redistributes: SparkPlan => Boolean = PlanAuditSpec.redistributes
-    def streamedSides(n: SparkPlan): Seq[SparkPlan] = n.collect {
+
+    // The kernel's parallelism is its input's OUTPUT PARTITIONING, so
+    // walk only the partitioning-determining path: stop at anything
+    // that redistributes (exchange, aggregate, shuffled leaf — the
+    // kernel already runs wide), follow a broadcast join through its
+    // STREAMED side only (the build side's partitioning never
+    // propagates upward; heavy work inside a build side is audited by
+    // its own node visit), and flag a raw leaf only when a broadcast
+    // join was actually crossed — a bare kernel-over-scan keeps scan
+    // parallelism on purpose (right for corpus work at warehouse
+    // scale; the SpreadHeavyKernels rule widens it when the scan is
+    // estimated narrow).
+    import org.apache.spark.sql.catalyst.plans.physical.{
+      HashPartitioning, RangePartitioning, RoundRobinPartitioning}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def narrowThroughBroadcast(p: SparkPlan, sawBJ: Boolean): Boolean = p match {
+      case _: ShuffleExchangeLike | _: BaseAggregateExec => false
+      case imts: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        narrowThroughBroadcast(imts.relation.cachedPlan, sawBJ)
+      case aqe: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        narrowThroughBroadcast(aqe.executedPlan, sawBJ)
       case j: BroadcastHashJoinExec =>
-        if (j.buildSide == BuildLeft) j.right else j.left
+        narrowThroughBroadcast(if (j.buildSide == BuildLeft) j.right else j.left, sawBJ = true)
       case j: BroadcastNestedLoopJoinExec =>
-        if (j.buildSide == BuildLeft) j.right else j.left
+        narrowThroughBroadcast(if (j.buildSide == BuildLeft) j.right else j.left, sawBJ = true)
+      case leaf if leaf.children.isEmpty =>
+        sawBJ && (leaf.outputPartitioning match {
+          case _: HashPartitioning | _: RangePartitioning |
+               _: RoundRobinPartitioning => false
+          case _ => true
+        })
+      case other => other.children.exists(narrowThroughBroadcast(_, sawBJ))
     }
     val failedToPlan = scala.collection.mutable.ListBuffer[String]()
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val plan = fn(sc, sfDir).queryExecution.sparkPlan
         plan.collect {
-          case n if hasHeavy(n) =>
-            streamedSides(n).collect {
-              case side if !redistributes(side) =>
-                s"$name: heavy kernel above a broadcast join whose streamed " +
-                  s"side keeps raw scan parallelism (${side.nodeName})"
-            }
-        }.flatten
+          case n if hasHeavy(n) &&
+              n.children.exists(narrowThroughBroadcast(_, sawBJ = false)) =>
+            s"$name: heavy kernel runs at the raw scan parallelism of a " +
+              s"broadcast join's streamed side (${n.nodeName})"
+        }
       } catch { case e: Throwable =>
         failedToPlan += s"$name: ${e.getClass.getSimpleName}"; Nil
       }

@@ -92,6 +92,34 @@ class SpreadRuleSpec extends SparkSuite {
       s"kernels whose narrow-scan evaluation got no spread: $missing")
   }
 
+  test("spreads the streamed side of a broadcast join below a heavy kernel") {
+    // the ann_pq / dd_embed_cosine composition: per-row vector kernels
+    // evaluated over a narrow corpus scan that was first broadcast-
+    // joined with a small codebook — the join preserves the streamed
+    // side's raw scan parallelism, so the spread must land BELOW the
+    // join on that side (never on the build side, where it would just
+    // shuffle the broadcast input for nothing)
+    SpreadHeavyKernels.register(sc)
+    val dims = Tables(sc, sfDir, "embeddings")
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    val df = Tables(sc, sfDir, "embeddings")
+      .join(broadcast(dims), "label")
+      .select(call_function("graft_norm_sq_f", col("embedding")).as("nsq"), col("n"))
+    val plan = df.queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty, plan.toString)
+    val streamedSpreads = joins.head.left.collect { case r: Repartition => r } ++
+      joins.head.right.collect { case r: Repartition => r }
+    assert(streamedSpreads.nonEmpty, plan.toString)
+    // the spread sits on the scan side, not under the aggregated build side
+    val buildSide = joins.head.children.find(c =>
+      c.collectLeaves().nonEmpty && c.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]))
+    assert(buildSide.forall(_.collect { case r: Repartition => r }.isEmpty),
+      plan.toString)
+  }
+
   test("q_entity_resolve: both deletion-neighborhood sites run above rule-inserted spreads") {
     val plan = SparkEntry.queries("q_entity_resolve")(sc, sfDir)
       .queryExecution.optimizedPlan
