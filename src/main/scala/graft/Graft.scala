@@ -247,5 +247,8 @@ object Graft {
     def phashBuckets(s: SparkSession, dir: String): DataFrame = operators.Multimodal.mmPhashBuckets(s, dir)
     def mfcc(s: SparkSession, dir: String): DataFrame = operators.Multimodal.mmMfcc(s, dir)
     def clipFilter(s: SparkSession, dir: String): DataFrame = operators.Multimodal.mmClipFilter(s, dir)
+    def keyframes(s: SparkSession, dir: String): DataFrame = operators.Multimodal.mmKeyframes(s, dir)
+    def exifQuarantine(s: SparkSession, dir: String): DataFrame = operators.Multimodal.mmExifQuarantine(s, dir)
+    def crossModalContamination(s: SparkSession, dir: String): DataFrame = operators.DedupOps2.mmCrossContam(s, dir)
   }
 }

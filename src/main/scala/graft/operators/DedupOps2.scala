@@ -122,6 +122,66 @@ object DedupOps2 {
       // rule); no RECURSIVE CTE here, so the blanket rewrite is safe
       .replace("AS (", "AS MATERIALIZED (")
 
+  // ------------------------------------------------- mm_cross_contam
+
+  /** Cross-modal train/eval contamination audit — the q_split_leakage
+    * question asked across modalities: an EVAL asset (doc_id % 10 = 0,
+    * the deterministic split convention the training family uses) is
+    * contaminated when some TRAIN asset shares its image-modality
+    * perceptual hash exactly AND sits inside its text fingerprint's
+    * hamming-≤[[JointHammingMax]] neighborhood — an eval image that is
+    * pixel-near-identical to a training image AND caption-near-identical
+    * leaks the answer, even though neither split ever compared raw
+    * bytes. Same scale shape as [[mmJointDedup]]: blocking is an
+    * equi-join on the 16-bit phash (bucket-occupancy-bounded, the
+    * [[PhBucketCap]] guard drops degenerate constant-hash buckets
+    * whole), the verify is codegen'd bit ops over two cached doc-sized
+    * fingerprint relations, and the report aggregates per eval asset —
+    * never a cross-split cartesian.
+    */
+  def mmCrossContam(s: SparkSession, dir: String): DataFrame = {
+    val j = Multimodal.phashFingerprints(s, dir)
+      .join(DedupOps.simhashFps(s, dir), "doc_id")
+    val small = j.groupBy("phash").agg(count(lit(1)).as("n"))
+      .where(col("n") <= PhBucketCap).select("phash")
+    val jj = j.join(small, Seq("phash"), "left_semi")
+    val eval = jj.where(col("doc_id") % 10 === 0)
+      .select(col("phash"), col("doc_id").as("eval_doc"),
+        col("fingerprint").as("fe"))
+    val train = jj.where(col("doc_id") % 10 =!= 0)
+      .select(col("phash").as("pt"), col("doc_id").as("train_doc"),
+        col("fingerprint").as("ft"))
+    eval.join(train, col("phash") === col("pt"))
+      .withColumn("text_hamming",
+        bit_count(col("fe").bitwiseXOR(col("ft"))).cast(LongType))
+      .where(col("text_hamming") <= JointHammingMax)
+      .groupBy("eval_doc")
+      .agg(count(lit(1)).as("n_contaminating"),
+        min("text_hamming").as("min_hamming"),
+        min("train_doc").as("first_train_doc"))
+      .orderBy("eval_doc")
+  }
+
+  private val mmCrossContamSql =
+    s"""WITH ${Multimodal.phashFpSqlChain},
+       |${DedupOps.simhashFpsSqlChain},
+       |j AS (
+       |  SELECT f.doc_id, f.phash, s.fingerprint
+       |  FROM fp f JOIN fps s ON s.doc_id = f.doc_id),
+       |small AS (
+       |  SELECT phash FROM j GROUP BY phash HAVING COUNT(*) <= $PhBucketCap)
+       |SELECT e.doc_id AS eval_doc, COUNT(*) AS n_contaminating,
+       |  min(CAST(bit_count(xor(e.fingerprint, t.fingerprint)) AS BIGINT)) AS min_hamming,
+       |  min(t.doc_id) AS first_train_doc
+       |FROM j e JOIN j t ON e.phash = t.phash
+       |JOIN small k ON k.phash = e.phash
+       |WHERE e.doc_id % 10 = 0 AND t.doc_id % 10 <> 0
+       |  AND bit_count(xor(e.fingerprint, t.fingerprint)) <= $JointHammingMax
+       |GROUP BY e.doc_id ORDER BY eval_doc""".stripMargin
+      // same materialization note as mmJointDedupSql: j is referenced
+      // three times over the per-char phash chain
+      .replace("AS (", "AS MATERIALIZED (")
+
   // --------------------------------------------------- q_survivorship
 
   /** Golden-record election over the near-dup components — the field-
@@ -221,12 +281,14 @@ object DedupOps2 {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_canonical" -> (ddCanonical(_, _)),
     "mm_joint_dedup" -> (mmJointDedup(_, _)),
+    "mm_cross_contam" -> (mmCrossContam(_, _)),
     "q_survivorship" -> (qSurvivorship(_, _)),
     "q_split_leakage" -> (qSplitLeakage(_, _)))
 
   def oracles: Map[String, String] = Map(
     "dd_canonical" -> ddCanonicalSql,
     "mm_joint_dedup" -> mmJointDedupSql,
+    "mm_cross_contam" -> mmCrossContamSql,
     "q_survivorship" -> qSurvivorshipSql,
     "q_split_leakage" -> qSplitLeakageSql)
 }

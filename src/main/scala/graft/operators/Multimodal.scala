@@ -352,6 +352,30 @@ object Multimodal {
   private val SceneMaxFrames = 240L
   private val SceneCutDelta = 12L // |Δ feature| > this ⇒ new scene
 
+  /** Shared frame → scene-id chain of [[mmSceneSplit]] and
+    * [[mmKeyframes]]: per-frame features are the frame-sample synthesis
+    * at stride 1, a cut falls wherever the feature jumps by more than
+    * [[SceneCutDelta]], and the running cut count is the scene id.
+    * Columns: (doc_id, frame_idx, f, scene); the window is per-doc —
+    * videos parallelize across assets, never across one asset's frames.
+    */
+  private def sceneFrames(s: SparkSession, dir: String): DataFrame = {
+    val byIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), least(col("n_chars"), lit(SceneMaxFrames)) - 1)).as("frame_idx"),
+        col("text"))
+      .select(col("doc_id"), col("frame_idx"),
+        ascii(col("text").substr(col("frame_idx").cast(IntegerType) + 1, lit(1)))
+          .cast(LongType).as("f"))
+      .withColumn("prev", lag("f", 1).over(byIdx))
+      .withColumn("cut",
+        when(col("prev").isNotNull && abs(col("f") - col("prev")) > SceneCutDelta, 1L)
+          .otherwise(0L))
+      .withColumn("scene", sum("cut").over(byIdx))
+  }
+
   /** Shot/scene segmentation over the video stand-in: per-frame
     * features are the mm_frame_sample synthesis at stride 1, a scene
     * cut falls wherever the feature jumps by more than
@@ -363,21 +387,7 @@ object Multimodal {
     * pick one keyframe per scene instead of a blind stride.
     */
   def mmSceneSplit(s: SparkSession, dir: String): DataFrame = {
-    val byIdx = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("frame_idx")
-    val frames = Tables(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(sequence(lit(0L), least(col("n_chars"), lit(SceneMaxFrames)) - 1)).as("frame_idx"),
-        col("text"))
-      .select(col("doc_id"), col("frame_idx"),
-        ascii(col("text").substr(col("frame_idx").cast(IntegerType) + 1, lit(1)))
-          .cast(LongType).as("f"))
-    val cuts = frames
-      .withColumn("prev", lag("f", 1).over(byIdx))
-      .withColumn("cut",
-        when(col("prev").isNotNull && abs(col("f") - col("prev")) > SceneCutDelta, 1L)
-          .otherwise(0L))
-      .withColumn("scene", sum("cut").over(byIdx))
+    val cuts = sceneFrames(s, dir)
     val scenes = cuts.groupBy("doc_id", "scene")
       .agg(count(lit(1)).as("scene_len"), min("frame_idx").as("scene_start"))
     scenes.groupBy("doc_id")
@@ -413,6 +423,125 @@ object Multimodal {
        |  COUNT(*) AS n_scenes, max(scene_len) AS longest_scene,
        |  coalesce(min(CASE WHEN scene_start > 0 THEN scene_start END), -1) AS first_cut
        |FROM scenes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Keyframe selection over the scene segmentation: per scene, the
+    * frame MOST REPRESENTATIVE of the scene is the one maximizing the
+    * feature's distance from the scene mean — the "pick one frame per
+    * shot" stage a video-training pipeline runs after [[mmSceneSplit]]
+    * (a blind stride oversamples static scenes and misses short ones).
+    * Distance uses the integer cross-multiplication trick
+    * (|f·n − Σf| ∝ |f − mean|, no float division), ties break to the
+    * earliest frame via an explicit two-key `row_number` — exact and
+    * partitioning-invariant on any engine. Same per-asset windows as
+    * the scene chain: wide across videos, never across one video's
+    * frames; the per-scene aggregate and the rank share one shuffle key
+    * family (doc_id), so the whole selection is two window passes and
+    * one keyed aggregate over frame METADATA (pixels stay at the
+    * decode seam).
+    */
+  def mmKeyframes(s: SparkSession, dir: String): DataFrame = {
+    val sc = sceneFrames(s, dir)
+    val stats = sc.groupBy("doc_id", "scene")
+      .agg(count(lit(1)).as("scene_len"), sum("f").as("fsum"))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "scene")
+      .orderBy(abs(col("f") * col("scene_len") - col("fsum")).desc,
+        col("frame_idx").asc)
+    sc.join(stats, Seq("doc_id", "scene"))
+      .withColumn("rk", row_number().over(byScore))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("scene"), col("scene_len"),
+        col("frame_idx").as("keyframe_idx"), col("f").as("kf_feature"))
+      .orderBy("doc_id", "scene")
+  }
+
+  private val mmKeyframesSql =
+    s"""WITH fr AS (
+       |  SELECT doc_id, frame_idx,
+       |    CAST(ord(substr(text, CAST(frame_idx AS INT) + 1, 1)) AS BIGINT) AS f
+       |  FROM documents CROSS JOIN range(0, $SceneMaxFrames) r(frame_idx)
+       |  WHERE frame_idx < least(n_chars, $SceneMaxFrames)),
+       |cuts AS (
+       |  SELECT doc_id, frame_idx, f,
+       |    CASE WHEN lag(f) OVER w IS NOT NULL
+       |              AND abs(f - lag(f) OVER w) > $SceneCutDelta
+       |         THEN 1 ELSE 0 END AS cut
+       |  FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+       |sc AS (
+       |  SELECT doc_id, frame_idx, f,
+       |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS scene
+       |  FROM cuts),
+       |stats AS (
+       |  SELECT doc_id, scene, COUNT(*) AS scene_len,
+       |    CAST(SUM(f) AS BIGINT) AS fsum
+       |  FROM sc GROUP BY doc_id, scene),
+       |scored AS (
+       |  SELECT s.doc_id, s.scene, t.scene_len, s.frame_idx, s.f,
+       |    row_number() OVER (PARTITION BY s.doc_id, s.scene
+       |      ORDER BY abs(s.f * t.scene_len - t.fsum) DESC, s.frame_idx ASC) AS rk
+       |  FROM sc s JOIN stats t ON t.doc_id = s.doc_id AND t.scene = s.scene)
+       |SELECT doc_id, CAST(scene AS BIGINT) AS scene, scene_len,
+       |  frame_idx AS keyframe_idx, f AS kf_feature
+       |FROM scored WHERE rk = 1 ORDER BY doc_id, scene""".stripMargin
+
+  // EXIF-style sanity bounds for the quarantine router
+  private val ExifMinSide = 8      // below ⇒ too_small
+  private val ExifMaxAspect = 4L   // w > 4h or h > 4w ⇒ bad_aspect
+  private val ExifMaxOrientation = 8 // EXIF orientation is 1..8
+
+  /** EXIF/dimension sanity filtering with quarantine routing — the C5
+    * journey-type routing pattern applied to multimodal METADATA: every
+    * asset is assigned exactly one route by a priority CASE (first
+    * failing rule wins), bad assets land in named quarantine buckets a
+    * downstream writer turns into per-route prefixes, and good assets
+    * flow on. The synthetic EXIF block derives deterministically from
+    * the payload checksum (the [[fakeDecode]] seam's relational twin):
+    * wide-range dims so every rule observably fires, an orientation
+    * field whose synthesis range (1..10) exceeds the EXIF-legal 1..8
+    * exactly like real corrupt writers do. Pure integer column
+    * arithmetic — whole-stage codegen, one scan, map-combining
+    * aggregate for the checksum; no float anywhere.
+    */
+  def mmExifQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val cs = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_remove(split(col("text"), ""), "")).as("ch"))
+      .select(col("doc_id"), ascii(col("ch")).cast(LongType).as("code"))
+      .groupBy("doc_id").agg(sum("code").as("checksum"))
+    val meta = cs.select(col("doc_id"),
+      (col("checksum") % 4096).as("width"),
+      (expr("checksum div 64") % 4096).as("height"),
+      (col("checksum") % 10 + 1).cast(IntegerType).as("orientation"))
+    meta
+      .withColumn("route",
+        when(col("width") < ExifMinSide || col("height") < ExifMinSide, "q_too_small")
+          .when(col("width") > col("height") * ExifMaxAspect ||
+            col("height") > col("width") * ExifMaxAspect, "q_bad_aspect")
+          .when(col("orientation") > ExifMaxOrientation, "q_bad_orientation")
+          .otherwise("ok"))
+      .withColumn("quarantined", col("route") =!= "ok")
+      .orderBy("doc_id")
+  }
+
+  private val mmExifQuarantineSql =
+    s"""WITH cs AS (SELECT doc_id,
+       |    CAST(list_aggregate(list_transform(regexp_split_to_array(text, ''), c -> ord(c)), 'sum') AS BIGINT) AS checksum
+       |  FROM documents),
+       |meta AS (SELECT doc_id,
+       |    checksum % 4096 AS width,
+       |    divide(checksum, 64) % 4096 AS height,
+       |    CAST(checksum % 10 + 1 AS INT) AS orientation
+       |  FROM cs),
+       |routed AS (SELECT doc_id, width, height, orientation,
+       |    CASE WHEN width < $ExifMinSide OR height < $ExifMinSide THEN 'q_too_small'
+       |         WHEN width > height * $ExifMaxAspect
+       |              OR height > width * $ExifMaxAspect THEN 'q_bad_aspect'
+       |         WHEN orientation > $ExifMaxOrientation THEN 'q_bad_orientation'
+       |         ELSE 'ok' END AS route
+       |  FROM meta)
+       |SELECT doc_id, width, height, orientation, route,
+       |  route <> 'ok' AS quarantined
+       |FROM routed ORDER BY doc_id""".stripMargin
 
   private val JitterEpochs = 3
   private val CropSize = 12 // stub dims are 16..31 — a 12² crop always fits
@@ -655,6 +784,8 @@ object Multimodal {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_keyframes" -> (mmKeyframes(_, _)),
+    "mm_exif_quarantine" -> (mmExifQuarantine(_, _)),
     "mm_mfcc" -> (mmMfcc(_, _)),
     "mm_clip_filter" -> (mmClipFilter(_, _)),
     "mm_audio_fingerprint" -> (mmAudioFingerprint(_, _)),
@@ -703,6 +834,8 @@ object Multimodal {
       |ORDER BY doc_id, prow, pcol""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "mm_keyframes" -> mmKeyframesSql,
+    "mm_exif_quarantine" -> mmExifQuarantineSql,
     "mm_mfcc" -> mmMfccSql,
     "mm_clip_filter" -> mmClipFilterSql,
     "mm_audio_fingerprint" -> mmAudioFingerprintSql,

@@ -79,7 +79,11 @@ class DeterminismSpec extends SparkSuite {
     "q_gae", "q_temperature_scale", "q_best_of_2", "q_top_p_cutoff",
     // first-touch expanding distinct + quantized Heaps OLS; min-distance
     // histogram running sums over the banded pair relation
-    "q_vocab_growth", "dd_threshold_curve")
+    "q_vocab_growth", "dd_threshold_curve",
+    // round-11: per-scene keyframe argmax (integer cross-multiplied
+    // score, explicit frame tie-break); cross-split min/min aggregates
+    // over the phash-blocked pair relation
+    "mm_keyframes", "mm_cross_contam")
 
   test("results are identical under different shuffle partitionings") {
     val conf = spark.conf
