@@ -1,12 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Dev probe (not part of the library): print a query's optimized and
+  * physical plans, optionally after materializing other queries first
+  * (replicates the shared-session cache state plan gates run under).
+  */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    sys.env.get("PLANDUMP_WARM").foreach(_.split(",").foreach { w =>
+      SparkEntry.queries(w)(spark, args(1)).collect()
+    })
     val df = SparkEntry.queries(args(0))(spark, args(1))
     println("=== OPTIMIZED ===")
     println(df.queryExecution.optimizedPlan.treeString)

@@ -11,29 +11,36 @@ import graft.functions.GraftExpressions.{CdcChunks, DelNeighborhoodExpr,
   TrigramCountsExpr, WinnowFingerprints, WordPieceTokens}
 
 /** Planning-time promotion of the NOTES #27 rule: a per-row
-  * compute-heavy kernel (quadratic in the value length — the
-  * deletion-neighborhood expansion, the Levenshtein DP) evaluated
-  * directly over a byte-small file scan runs at raw file-split
-  * parallelism (1-2 tasks for a dimension table), so the multiplied
-  * workload lands on a fraction of the cluster. Operators used to
-  * hand-place `.repartition(defaultParallelism)` below each such
-  * kernel (`LinkageOps` r8-r9); this rule inserts the same round-robin
-  * spread mechanically whenever
+  * compute-heavy kernel (the shared inventory in the companion — from
+  * the quadratic deletion-neighborhood expansion down to the
+  * d-multiply-add vector kernels) evaluated directly over a byte-small
+  * input runs at raw file-split parallelism (1-2 tasks for a dimension
+  * table), so the multiplied workload lands on a fraction of the
+  * cluster. Operators used to hand-place
+  * `.repartition(defaultParallelism)` below each such kernel
+  * (`LinkageOps` r8-r9); this rule inserts the same round-robin spread
+  * mechanically whenever a node evaluates a heavy kernel and the input
+  * below it is NARROW — where narrow means, walking down from the
+  * kernel:
   *
-  *  - a node evaluates a heavy kernel expression, and
-  *  - its entire subtree down to the leaves is narrow (projections,
-  *    filters, generators only — no shuffle ever re-established), and
-  *  - the leaves' estimated split count is below the session's
-  *    default parallelism.
+  *  - projections/filters/generators only, ending in a leaf (file
+  *    scan, local relation, or CACHED relation) whose estimated split
+  *    or partition count is below the session parallelism, or
+  *  - a PROBABLE broadcast join (hint first, then size stats with
+  *    `JoinSelection`'s exact tie-breaking — equal sizes build right)
+  *    whose STREAMED side is narrow by the same test; the spread then
+  *    lands on that streamed side, never the build side.
   *
-  * Joins or aggregates anywhere below the kernel mean a shuffle (or a
-  * deliberate broadcast) already decided the parallelism — those
-  * compositions are audited by `PlanAuditSpec`'s broadcast-join gate
-  * rather than rewritten here, so the rule can never fight Catalyst's
-  * join planning. The width test is SCALE-ADAPTIVE by construction: a
-  * 100 TB scan estimates thousands of splits and is never touched; the
-  * spread fires exactly when the scan is too small to feed every core,
-  * which is when the kernel-over-narrow-scan pathology exists.
+  * Shuffle joins and aggregates below the kernel already decided the
+  * parallelism and terminate the walk; so does any LIMIT without a
+  * global sort above the kernel (spreading beneath an unordered limit
+  * shuffles input that is about to be truncated AND changes which rows
+  * the limit samples). The width test is SCALE-ADAPTIVE by
+  * construction: a 100 TB scan estimates thousands of splits and is
+  * never touched; the spread fires exactly when the input is too small
+  * to feed every core, which is when the kernel-over-narrow-input
+  * pathology exists. `PlanAuditSpec`'s path-aware gate audits the same
+  * contract over the whole registry under the full-suite cache state.
   *
   * Runs once per query (injected via `injectPreCBORule` from
   * [[graft.functions.GraftExtensions]], or the session's
@@ -67,6 +74,14 @@ case class SpreadHeavyKernels(session: SparkSession) extends Rule[LogicalPlan] {
         case _ => Long.MaxValue // non-file relations: assume wide, don't touch
       }
     case _: LocalRelation => 1L
+    // a cached relation runs at its CACHED plan's partition count — a
+    // cache of a 1-split scan is 1 partition forever, so treating it as
+    // "wide, don't touch" (the r10 behavior) let kernel-over-cached-scan
+    // compositions keep raw parallelism exactly when another query had
+    // cached the shared relation first (session-order-dependent plans —
+    // caught by the full-suite PlanAuditSpec run, invisible in isolation)
+    case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+      math.max(1L, imr.cachedPlan.outputPartitioning.numPartitions.toLong)
     case _ => Long.MaxValue // RDD scans, ranges, streaming sources: leave alone
   }
 
@@ -94,8 +109,12 @@ case class SpreadHeavyKernels(session: SparkSession) extends Rule[LogicalPlan] {
       val thr = session.sessionState.conf.autoBroadcastJoinThreshold
       val (l, r) = (j.left.stats.sizeInBytes, j.right.stats.sizeInBytes)
       if (thr < 0) None
-      else if (l <= thr && l <= r) Some(true)
-      else if (r <= thr) Some(false)
+      // mirror JoinSelection's getSmallerSide exactly, TIES INCLUDED:
+      // equal sizes build RIGHT (a self-join on a cached relation has
+      // byte-identical stats, and guessing the other side spreads the
+      // build input while the streamed side keeps raw parallelism)
+      else if (r <= thr && r <= l) Some(false)
+      else if (l <= thr) Some(true)
       else None
     }
   }
@@ -125,12 +144,43 @@ case class SpreadHeavyKernels(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => p
   }
 
+  /** Bottom-up rewrite with an unordered-limit guard: `LimitPushDown`
+    * sinks projections beneath `LocalLimit`, so a heavy kernel can sit
+    * directly over a scan that is about to be TRUNCATED — spreading
+    * there is pure waste (shuffle everything, keep 50 rows) and, worse,
+    * changes WHICH rows the unordered limit samples (round-robin order
+    * replaces scan order; caught by a bit-identity spec sampling
+    * `limit(50)` two ways). An ORDERED limit (`LocalLimit(Sort(...))`,
+    * the top-k shape) is deterministic whatever the partitioning, and
+    * the kernels beneath it are the expensive part — those still
+    * spread.
+    */
+  /** True when the limit's input carries a global sort — possibly
+    * behind pruning projections (`Project(Sort(...))` is how column
+    * pruning leaves the top-k shape). Ordered ⇒ deterministic result
+    * whatever the partitioning below.
+    */
+  @annotation.tailrec
+  private def orderedBelow(p: LogicalPlan): Boolean = p match {
+    case s: Sort => s.global
+    case _: Project | _: SubqueryAlias => orderedBelow(p.children.head)
+    case _ => false
+  }
+
+  private def rewrite(p: LogicalPlan, underLimit: Boolean): LogicalPlan = {
+    val under = underLimit || (p match {
+      case l: LocalLimit => !orderedBelow(l.child)
+      case _ => false
+    })
+    val q = p.withNewChildren(p.children.map(rewrite(_, under)))
+    if (!under && q.children.nonEmpty && q.expressions.exists(isHeavy))
+      q.withNewChildren(q.children.map(spread))
+    else q
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (plan.isStreaming) return plan // stateful queries own their distribution
-    plan.transformUp {
-      case n if n.children.nonEmpty && n.expressions.exists(isHeavy) =>
-        n.withNewChildren(n.children.map(spread))
-    }
+    rewrite(plan, underLimit = false)
   }
 }
 

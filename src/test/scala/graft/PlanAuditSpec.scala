@@ -200,6 +200,11 @@ class PlanAuditSpec extends SparkSuite {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     def narrowThroughBroadcast(p: SparkPlan, sawBJ: Boolean): Boolean = p match {
       case _: ShuffleExchangeLike | _: BaseAggregateExec => false
+      // shuffle-based joins redistribute by construction — but this
+      // walk runs over sparkPlan, BEFORE EnsureRequirements inserts
+      // their exchanges, so the join node itself is the stop signal
+      case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec |
+           _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => false
       case imts: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
         narrowThroughBroadcast(imts.relation.cachedPlan, sawBJ)
       case aqe: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -209,10 +214,17 @@ class PlanAuditSpec extends SparkSuite {
       case j: BroadcastNestedLoopJoinExec =>
         narrowThroughBroadcast(if (j.buildSide == BuildLeft) j.right else j.left, sawBJ = true)
       case leaf if leaf.children.isEmpty =>
+        // mirror the rule's count-based width test: a leaf is narrow
+        // only when its partitioning is unshuffled AND its partition
+        // count is below the session target — a warehouse-scale scan
+        // (or a cache of one) with hundreds of splits is exactly the
+        // parallelism the kernel wants
+        val target = math.max(sc.sparkContext.defaultParallelism,
+          sc.sessionState.conf.numShufflePartitions)
         sawBJ && (leaf.outputPartitioning match {
           case _: HashPartitioning | _: RangePartitioning |
                _: RoundRobinPartitioning => false
-          case _ => true
+          case p => p.numPartitions < target
         })
       case other => other.children.exists(narrowThroughBroadcast(_, sawBJ))
     }
