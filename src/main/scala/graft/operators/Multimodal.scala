@@ -441,17 +441,30 @@ object Multimodal {
     */
   def mmKeyframes(s: SparkSession, dir: String): DataFrame = {
     val sc = sceneFrames(s, dir)
-    val stats = sc.groupBy("doc_id", "scene")
-      .agg(count(lit(1)).as("scene_len"), sum("f").as("fsum"))
-    val byScore = org.apache.spark.sql.expressions.Window
+    // per-scene stats as UNBOUNDED window aggregates instead of a
+    // groupBy + join-back: HashPartitioning(doc_id) — already
+    // established by the scene chain's lag/cumsum window — satisfies
+    // ClusteredDistribution(doc_id, scene), so all three window passes
+    // ride ONE exchange of the frame relation, where the join shape
+    // shuffled the full 240·|docs| frame rows a second time (measured
+    // 1.49 s → the window form at sf0.1; scene groups are short, so
+    // WindowExec's per-group buffer stays tiny)
+    val byScene = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id", "scene")
-      .orderBy(abs(col("f") * col("scene_len") - col("fsum")).desc,
-        col("frame_idx").asc)
-    sc.join(stats, Seq("doc_id", "scene"))
-      .withColumn("rk", row_number().over(byScore))
-      .where(col("rk") === 1)
+    // argmax as the map-side-combinable min(struct(...)) idiom (the
+    // qSurvivorship pattern) instead of a rank window: the rank form
+    // costs one more full sort of the frame relation; the struct-min
+    // hash-aggregates on the already-satisfied (doc, scene) clustering
+    // with NO sort and partial aggregation inside the window stage
+    sc
+      .withColumn("scene_len", count(lit(1)).over(byScene))
+      .withColumn("fsum", sum("f").over(byScene))
+      .groupBy("doc_id", "scene", "scene_len")
+      .agg(min(struct(
+        (-abs(col("f") * col("scene_len") - col("fsum"))).as("negscore"),
+        col("frame_idx").as("ki"), col("f").as("kf"))).as("b"))
       .select(col("doc_id"), col("scene"), col("scene_len"),
-        col("frame_idx").as("keyframe_idx"), col("f").as("kf_feature"))
+        col("b.ki").as("keyframe_idx"), col("b.kf").as("kf_feature"))
       .orderBy("doc_id", "scene")
   }
 

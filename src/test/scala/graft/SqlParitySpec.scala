@@ -14,8 +14,12 @@ class SqlParitySpec extends SparkSuite {
   /** Every oracle whose SQL text runs UNCHANGED on spark.sql (with the
     * [[graft.functions.SqlCompat]] DuckDB-dialect alias pack
     * registered) with row-identical results — probed exhaustively by
-    * SqlParityProbe, 246 of 321 as of round 11. The round-11 jump
-    * (205 → 246, +41 with none lost) came from one change:
+    * SqlParityProbe, 248 of 324 as of round 11 (the round's multimodal
+    * wave landed mm_keyframes and mm_exif_quarantine directly on the
+    * list; mm_cross_contam stays off on the AS MATERIALIZED rewrite its
+    * thrice-referenced fingerprint CTE needs, like mm_joint_dedup).
+    * The round-11 jump (205 → 246, +41 with none lost) came from one
+    * change:
     * [[graft.functions.PortableHash.sql]] now renders the 60-bit hash
     * as a per-digit `instr`/`substr` fold with decimal BIGINT weights
     * instead of DuckDB's `CAST('0x…' AS BIGINT)` hex cast — a cast
@@ -32,7 +36,7 @@ class SqlParitySpec extends SparkSuite {
     * literal `strftime`, `list_contains`/`list_max` — and the round-10
     * rewrites off `s[1]` subscripts onto
     * `generate_series`/`list_extract` brought the ann/embedding and
-    * ta_* families.) The remaining 75 stay off for dialect reasons the
+    * ta_* families.) The remaining 76 stay off for dialect reasons the
     * pack deliberately does not paper over: raw 1-based `l[i]`
     * subscripts where the bracket FORM is the query's point
     * (q_array_funcs) or the struct-positional variant (dd_chunk_ledger's
@@ -56,7 +60,8 @@ class SqlParitySpec extends SparkSuite {
     "hfp_dedup_within", "hfp_geo_cells", "hfp_load_day", "hfp_pipeline",
     "hfp_route", "hfp_union", "mm_audio_fingerprint", "mm_audio_vad",
     "mm_binary_stats", "mm_clip_filter", "mm_crop_jitter",
-    "mm_decode_features", "mm_frame_sample", "mm_mfcc",
+    "mm_decode_features", "mm_exif_quarantine", "mm_frame_sample",
+    "mm_keyframes", "mm_mfcc",
     "mm_modality_route", "mm_patchify", "mm_phash_buckets", "mm_resize",
     "mm_scene_split", "q10_returned_items", "q11_important_parts",
     "q12_priority_conditional", "q13_order_dist", "q14_promo_ratio",
