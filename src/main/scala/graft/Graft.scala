@@ -235,6 +235,10 @@ object Graft {
     def temperatureScale(s: SparkSession, dir: String): DataFrame = operators.ServingOps.qTemperatureScale(s, dir)
     def bestOfN(s: SparkSession, dir: String): DataFrame = operators.ServingOps.qBestOf2(s, dir)
     def topPCutoff(s: SparkSession, dir: String): DataFrame = operators.ServingOps.qTopPCutoff(s, dir)
+    // round-11 serving/training-diagnostics wave
+    def specDecodeAcceptance(s: SparkSession, dir: String): DataFrame = operators.ServingOps.qSpecDecodeAccept(s, dir)
+    def gradientNoiseScale(s: SparkSession, dir: String): DataFrame = operators.TrainingOps3.qGradNoiseScale(s, dir)
+    def lengthDebiasedWinrate(s: SparkSession, dir: String): DataFrame = operators.PrefOps.qLengthDebiasedWinrate(s, dir)
   }
 
   /** Multimodal (binary-column) operators. */

@@ -131,6 +131,14 @@ object SqlCompat {
     // named spelling list_extract(l, i) IS Spark's element_at — both
     // 1-based — so oracles index lists through the named form
     "list_extract" -> (es => ElementAt(es(0), es(1))),
+    // DuckDB's array_slice(l, a, b) IS the `l[a:b]` slice's named
+    // spelling (1-based, END-inclusive, both bounds clamped) — Spark's
+    // slice(l, start, LENGTH) has the same 1-based start and the same
+    // overrun clamp, so end-inclusive maps to length = b − a + 1. The
+    // bracket slice itself parses as VARIANT access on Spark, which is
+    // why the cdc/span/subvector oracles spell it through this name.
+    "array_slice" -> (es =>
+      Slice(es(0), es(1), Add(Subtract(es(2), es(1)), Literal(1)))),
     // DuckDB's named list constructor (the `['a', 'b']` literal's
     // function spelling) IS Spark's array()
     "list_value" -> (es => CreateArray(es)),

@@ -72,7 +72,7 @@ object CorpusOps {
       .orderBy(desc("n_docs"), asc("prefix"))
 
   private val ddPrefixDupSql =
-    s"""SELECT array_to_string(string_split(text, ' ')[1:$PrefixTokens], ' ') AS prefix,
+    s"""SELECT array_to_string(array_slice(string_split(text, ' '), 1, $PrefixTokens), ' ') AS prefix,
        |  COUNT(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1
        |ORDER BY n_docs DESC, prefix ASC""".stripMargin

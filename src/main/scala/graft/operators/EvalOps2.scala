@@ -340,7 +340,7 @@ object EvalOps2 {
          |  WHERE n.vec_id <> $MatQueryId
          |  ORDER BY cosine DESC, vec_id ASC LIMIT $MatK""".stripMargin
     s"""WITH fullk AS (${topk("embedding")}),
-       |pfx AS (${topk(s"embedding[1:$MatDim]")})
+       |pfx AS (${topk(s"array_slice(embedding, 1, $MatDim)")})
        |SELECT CAST($MatDim AS BIGINT) AS dim_prefix,
        |  CAST(COUNT(*) AS BIGINT) AS hits, CAST($MatK AS BIGINT) AS k,
        |  CAST(COUNT(*) AS DOUBLE) / $MatK AS recall_at_k

@@ -501,7 +501,89 @@ object PrefOps {
        |ORDER BY source, strategy""".stripMargin
   }
 
+  // ------------------------------------ q_length_debiased_winrate
+
+  private val LwQ = 1073741824.0 // 2^30: bucket-rate fold quantization
+  private val LwBuckets = 4
+
+  /** Length-controlled pairwise win rate (the AlpacaEval 2.0 concern:
+    * judges prefer LONGER responses, so a raw win rate confounds
+    * quality with verbosity). Candidate pairs are adjacent documents
+    * within a source; the synthetic judge scores
+    * hash-quality + length/4 — length-biased BY CONSTRUCTION, so the
+    * debiasing readout is observable. The debiased estimate stratifies
+    * pairs by |Δlength| bucket and averages the per-bucket win rates
+    * with equal weight (the coarse exact cousin of AlpacaEval's
+    * logistic length control — stratification needs no fitted model,
+    * so it stays engine-exact). Determinism: wins and pair counts are
+    * integer until each bucket's single division; the ≤[[LwBuckets]]
+    * bucket rates re-quantize to floor(r·2³⁰) BIGINTs before the
+    * cross-bucket fold (NOTES #35). Shapes: one per-source window
+    * (lead), two keyed integer aggregates; never a self-join.
+    */
+  def qLengthDebiasedWinrate(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val pairs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("b_id", lead("doc_id", 1).over(w))
+      .withColumn("b_len", lead("n_chars", 1).over(w))
+      .where(col("b_id").isNotNull)
+      .select(col("source"),
+        (graft.functions.PortableHash.hash64(
+          concat(lit("lw:"), col("doc_id").cast(StringType))) % 1000 +
+          expr("n_chars div 4")).as("qa"),
+        (graft.functions.PortableHash.hash64(
+          concat(lit("lw:"), col("b_id").cast(StringType))) % 1000 +
+          expr("b_len div 4")).as("qb"),
+        least(lit(LwBuckets.toLong - 1),
+          expr("abs(n_chars - b_len) div 64")).as("bucket"))
+      .select(col("source"), col("bucket"),
+        when(col("qa") > col("qb"), 1L).otherwise(0L).as("win"))
+    val byBucket = pairs.groupBy("source", "bucket")
+      .agg(count(lit(1)).as("nb"), sum("win").as("wb"))
+      .select(col("source"), col("nb"), col("wb"),
+        floor(col("wb").cast(DoubleType) / col("nb") * LwQ)
+          .cast(LongType).as("rateq"))
+    byBucket.groupBy("source")
+      .agg(sum("nb").as("n_pairs"), sum("wb").as("wins"),
+        round(sum("wb").cast(DoubleType) / sum("nb"), 6).as("raw_rate"),
+        round(sum("rateq").cast(DoubleType) / LwQ /
+          count(lit(1)), 6).as("debiased_rate"),
+        round(sum("wb").cast(DoubleType) / sum("nb") -
+          sum("rateq").cast(DoubleType) / LwQ / count(lit(1)), 6)
+          .as("length_bias_gap"))
+      .orderBy("source")
+  }
+
+  private val qLengthDebiasedWinrateSql = {
+    def q(id: String) = graft.functions.PortableHash.sql(
+      s"'lw:' || CAST($id AS VARCHAR)")
+    s"""WITH p AS (
+       |  SELECT source, doc_id, n_chars,
+       |    lead(doc_id) OVER w AS b_id, lead(n_chars) OVER w AS b_len
+       |  FROM documents WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+       |pw AS (
+       |  SELECT source,
+       |    least(${LwBuckets - 1}, divide(CAST(abs(n_chars - b_len) AS BIGINT), 64)) AS bucket,
+       |    CASE WHEN ${q("doc_id")} % 1000 + divide(n_chars, 4)
+       |       > ${q("b_id")} % 1000 + divide(b_len, 4) THEN 1 ELSE 0 END AS win
+       |  FROM p WHERE b_id IS NOT NULL),
+       |bb AS (
+       |  SELECT source, bucket, COUNT(*) AS nb, CAST(SUM(win) AS BIGINT) AS wb,
+       |    CAST(floor(CAST(SUM(win) AS DOUBLE) / COUNT(*) * $LwQ) AS BIGINT) AS rateq
+       |  FROM pw GROUP BY 1, 2)
+       |SELECT source, CAST(SUM(nb) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(wb) AS BIGINT) AS wins,
+       |  round(CAST(SUM(wb) AS DOUBLE) / SUM(nb), 6) AS raw_rate,
+       |  round(CAST(SUM(rateq) AS DOUBLE) / $LwQ / COUNT(*), 6) AS debiased_rate,
+       |  round(CAST(SUM(wb) AS DOUBLE) / SUM(nb)
+       |    - CAST(SUM(rateq) AS DOUBLE) / $LwQ / COUNT(*), 6) AS length_bias_gap
+       |FROM bb GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_length_debiased_winrate" -> (qLengthDebiasedWinrate(_, _)),
     "q_pref_pairs" -> (qPrefPairs(_, _)),
     "q_bradley_terry" -> (qBradleyTerry(_, _)),
     "q_fleiss_kappa" -> (qFleissKappa(_, _)),
@@ -511,6 +593,7 @@ object PrefOps {
     "q_pad_waste" -> (qPadWaste(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_length_debiased_winrate" -> qLengthDebiasedWinrateSql,
     "q_pref_pairs" -> qPrefPairsSql,
     "q_bradley_terry" -> qBradleyTerrySql,
     "q_fleiss_kappa" -> qFleissKappaSql,

@@ -237,15 +237,72 @@ object ServingOps {
        |  round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS mass_at_cutoff
        |FROM cut ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------- q_spec_decode_accept
+
+  /** Draft window size (tokens proposed per speculative step). */
+  private val SpecK = 8
+
+  /** Speculative-decoding acceptance profiling (Leviathan et al. 2023,
+    * "Fast Inference from Transformers via Speculative Decoding"):
+    * each request drafts [[SpecK]] tokens, the target model accepts a
+    * PREFIX of them — the first rejected position ends the step and
+    * the target emits one corrected token, so tokens-per-step =
+    * accepted + 1 in every case (all-K accepted ⇒ K + 1 via the bonus
+    * sample). Acceptance bits are the deterministic portable-hash
+    * Bernoulli (p = 3/4) per (request, position), so the readout —
+    * per request-type acceptance totals and expected tokens per step,
+    * the number that decides whether speculation pays for the draft
+    * model — is exact on both engines. Shapes: one bounded fan-out
+    * (×K, AFTER the narrow scan), a keyed min (first-reject argmin,
+    * map-side combinable), a keyed sum; the single division happens
+    * once per output row on exact BIGINTs.
+    */
+  def qSpecDecodeAccept(s: SparkSession, dir: String): DataFrame = {
+    val draftBit = graft.functions.PortableHash.hash64(
+      concat(lit("sd:"), col("event_id").cast(StringType),
+        lit(":"), col("p").cast(StringType)))
+    val pos = Tables(s, dir, "events")
+      .select(col("event_id"), col("event_type"))
+      .withColumn("p", explode(sequence(lit(0), lit(SpecK - 1))))
+      .withColumn("rej", when(draftBit % 4 === 0, col("p").cast(LongType)))
+    val acc = pos.groupBy("event_id", "event_type")
+      .agg(coalesce(min("rej"), lit(SpecK.toLong)).as("acc"))
+    acc.groupBy("event_type")
+      .agg(count(lit(1)).as("n_requests"),
+        sum("acc").as("accepted_total"),
+        (sum(col("acc") + 1).cast(DoubleType) / count(lit(1)))
+          .as("tokens_per_step"))
+      .orderBy("event_type")
+  }
+
+  private val qSpecDecodeAcceptSql = {
+    val h = graft.functions.PortableHash.sql(
+      "'sd:' || CAST(event_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)")
+    s"""WITH pos AS (
+       |  SELECT event_id, event_type, p,
+       |    CASE WHEN $h % 4 = 0 THEN p END AS rej
+       |  FROM events CROSS JOIN range(0, $SpecK) r(p)),
+       |acc AS (
+       |  SELECT event_id, event_type,
+       |    coalesce(min(rej), $SpecK) AS acc
+       |  FROM pos GROUP BY 1, 2)
+       |SELECT event_type, COUNT(*) AS n_requests,
+       |  CAST(SUM(acc) AS BIGINT) AS accepted_total,
+       |  CAST(SUM(acc + 1) AS DOUBLE) / COUNT(*) AS tokens_per_step
+       |FROM acc GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gae" -> (qGae(_, _)),
     "q_temperature_scale" -> (qTemperatureScale(_, _)),
     "q_best_of_2" -> (qBestOf2(_, _)),
-    "q_top_p_cutoff" -> (qTopPCutoff(_, _)))
+    "q_top_p_cutoff" -> (qTopPCutoff(_, _)),
+    "q_spec_decode_accept" -> (qSpecDecodeAccept(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_gae" -> qGaeSql,
     "q_temperature_scale" -> qTemperatureScaleSql,
     "q_best_of_2" -> qBestOf2Sql,
-    "q_top_p_cutoff" -> qTopPCutoffSql)
+    "q_top_p_cutoff" -> qTopPCutoffSql,
+    "q_spec_decode_accept" -> qSpecDecodeAcceptSql)
 }

@@ -222,7 +222,7 @@ object Similarity2 {
     s"list_aggregate(list_transform(generate_series(1, len($a)), i -> (list_extract($a, i) - list_extract($b, i)) * (list_extract($a, i) - list_extract($b, i))), 'sum')"
 
   private val annPqSql = {
-    val subExpr = "list_transform(embedding[m * 8 + 1 : m * 8 + 8], x -> CAST(x AS DOUBLE))"
+    val subExpr = "list_transform(array_slice(embedding, m * 8 + 1, m * 8 + 8), x -> CAST(x AS DOUBLE))"
     s"""WITH sub AS (
        |  SELECT vec_id, t.m, $subExpr AS sub
        |  FROM embeddings CROSS JOIN range(0, $M) t(m)),

@@ -81,7 +81,7 @@ object Similarity3 {
     s"list_aggregate(list_transform(generate_series(1, len($a)), i -> (list_extract($a, i) - list_extract($b, i)) * (list_extract($a, i) - list_extract($b, i))), 'sum')"
 
   private val annIvfPqSql = {
-    val subExpr = "list_transform(embedding[m * 8 + 1 : m * 8 + 8], x -> CAST(x AS DOUBLE))"
+    val subExpr = "list_transform(array_slice(embedding, m * 8 + 1, m * 8 + 8), x -> CAST(x AS DOUBLE))"
     s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
        |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n WHERE vec_id % 50 = 0),
        |assigned AS (
@@ -158,7 +158,7 @@ object Similarity3 {
   }
 
   private val annMaxSimSql = {
-    val subExpr = "list_transform(embedding[t.m * 8 + 1 : t.m * 8 + 8], x -> CAST(x AS DOUBLE))"
+    val subExpr = "list_transform(array_slice(embedding, t.m * 8 + 1, t.m * 8 + 8), x -> CAST(x AS DOUBLE))"
     s"""WITH sub AS (
        |  SELECT vec_id, t.m, $subExpr AS s, ${normSql(subExpr)} AS nrm
        |  FROM embeddings CROSS JOIN range(0, 8) t(m)),

@@ -90,7 +90,7 @@ object TrainingOps {
   private def windowsSql(w: Int, distinct: Boolean): String = {
     val d = if (distinct) "DISTINCT " else ""
     s"""SELECT ${d}d.doc_id, d.source,
-       |  ${PortableHash.sql(s"array_to_string(d.toks[i:i+${w - 1}], ' ')")} AS h
+       |  ${PortableHash.sql(s"array_to_string(array_slice(d.toks, i, i+${w - 1}), ' ')")} AS h
        |FROM (SELECT doc_id, source, toks, unnest(range(1, len(toks) - ${w - 2})) AS i
        |      FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)) d""".stripMargin
   }
@@ -144,7 +144,7 @@ object TrainingOps {
   private val ddSpanRemovalSql =
     s"""WITH w AS (
        |  SELECT d.doc_id, d.i,
-       |    ${PortableHash.sql(s"array_to_string(d.toks[i:i+${SpanW - 1}], ' ')")} AS h
+       |    ${PortableHash.sql(s"array_to_string(array_slice(d.toks, i, i+${SpanW - 1}), ' ')")} AS h
        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - ${SpanW - 2})) AS i
        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)) d),
        |wf AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),

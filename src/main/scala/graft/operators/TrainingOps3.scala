@@ -342,6 +342,78 @@ object TrainingOps3 {
        |  round(sqrt(greatest(s2 / n - pow(s1 / n, 2), 0.0)), 6) AS std
        |FROM agg ORDER BY dim""".stripMargin
 
+  // ---------------------------------------------- q_grad_noise_scale
+
+  private val GnsQ = 67108864.0   // 2^26: per-element quantization
+  private val GnsQ2 = 1048576.0   // 2^20: per-dimension term fold
+
+  /** Simple gradient-noise-scale estimate (McCandlish et al. 2018,
+    * "An Empirical Model of Large-Batch Training"): treating each
+    * vector as a per-example gradient and each `label` group as a
+    * batch, B_simple = tr(Σ) / |G|² — the batch size at which gradient
+    * noise stops paying for itself, THE readout a training-data
+    * pipeline feeds the batch-size schedule. Exactness discipline
+    * (NOTES #35) end to end: per-element values quantize to
+    * floor(x·2²⁶) / floor(x²·2²⁶) BIGINTs before any cross-row sum,
+    * the per-dimension variance and squared-mean terms are then exact
+    * doubles off those BIGINTs, and the dimension fold re-quantizes at
+    * 2²⁰ — so the only unquantized division is the final trace/|G|²
+    * per label. Shapes: one dimension-bounded fan-out after the narrow
+    * scan, two map-side-combinable keyed aggregates ((label, dim) then
+    * label); nothing is driver-side, nothing is a window.
+    */
+  def qGradNoiseScale(s: SparkSession, dir: String): DataFrame = {
+    val perDim = Tables(s, dir, "embeddings")
+      .select(col("label").cast(LongType).as("label"),
+        posexplode(col("embedding")).as(Seq("d", "xf")))
+      .select(col("label"), col("d"), col("xf").cast(DoubleType).as("x"))
+      .groupBy("label", "d")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x") * GnsQ).cast(LongType)).as("s1q"),
+        sum(floor(col("x") * col("x") * GnsQ).cast(LongType)).as("s2q"))
+    val terms = perDim.select(col("label"), col("n"),
+      (col("s1q").cast(DoubleType) / GnsQ / col("n")).as("mean"),
+      (col("s2q").cast(DoubleType) / GnsQ / col("n")).as("ex2"))
+      .select(col("label"), col("n"),
+        floor((col("ex2") - col("mean") * col("mean")) * GnsQ2)
+          .cast(LongType).as("varq"),
+        floor(col("mean") * col("mean") * GnsQ2).cast(LongType).as("g2q"))
+    terms.groupBy("label")
+      .agg(max("n").as("n_examples"),
+        round(sum("varq").cast(DoubleType) / GnsQ2, 6).as("grad_trace"),
+        round(sum("g2q").cast(DoubleType) / GnsQ2, 6).as("grad_norm_sq"),
+        when(sum("g2q") > 0,
+          round(sum("varq").cast(DoubleType) / sum("g2q").cast(DoubleType), 6))
+          .as("b_simple"))
+      .orderBy("label")
+  }
+
+  private val qGradNoiseScaleSql =
+    s"""WITH v AS (
+       |  SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS INT) AS d,
+       |    CAST(list_extract(embedding, CAST(i AS INTEGER)) AS DOUBLE) AS x
+       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)),
+       |perdim AS (
+       |  SELECT label, d, COUNT(*) AS n,
+       |    CAST(SUM(CAST(floor(x * $GnsQ) AS BIGINT)) AS BIGINT) AS s1q,
+       |    CAST(SUM(CAST(floor(x * x * $GnsQ) AS BIGINT)) AS BIGINT) AS s2q
+       |  FROM v GROUP BY 1, 2),
+       |terms AS (
+       |  SELECT label, n,
+       |    CAST(floor(((CAST(s2q AS DOUBLE) / $GnsQ / n)
+       |      - (CAST(s1q AS DOUBLE) / $GnsQ / n) * (CAST(s1q AS DOUBLE) / $GnsQ / n))
+       |      * $GnsQ2) AS BIGINT) AS varq,
+       |    CAST(floor((CAST(s1q AS DOUBLE) / $GnsQ / n) * (CAST(s1q AS DOUBLE) / $GnsQ / n)
+       |      * $GnsQ2) AS BIGINT) AS g2q
+       |  FROM perdim)
+       |SELECT label, max(n) AS n_examples,
+       |  round(CAST(SUM(varq) AS DOUBLE) / $GnsQ2, 6) AS grad_trace,
+       |  round(CAST(SUM(g2q) AS DOUBLE) / $GnsQ2, 6) AS grad_norm_sq,
+       |  CASE WHEN SUM(g2q) > 0 THEN
+       |    round(CAST(SUM(varq) AS DOUBLE) / CAST(SUM(g2q) AS DOUBLE), 6)
+       |  END AS b_simple
+       |FROM terms GROUP BY label ORDER BY label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hard_negatives" -> (qHardNegatives(_, _)),
     "q_negative_sampling" -> (qNegativeSampling(_, _)),
@@ -349,7 +421,8 @@ object TrainingOps3 {
     "q_map_at_k" -> (qMapAtK(_, _)),
     "q_benford" -> (qBenford(_, _)),
     "q_tail_index" -> (qTailIndex(_, _)),
-    "q_embedding_center" -> (qEmbeddingCenter(_, _)))
+    "q_embedding_center" -> (qEmbeddingCenter(_, _)),
+    "q_grad_noise_scale" -> (qGradNoiseScale(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_hard_negatives" -> qHardNegativesSql,
@@ -358,5 +431,6 @@ object TrainingOps3 {
     "q_map_at_k" -> qMapAtKSql,
     "q_benford" -> qBenfordSql,
     "q_tail_index" -> qTailIndexSql,
-    "q_embedding_center" -> qEmbeddingCenterSql)
+    "q_embedding_center" -> qEmbeddingCenterSql,
+    "q_grad_noise_scale" -> qGradNoiseScaleSql)
 }

@@ -83,7 +83,10 @@ class DeterminismSpec extends SparkSuite {
     // round-11: per-scene keyframe argmax (integer cross-multiplied
     // score, explicit frame tie-break); cross-split min/min aggregates
     // over the phash-blocked pair relation
-    "mm_keyframes", "mm_cross_contam")
+    "mm_keyframes", "mm_cross_contam",
+    // round-11b: quantized per-dim variance/mean folds; bucket-rate
+    // quantized stratification; first-reject keyed argmin
+    "q_grad_noise_scale", "q_length_debiased_winrate", "q_spec_decode_accept")
 
   test("results are identical under different shuffle partitionings") {
     val conf = spark.conf

@@ -14,12 +14,18 @@ class SqlParitySpec extends SparkSuite {
   /** Every oracle whose SQL text runs UNCHANGED on spark.sql (with the
     * [[graft.functions.SqlCompat]] DuckDB-dialect alias pack
     * registered) with row-identical results — probed exhaustively by
-    * SqlParityProbe, 248 of 324 as of round 11 (the round's multimodal
+    * SqlParityProbe, 256 of 324 as of round 11 (the round's multimodal
     * wave landed mm_keyframes and mm_exif_quarantine directly on the
     * list; mm_cross_contam stays off on the AS MATERIALIZED rewrite its
-    * thrice-referenced fingerprint CTE needs, like mm_joint_dedup).
-    * The round-11 jump (205 → 246, +41 with none lost) came from one
-    * change:
+    * thrice-referenced fingerprint CTE needs, like mm_joint_dedup; and
+    * the slicing class — ann_pq/ann_ivf_pq/ann_maxsim/ann_matryoshka's
+    * subvectors, dd_substring/ta_novelty/ta_contamination's token
+    * windows, dd_prefix_dup's prefix — moved on by respelling
+    * `l[a:b]` as DuckDB's own named form `array_slice(l, a, b)`, which
+    * SqlCompat maps to Spark's `slice(l, a, b − a + 1)`: same 1-based
+    * end-inclusive clamped semantics, name-for-name).
+    * The core round-11 jump (205 → 246, +41 with none lost) came from
+    * one change:
     * [[graft.functions.PortableHash.sql]] now renders the 60-bit hash
     * as a per-digit `instr`/`substr` fold with decimal BIGINT weights
     * instead of DuckDB's `CAST('0x…' AS BIGINT)` hex cast — a cast
@@ -36,14 +42,14 @@ class SqlParitySpec extends SparkSuite {
     * literal `strftime`, `list_contains`/`list_max` — and the round-10
     * rewrites off `s[1]` subscripts onto
     * `generate_series`/`list_extract` brought the ann/embedding and
-    * ta_* families.) The remaining 76 stay off for dialect reasons the
+    * ta_* families.) The remaining 68 stay off for dialect reasons the
     * pack deliberately does not paper over: raw 1-based `l[i]`
     * subscripts where the bracket FORM is the query's point
     * (q_array_funcs) or the struct-positional variant (dd_chunk_ledger's
-    * ROW access), list SLICING `l[a:b]` (cdc/span chains,
-    * ann_matryoshka) and other parse-level syntax (QUALIFY,
+    * ROW access), parse-level syntax (QUALIFY,
     * aggregate-ORDER-BY — q_chi2_independence/q_domain_reweight/
-    * q_bradley_terry's order-pinned double folds), quoted date_diff
+    * q_bradley_terry's order-pinned double folds and the cdc/span
+    * chains' ordered list aggregation), quoted date_diff
     * units (q_theil_sen), base64 chunking (q_encode_funcs), INTERVAL
     * arithmetic (q_interval_arith), recursive-CTE UNION semantics (the
     * components family and q_survivorship — Spark lacks UNION-dedup
@@ -51,11 +57,11 @@ class SqlParitySpec extends SparkSuite {
     * twin — all exercised against DuckDB by the driver instead.
     */
   private val ansiOracles = Seq(
-    "ann_brute", "ann_ivf", "ann_ndcg", "ann_range_search",
+    "ann_brute", "ann_ivf", "ann_ivf_pq", "ann_matryoshka", "ann_maxsim", "ann_ndcg", "ann_pq", "ann_range_search",
     "ann_recall_eval", "dd_bag_dedup", "dd_containment",
     "dd_edit_distance", "dd_embed_cosine", "dd_exact", "dd_incremental",
-    "dd_minhash_lsh", "dd_ngram_jaccard", "dd_semantic", "dd_simhash",
-    "dd_supershingle", "dd_threshold_curve", "dd_url_dedup",
+    "dd_minhash_lsh", "dd_ngram_jaccard", "dd_prefix_dup", "dd_semantic", "dd_simhash",
+    "dd_substring", "dd_supershingle", "dd_threshold_curve", "dd_url_dedup",
     "dd_winnowing", "hfp_cast", "hfp_dedup_anti", "hfp_dedup_bloom",
     "hfp_dedup_within", "hfp_geo_cells", "hfp_load_day", "hfp_pipeline",
     "hfp_route", "hfp_union", "mm_audio_fingerprint", "mm_audio_vad",
@@ -113,7 +119,7 @@ class SqlParitySpec extends SparkSuite {
     "q_values_lookup", "q_vocab_growth", "q_weighted_sample",
     "q_window_dist", "q_window_first_last", "q_window_frame",
     "q_window_lag", "q_window_rank", "q_winsorize", "q_zipf_fit",
-    "q_zone_map", "q_zorder", "ta_bm25", "ta_bpe", "ta_cluster_topics",
+    "q_zone_map", "q_zorder", "ta_bm25", "ta_bpe", "ta_cluster_topics", "ta_contamination", "ta_novelty",
     "ta_collocations", "ta_dsir", "ta_heavy_hitters", "ta_ks_test",
     "ta_langid_profile", "ta_nb_langid", "ta_ngram_lm", "ta_oov_rate",
     "ta_perplexity_bucket", "ta_pii_scrub", "ta_pipeline", "ta_quality",
