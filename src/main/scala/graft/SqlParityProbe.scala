@@ -17,7 +17,10 @@ object SqlParityProbe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.sources.Tables.registerAll(spark, sfDir)
     graft.functions.SqlCompat.register(spark)
-    SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, sql) =>
       val status =
         try {
           val viaSql = spark.sql(sql).collect().toSeq

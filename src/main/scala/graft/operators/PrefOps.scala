@@ -558,7 +558,7 @@ object PrefOps {
 
   private val qLengthDebiasedWinrateSql = {
     def q(id: String) = graft.functions.PortableHash.sql(
-      s"'lw:' || CAST($id AS VARCHAR)")
+      s"'lw:' || CAST($id AS STRING)")
     s"""WITH p AS (
        |  SELECT source, doc_id, n_chars,
        |    lead(doc_id) OVER w AS b_id, lead(n_chars) OVER w AS b_len

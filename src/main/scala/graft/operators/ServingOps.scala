@@ -277,7 +277,7 @@ object ServingOps {
 
   private val qSpecDecodeAcceptSql = {
     val h = graft.functions.PortableHash.sql(
-      "'sd:' || CAST(event_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)")
+      "'sd:' || CAST(event_id AS STRING) || ':' || CAST(p AS STRING)")
     s"""WITH pos AS (
        |  SELECT event_id, event_type, p,
        |    CASE WHEN $h % 4 = 0 THEN p END AS rej

@@ -14,7 +14,7 @@ class SqlParitySpec extends SparkSuite {
   /** Every oracle whose SQL text runs UNCHANGED on spark.sql (with the
     * [[graft.functions.SqlCompat]] DuckDB-dialect alias pack
     * registered) with row-identical results — probed exhaustively by
-    * SqlParityProbe, 256 of 324 as of round 11 (the round's multimodal
+    * SqlParityProbe, 258 of 327 as of round 11 (the round's multimodal
     * wave landed mm_keyframes and mm_exif_quarantine directly on the
     * list; mm_cross_contam stays off on the AS MATERIALIZED rewrite its
     * thrice-referenced fingerprint CTE needs, like mm_joint_dedup; and
@@ -42,7 +42,7 @@ class SqlParitySpec extends SparkSuite {
     * literal `strftime`, `list_contains`/`list_max` — and the round-10
     * rewrites off `s[1]` subscripts onto
     * `generate_series`/`list_extract` brought the ann/embedding and
-    * ta_* families.) The remaining 68 stay off for dialect reasons the
+    * ta_* families.) The remaining 69 stay off (among them the round-11b wave's q_grad_noise_scale, whose oracle needs DuckDB's correlated lateral unnest; its siblings q_spec_decode_accept and q_length_debiased_winrate pin directly) for dialect reasons the
     * pack deliberately does not paper over: raw 1-based `l[i]`
     * subscripts where the bracket FORM is the query's point
     * (q_array_funcs) or the struct-positional variant (dd_chunk_ledger's
@@ -97,7 +97,7 @@ class SqlParitySpec extends SparkSuite {
     "q_hybrid_rrf", "q_in_subquery", "q_incr_agg", "q_incr_join",
     "q_item_cf", "q_json_funcs", "q_k_anonymity", "q_kcore",
     "q_krippendorff", "q_l_diversity", "q_label_prop", "q_lateral_topn",
-    "q_length_buckets", "q_link_predict", "q_mad_outlier",
+    "q_length_buckets", "q_length_debiased_winrate", "q_link_predict", "q_mad_outlier",
     "q_map_struct_funcs", "q_math_extended", "q_math_funcs", "q_mcnemar",
     "q_merge_upsert", "q_mmr_select", "q_modularity",
     "q_mutual_information", "q_nearest_stop", "q_negative_sampling",
@@ -109,7 +109,7 @@ class SqlParitySpec extends SparkSuite {
     "q_scalar_subquery", "q_scd2", "q_seasonal_profile", "q_semi_join",
     "q_seq_mining", "q_seq_pack", "q_sessionize", "q_set_except",
     "q_set_intersect", "q_shard_plan", "q_skew_profile", "q_skyline",
-    "q_snapshot_diff", "q_spatial_join", "q_split_leakage", "q_sssp",
+    "q_snapshot_diff", "q_spatial_join", "q_spec_decode_accept", "q_split_leakage", "q_sssp",
     "q_stats_agg", "q_stratified_kfold", "q_stratified_sample",
     "q_string_advanced", "q_string_funcs", "q_survival", "q_synth_sample",
     "q_tail_index", "q_target_encode", "q_temperature_scale",
