@@ -93,6 +93,7 @@ object Graft {
     def maxSim(s: SparkSession, dir: String): DataFrame = operators.Similarity3.annMaxSim(s, dir)
     def rangeSearch(s: SparkSession, dir: String): DataFrame = operators.Similarity.annRangeSearch(s, dir)
     def recallEval(s: SparkSession, dir: String): DataFrame = operators.Similarity3.annRecallEval(s, dir)
+    def recallCurve(s: SparkSession, dir: String): DataFrame = operators.Similarity3.annRecallCurve(s, dir)
     def knnJoin(s: SparkSession, dir: String): DataFrame = operators.Similarity3.annKnnJoin(s, dir)
   }
 
@@ -117,6 +118,8 @@ object Graft {
     def hardNegatives(s: SparkSession, dir: String): DataFrame = operators.TrainingOps3.qHardNegatives(s, dir)
     def negativeSampling(s: SparkSession, dir: String): DataFrame = operators.TrainingOps3.qNegativeSampling(s, dir)
     def curriculumSchedule(s: SparkSession, dir: String): DataFrame = operators.TrainingOps3.qCurriculum(s, dir)
+    def mixtureTemperature(s: SparkSession, dir: String): DataFrame = operators.TrainingOps2.qMixtureTemperature(s, dir)
+    def activeLearningMargin(s: SparkSession, dir: String): DataFrame = operators.MlOps2.qActiveLearningMargin(s, dir)
   }
 
   /** Warehouse/ops utilities. */

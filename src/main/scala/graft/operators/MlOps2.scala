@@ -285,15 +285,76 @@ object MlOps2 {
        |  row_number() OVER (ORDER BY mi_q DESC, pos) AS rank
        |FROM mi ORDER BY pos""".stripMargin
 
+  // --------------------------------------- q_active_learning_margin
+
+  private val AlClasses = 5
+  private val AlK = 10
+
+  /** Margin-based uncertainty sampling (the classic active-learning
+    * acquisition rule, Lewis & Gale 1994 lineage): per document, a
+    * [[AlClasses]]-way synthetic classifier scores each class (seeded
+    * portable hash + a deterministic true-class bonus so the margin
+    * distribution is non-trivial), the MARGIN is top1 − top2 of the
+    * in-row sorted score array, and the [[AlK]] LOWEST-margin documents
+    * per source are selected for labeling. Exactness: every score is
+    * (h % 1000)/1000 (+ the exact 0.3 bonus) — identical IEEE doubles
+    * on both engines — and the sort is in-row over 5 elements.
+    * Scale shape: the selection runs on the native
+    * [[graft.plans.GroupedTopK]] bounded heap (order = NEGATED margin,
+    * so smallest-margin wins; ties to the earliest doc) — per-source
+    * heaps of [[AlK]], zero sorts of the corpus.
+    */
+  def qActiveLearningMargin(s: SparkSession, dir: String): DataFrame = {
+    def score(c: Int): Column =
+      (PortableHash.hash64(concat(lit(s"al:"), col("doc_id").cast(StringType),
+        lit(s":$c"))) % 1000).cast(DoubleType) / 1000.0 +
+        when(col("n_chars") % AlClasses === c, lit(0.3)).otherwise(lit(0.0))
+    val scored = Tables(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        sort_array(array((0 until AlClasses).map(score): _*), asc = false).as("sc"))
+      .select(col("source"), col("doc_id"),
+        (element_at(col("sc"), 1) - element_at(col("sc"), 2)).as("margin"))
+    graft.plans.GroupedTopK(
+        scored.select(col("source"), col("doc_id"), (-col("margin")).as("negm")),
+        s, Seq(col("source")), col("negm"), col("doc_id"), AlK)
+      .select(col("source"), col("doc_id"), round(-col("negm"), 6).as("margin"))
+      .orderBy(asc("source"), asc("margin"), asc("doc_id"))
+  }
+
+  private val qActiveLearningMarginSql = {
+    def score(c: Int) =
+      s"CAST(${PortableHash.sql(s"'al:' || CAST(doc_id AS STRING) || ':$c'")} % 1000 AS DOUBLE) / 1000.0" +
+        s" + CASE WHEN n_chars % $AlClasses = $c THEN 0.3 ELSE 0.0 END"
+    val arr = (0 until AlClasses).map(score).mkString("list_value(", ",\n      |      ", ")")
+    s"""WITH sc AS (
+       |  SELECT source, doc_id,
+       |    list_sort($arr, 'DESC') AS l
+       |  FROM documents),
+       |m AS (
+       |  SELECT source, doc_id,
+       |    list_extract(l, 1) - list_extract(l, 2) AS margin
+       |  FROM sc),
+       |r AS (
+       |  SELECT source, doc_id, margin,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY margin ASC, doc_id ASC) AS rk
+       |  FROM m)
+       |SELECT source, doc_id, round(margin, 6) AS margin
+       |FROM r WHERE rk <= $AlK
+       |ORDER BY source ASC, margin ASC, doc_id ASC""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_active_learning_margin" -> (qActiveLearningMargin(_, _)),
     "q_ucb_bandit" -> (qUcbBandit(_, _)),
     "q_als_step" -> (qAlsStep(_, _)),
     "q_seasonal_profile" -> (qSeasonalProfile(_, _)),
     "q_mutual_information" -> (qMutualInformation(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_active_learning_margin" -> qActiveLearningMarginSql,
     "q_ucb_bandit" -> qUcbBanditSql,
     "q_als_step" -> qAlsStepSql,
     "q_seasonal_profile" -> qSeasonalProfileSql,

@@ -354,7 +354,99 @@ object Similarity3 {
        |SELECT vec_id, label, cosine FROM scored
        |WHERE cosine >= $FilterThreshold ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------- ann_recall_curve
+
+  private val RcProbes = Seq(1, 2, 4)
+
+  /** Recall-vs-nProbe tuning curve — THE readout an IVF deployment is
+    * tuned with (the FAISS benchmark plot): for each probe budget,
+    * recall@K of the IVF search against the brute-force truth. One
+    * pass, not one search per budget: every corpus vector carries its
+    * cell's PROBE RANK (the position of its cell in the query-cosine
+    * ordering of centroids — a ≤max(nProbe)-row ranked list off a
+    * global top-k, so the partition-less rank window sits over a
+    * GlobalLimit, the gate-legal shape), and budget np's candidate set
+    * is simply `cell_rank ≤ np`. Per-budget top-K runs on the native
+    * [[graft.plans.GroupedTopK]] heap keyed by the budget; truth is
+    * [[Similarity.annBrute]]'s ids. At 100 TB the sweep costs one
+    * corpus scan + Σ|probed cells| candidate rows — the same work as
+    * the largest single budget.
+    */
+  def annRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    val maxNp = RcProbes.max
+    val e = Similarity.withNorm(s, Tables(s, dir, "embeddings"))
+    val centroids = e.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val cells = Similarity.assignCells(e, centroids)
+    val q = cells.where(col("vec_id") === QueryId)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val probeRank = centroids.crossJoin(broadcast(q))
+      .select(col("cid"),
+        (expr("graft_dot_f(ce, qe)") / (col("cn") * col("qn"))).as("cos_q"))
+      .orderBy(desc("cos_q"), asc("cid")).limit(maxNp)
+      .withColumn("cell_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("cos_q"), asc("cid"))))
+      .select("cid", "cell_rank")
+    val cand = cells.join(broadcast(probeRank), cells("cell") === probeRank("cid"))
+      .where(col("vec_id") =!= QueryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell_rank"),
+        (expr("graft_dot_f(embedding, qe)") / (col("nrm") * col("qn"))).as("cosine"))
+    val sweep = cand
+      .crossJoin(broadcast(
+        s.range(1).select(explode(lit(RcProbes.map(_.toLong).toArray)).as("nprobe"))))
+      .where(col("cell_rank") <= col("nprobe"))
+    val topPerBudget = graft.plans.GroupedTopK(sweep, s,
+      Seq(col("nprobe")), col("cosine"), col("vec_id"), K)
+    val truth = Similarity.annBrute(s, dir).select("vec_id")
+    topPerBudget.join(broadcast(truth), Seq("vec_id"), "left_semi")
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("hits"))
+      .select(col("nprobe"), col("hits"), lit(K.toLong).as("k"),
+        (col("hits").cast(DoubleType) / K).as("recall_at_k"))
+      .orderBy("nprobe")
+  }
+
+  private val annRecallCurveSql = {
+    val probes = RcProbes.map(p => s"($p)").mkString(", ")
+    s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm, cell FROM (
+       |    SELECT n.vec_id, n.embedding, n.nrm, cent.cid AS cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${dotSql("n.embedding", "cent.ce")} / (n.nrm * cent.cn) DESC, cent.cid ASC) AS rk
+       |    FROM n CROSS JOIN cent) WHERE rk = 1),
+       |q AS (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = $QueryId),
+       |pr AS (
+       |  SELECT cid, row_number() OVER (ORDER BY cos_q DESC, cid ASC) AS cell_rank
+       |  FROM (
+       |    SELECT cent.cid, ${dotSql("cent.ce", "q.qe")} / (cent.cn * q.qn) AS cos_q
+       |    FROM cent CROSS JOIN q
+       |    ORDER BY cos_q DESC, cid ASC LIMIT ${RcProbes.max})),
+       |cand AS (
+       |  SELECT a.vec_id, pr.cell_rank,
+       |    ${dotSql("a.embedding", "q.qe")} / (a.nrm * q.qn) AS cosine
+       |  FROM assigned a JOIN pr ON pr.cid = a.cell CROSS JOIN q
+       |  WHERE a.vec_id <> $QueryId),
+       |budgets AS (SELECT CAST(np AS BIGINT) AS nprobe FROM (VALUES $probes) b(np)),
+       |topk AS (
+       |  SELECT nprobe, vec_id FROM (
+       |    SELECT b.nprobe, c.vec_id,
+       |      row_number() OVER (PARTITION BY b.nprobe
+       |        ORDER BY c.cosine DESC, c.vec_id ASC) AS rk
+       |    FROM cand c JOIN budgets b ON c.cell_rank <= b.nprobe)
+       |  WHERE rk <= $K),
+       |truth AS (SELECT vec_id FROM (${Similarity.annBruteSql}))
+       |SELECT t.nprobe, COUNT(*) AS hits, CAST($K AS BIGINT) AS k,
+       |  CAST(COUNT(*) AS DOUBLE) / $K AS recall_at_k
+       |FROM topk t JOIN truth u ON u.vec_id = t.vec_id
+       |GROUP BY t.nprobe ORDER BY t.nprobe""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall_curve" -> (annRecallCurve(_, _)),
     "ann_ivf_pq" -> (annIvfPq(_, _)),
     "ann_maxsim" -> (annMaxSim(_, _)),
     "ann_knn_join" -> (annKnnJoin(_, _)),
@@ -363,6 +455,7 @@ object Similarity3 {
     "ann_centroid_filter" -> (annCentroidFilter(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "ann_recall_curve" -> annRecallCurveSql,
     "ann_ivf_pq" -> annIvfPqSql,
     "ann_maxsim" -> annMaxSimSql,
     "ann_knn_join" -> annKnnJoinSql,

@@ -269,7 +269,71 @@ object TrainingOps2 {
       |    / CAST(n AS DOUBLE), 6) AS ess_ratio
       |FROM m ORDER BY source""".stripMargin
 
+  // -------------------------------------------- q_mixture_temperature
+
+  private val MixTaus = Seq(0.3, 0.5, 0.7, 1.0)
+
+  /** Temperature-based mixture-weight curve (the multilingual/domain
+    * sampling rule of XLM-R / mT5: draw from source i with probability
+    * ∝ pᵢ^τ, τ < 1 up-weighting the tail): for every τ on the grid,
+    * each source's normalized sampling weight and its upsampling
+    * factor weight/pᵢ — the whole tuning table a data-mixing run picks
+    * its τ from, in one pass. Exactness: pᵢ is one division of exact
+    * BIGINTs; pow() is the only libm call and is rounded to 9 dp
+    * immediately (the ta_ngram_lm rule); the per-τ normalizer folds
+    * the source-sorted term list SEQUENTIALLY (dimension-sized group —
+    * the NOTES #35 idiom), so partition order cannot perturb it.
+    * Shapes: one keyed aggregate over the corpus, then everything is
+    * |sources|·|τ|-sized — broadcast-scale at 100 TB.
+    */
+  def qMixtureTemperature(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables(s, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("tokens"))
+    val tot = bySrc.agg(sum("tokens").as("all_tok"))
+    val raw = bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"),
+        (col("tokens").cast(DoubleType) / col("all_tok")).as("p"))
+      .crossJoin(broadcast(s.range(1)
+        .select(explode(lit(MixTaus.toArray)).as("tau"))))
+      .select(col("source"), col("tau"), col("tokens"), col("p"),
+        round(pow(col("p"), col("tau")), 9).as("w_raw"))
+    val z = raw.groupBy("tau")
+      .agg(sort_array(collect_list(struct(col("source"), col("w_raw").as("term"))))
+        .as("l"))
+      .select(col("tau").as("zt"),
+        expr("aggregate(l, CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)").as("z"))
+    raw.join(broadcast(z), col("tau") === col("zt"))
+      .select(col("source"), col("tau"), col("tokens"),
+        round(col("w_raw") / col("z"), 6).as("weight"),
+        round(col("w_raw") / col("z") / col("p"), 6).as("upsample"))
+      .orderBy("source", "tau")
+  }
+
+  private val qMixtureTemperatureSql = {
+    val taus = MixTaus.map(t => s"($t)").mkString(", ")
+    s"""WITH s AS (
+       |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY source),
+       |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS all_tok FROM s),
+       |g AS (SELECT CAST(tau AS DOUBLE) AS tau FROM (VALUES $taus) v(tau)),
+       |raw AS (
+       |  SELECT s.source, g.tau, s.tokens,
+       |    CAST(s.tokens AS DOUBLE) / t.all_tok AS p,
+       |    round(pow(CAST(s.tokens AS DOUBLE) / t.all_tok, g.tau), 9) AS w_raw
+       |  FROM s CROSS JOIN t CROSS JOIN g),
+       |z AS (
+       |  SELECT tau AS zt, list_aggregate(array_agg(w_raw ORDER BY source), 'sum') AS z
+       |  FROM raw GROUP BY tau)
+       |SELECT r.source, r.tau, r.tokens,
+       |  round(r.w_raw / z.z, 6) AS weight,
+       |  round(r.w_raw / z.z / r.p, 6) AS upsample
+       |FROM raw r JOIN z ON z.zt = r.tau
+       |ORDER BY source, tau""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mixture_temperature" -> (qMixtureTemperature(_, _)),
     "q_ess" -> (qEffectiveSampleSize(_, _)),
     "q_domain_cap" -> (qDomainCap(_, _)),
     "q_domain_mix" -> (qDomainMix(_, _)),
@@ -278,6 +342,7 @@ object TrainingOps2 {
     "q_outlier_trim" -> (qOutlierTrim(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_mixture_temperature" -> qMixtureTemperatureSql,
     "q_ess" -> qEffectiveSampleSizeSql,
     "q_domain_cap" -> qDomainCapSql,
     "q_domain_mix" -> qDomainMixSql,

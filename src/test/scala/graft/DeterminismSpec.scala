@@ -86,7 +86,10 @@ class DeterminismSpec extends SparkSuite {
     "mm_keyframes", "mm_cross_contam",
     // round-11b: quantized per-dim variance/mean folds; bucket-rate
     // quantized stratification; first-reject keyed argmin
-    "q_grad_noise_scale", "q_length_debiased_winrate", "q_spec_decode_accept")
+    "q_grad_noise_scale", "q_length_debiased_winrate", "q_spec_decode_accept",
+    // round-11c: per-budget GroupedTopK over double cosines; τ-sorted
+    // normalizer folds; negated-margin heap selection
+    "ann_recall_curve", "q_mixture_temperature", "q_active_learning_margin")
 
   test("results are identical under different shuffle partitionings") {
     val conf = spark.conf

@@ -14,7 +14,7 @@ class SqlParitySpec extends SparkSuite {
   /** Every oracle whose SQL text runs UNCHANGED on spark.sql (with the
     * [[graft.functions.SqlCompat]] DuckDB-dialect alias pack
     * registered) with row-identical results — probed exhaustively by
-    * SqlParityProbe, 258 of 327 as of round 11 (the round's multimodal
+    * SqlParityProbe, 259 of 330 as of round 11 (the round's multimodal
     * wave landed mm_keyframes and mm_exif_quarantine directly on the
     * list; mm_cross_contam stays off on the AS MATERIALIZED rewrite its
     * thrice-referenced fingerprint CTE needs, like mm_joint_dedup; and
@@ -42,7 +42,7 @@ class SqlParitySpec extends SparkSuite {
     * literal `strftime`, `list_contains`/`list_max` — and the round-10
     * rewrites off `s[1]` subscripts onto
     * `generate_series`/`list_extract` brought the ann/embedding and
-    * ta_* families.) The remaining 69 stay off (among them the round-11b wave's q_grad_noise_scale, whose oracle needs DuckDB's correlated lateral unnest; its siblings q_spec_decode_accept and q_length_debiased_winrate pin directly) for dialect reasons the
+    * ta_* families.) The remaining 71 stay off (among them the round-11b wave's q_grad_noise_scale, whose oracle needs DuckDB's correlated lateral unnest; its siblings q_spec_decode_accept and q_length_debiased_winrate pin directly) for dialect reasons the
     * pack deliberately does not paper over: raw 1-based `l[i]`
     * subscripts where the bracket FORM is the query's point
     * (q_array_funcs) or the struct-positional variant (dd_chunk_ledger's
@@ -58,7 +58,7 @@ class SqlParitySpec extends SparkSuite {
     */
   private val ansiOracles = Seq(
     "ann_brute", "ann_ivf", "ann_ivf_pq", "ann_matryoshka", "ann_maxsim", "ann_ndcg", "ann_pq", "ann_range_search",
-    "ann_recall_eval", "dd_bag_dedup", "dd_containment",
+    "ann_recall_curve", "ann_recall_eval", "dd_bag_dedup", "dd_containment",
     "dd_edit_distance", "dd_embed_cosine", "dd_exact", "dd_incremental",
     "dd_minhash_lsh", "dd_ngram_jaccard", "dd_prefix_dup", "dd_semantic", "dd_simhash",
     "dd_substring", "dd_supershingle", "dd_threshold_curve", "dd_url_dedup",
