@@ -97,7 +97,24 @@ object SqlCompat {
     "range" -> (es => Sequence(es(0), Subtract(es(1), Literal(1)), None)),
     "generate_series" -> (es => Sequence(es(0), es(1), es.lift(2))),
     "list_distinct" -> (es => ArrayDistinct(es.head)),
-    "list_sort" -> (es => SortArray(es.head, Literal(true))),
+    // DuckDB's optional direction argument: only the literal
+    // 'ASC'/'DESC' spellings map (DuckDB also takes a null-order
+    // argument — no Spark twin, must fail loudly, not approximate)
+    "list_sort" -> { es =>
+      val asc = es.lift(1) match {
+        case None => true
+        case Some(Literal(s: UTF8String, StringType))
+            if s.toString.equalsIgnoreCase("ASC") => true
+        case Some(Literal(s: UTF8String, StringType))
+            if s.toString.equalsIgnoreCase("DESC") => false
+        case Some(other) => throw new IllegalArgumentException(
+          s"list_sort alias: unsupported direction argument '$other' " +
+            "(only literal 'ASC'/'DESC' map to Spark's sort_array)")
+      }
+      require(es.size <= 2,
+        "list_sort alias: DuckDB's null-order argument has no Spark twin")
+      SortArray(es.head, Literal(asc))
+    },
     "list_filter" -> (es => ArrayFilter(es(0), es(1))),
     "regexp_split_to_array" -> (es => StringSplit(es(0), es(1), Literal(-1))),
     // DuckDB's 1-arg encode(v) is to-UTF-8; pass through to Spark's
@@ -118,6 +135,11 @@ object SqlCompat {
     // DuckDB bin(x) → binary string; Spark spells it conv(x, 10, 2)
     "bin" -> (es => Conv(Cast(es.head, StringType), Literal(10), Literal(2))),
     "regexp_matches" -> (es => RLike(es(0), es(1))),
+    // (No date_diff alias is POSSIBLE: Spark's analyzer resolves
+    // builtin names before session temp functions, so the 3-arg quoted
+    // DuckDB form can never reach a registered bridge — verified
+    // empirically; day-count oracles route through the polymorphic
+    // epoch_ms + divide spelling instead.)
     "json_extract_string" -> (es => GetJsonObject(es(0), es(1))),
     // DuckDB's named spelling of `//`: integer division truncating
     // toward zero — exactly Spark's `div` (IntegralDivide). The named
@@ -134,11 +156,28 @@ object SqlCompat {
     // DuckDB's array_slice(l, a, b) IS the `l[a:b]` slice's named
     // spelling (1-based, END-inclusive, both bounds clamped) — Spark's
     // slice(l, start, LENGTH) has the same 1-based start and the same
-    // overrun clamp, so end-inclusive maps to length = b − a + 1. The
+    // overrun clamp, so end-inclusive maps to length = b − a + 1,
+    // floored at 0 so DuckDB's empty-list result for b < a carries
+    // over (Spark's Slice throws on negative length). DuckDB's
+    // negative from-the-end bounds have NO Spark twin: literal
+    // negative/zero starts fail loudly at bind time; non-literal
+    // bounds keep the documented positive-in-range contract. The
     // bracket slice itself parses as VARIANT access on Spark, which is
     // why the cdc/span/subvector oracles spell it through this name.
-    "array_slice" -> (es =>
-      Slice(es(0), es(1), Add(Subtract(es(2), es(1)), Literal(1)))),
+    "array_slice" -> { es =>
+      def litNonPositive(e: Expression, allowZero: Boolean): Boolean = e match {
+        case Literal(v: Number, _) =>
+          if (allowZero) v.longValue < 0L else v.longValue <= 0L
+        case UnaryMinus(Literal(v: Number, _), _) => v.longValue != 0L
+        case _ => false
+      }
+      require(!litNonPositive(es(1), allowZero = false) &&
+          !litNonPositive(es(2), allowZero = true),
+        "array_slice alias: DuckDB's negative from-the-end bounds have " +
+          "no Spark twin — only positive 1-based bounds map")
+      Slice(es(0), es(1),
+        Greatest(Seq(Literal(0), Add(Subtract(es(2), es(1)), Literal(1)))))
+    },
     // DuckDB's named list constructor (the `['a', 'b']` literal's
     // function spelling) IS Spark's array()
     "list_value" -> (es => CreateArray(es)),

@@ -25,8 +25,11 @@ object EvalOps4 {
     * join — dimension-sized — left-joined to the observed counts; all
     * inputs to the statistic are exact integer counts, and the final
     * ≤ dozen-term double reduction is a SEQUENTIAL fold over the
-    * (row, col)-sorted cell list (the dot-product oracle's idiom), so
-    * partition order cannot perturb the sum on either engine.
+    * VALUE-sorted term list — the order is defined by the summands
+    * themselves (bit-identical doubles on both engines), so partition
+    * order cannot perturb the sum AND the oracle spells the same fold
+    * in shared dialect (`list_aggregate(list_sort(array_agg(term)),
+    * 'sum')`), keeping the statement parity-pinned on spark.sql.
     */
   def qChi2Independence(s: SparkSession, dir: String): DataFrame = {
     val obs = Tables(s, dir, "lineitem")
@@ -41,14 +44,12 @@ object EvalOps4 {
     val grid = rows.crossJoin(cols)
       .join(obs, Seq("l_returnflag", "l_linestatus"), "left")
       .crossJoin(broadcast(tot))
-      .select(col("n"), col("r"), col("c"), col("l_returnflag"),
-        col("l_linestatus"), (pow(od - e, 2) / e).as("term"))
+      .select(col("n"), col("r"), col("c"), (pow(od - e, 2) / e).as("term"))
     grid
       .groupBy("n", "r", "c")
-      .agg(sort_array(collect_list(struct(col("l_returnflag"),
-        col("l_linestatus"), col("term")))).as("cells"))
+      .agg(sort_array(collect_list(col("term"))).as("cells"))
       .select(col("n"), col("r"), col("c"),
-        expr("aggregate(cells, CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)")
+        expr("aggregate(cells, CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
           .as("chi2"))
       .select(col("n"), col("r"), col("c"),
         ((col("r") - 1) * (col("c") - 1)).as("dof"),
@@ -76,7 +77,7 @@ object EvalOps4 {
       |  CROSS JOIN tot t),
       |agg AS (
       |  SELECT n, r, c,
-      |    list_aggregate(array_agg(term ORDER BY rf, ls), 'sum') AS chi2
+      |    list_aggregate(list_sort(array_agg(term)), 'sum') AS chi2
       |  FROM grid GROUP BY 1, 2, 3)
       |SELECT n, r, c, (r - 1) * (c - 1) AS dof, round(chi2, 6) AS chi2,
       |  round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v

@@ -165,9 +165,11 @@ object MiningOps {
        |    ${dotSql("tr.embedding", "t.qe")} / (tr.nrm * t.qn) AS cosine
        |  FROM train tr CROSS JOIN test t),
        |topk AS (
-       |  SELECT qid, nbr, nbr_label FROM pairs
-       |  QUALIFY row_number() OVER (PARTITION BY qid
-       |    ORDER BY cosine DESC, nbr ASC) <= $KnnK),
+       |  SELECT qid, nbr, nbr_label FROM (
+       |    SELECT qid, nbr, nbr_label, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, nbr ASC) AS rk
+       |    FROM pairs) rp
+       |  WHERE rk <= $KnnK),
        |votes AS (
        |  SELECT qid, nbr_label, COUNT(*) AS votes FROM topk GROUP BY 1, 2),
        |pred AS (
@@ -233,11 +235,12 @@ object MiningOps {
        |    ${dotSql("tr.embedding", "t.qe")} / (tr.nrm * t.qn) AS cosine
        |  FROM train tr CROSS JOIN test t),
        |ranked AS (
-       |  SELECT qid, nbr_label,
-       |    CAST(row_number() OVER (PARTITION BY qid
-       |      ORDER BY cosine DESC, nbr ASC) AS BIGINT) AS rnk
-       |  FROM pairs
-       |  QUALIFY rnk <= $KnnK),
+       |  SELECT qid, nbr_label, rnk FROM (
+       |    SELECT qid, nbr_label,
+       |      CAST(row_number() OVER (PARTITION BY qid
+       |        ORDER BY cosine DESC, nbr ASC) AS BIGINT) AS rnk
+       |    FROM pairs) rp
+       |  WHERE rnk <= $KnnK),
        |fh AS (
        |  SELECT r.qid, CAST(MIN(r.rnk) AS BIGINT) AS first_rank
        |  FROM ranked r JOIN test t USING (qid)
@@ -337,9 +340,11 @@ object MiningOps {
        |  JOIN e l ON a.vec_id = l.vec_id
        |  WHERE a.vec_id % $TestMod <> 0),
        |topk AS (
-       |  SELECT qid, nbr, nbr_label FROM cand
-       |  QUALIFY row_number() OVER (PARTITION BY qid
-       |    ORDER BY cosine DESC, nbr ASC) <= $KnnK),
+       |  SELECT qid, nbr, nbr_label FROM (
+       |    SELECT qid, nbr, nbr_label, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, nbr ASC) AS rk
+       |    FROM cand) rc
+       |  WHERE rk <= $KnnK),
        |votes AS (
        |  SELECT qid, nbr_label, COUNT(*) AS votes FROM topk GROUP BY 1, 2),
        |pred AS (

@@ -146,12 +146,14 @@ object PackOps {
         (col("tok").cast(DoubleType) / col("all_tok")).as("p0"),
         (col("dst").cast(DoubleType) / col("tok")).as("loss"))
     // the two global double reductions over the domain frame fold the
-    // source-sorted term list SEQUENTIALLY (the dot-product oracle's
-    // idiom) so partition order can't perturb the sum on either engine
+    // VALUE-sorted term list SEQUENTIALLY — the order is the summands
+    // themselves, so partition order can't perturb the sum on either
+    // engine, and the oracle spells the identical fold in shared
+    // dialect (list_aggregate(list_sort(array_agg(term)), 'sum')),
+    // keeping the statement parity-pinned on spark.sql
     def foldSum(df: DataFrame, term: org.apache.spark.sql.Column, as: String) =
-      df.agg(sort_array(collect_list(struct(col("source"), term.as("term"))))
-          .as("l"))
-        .select(expr("aggregate(l, CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)")
+      df.agg(sort_array(collect_list(term)).as("l"))
+        .select(expr("aggregate(l, CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
           .as(as))
     val mu = foldSum(base, col("p0") * col("loss"), "mu")
     val tilted = base.crossJoin(broadcast(mu))
@@ -176,12 +178,12 @@ object PackOps {
       |    CAST(tok AS DOUBLE) / (SELECT SUM(tok) FROM d) AS p0,
       |    CAST(dst AS DOUBLE) / tok AS loss
       |  FROM d),
-      |mu AS (SELECT list_aggregate(array_agg(p0 * loss ORDER BY source), 'sum')
+      |mu AS (SELECT list_aggregate(list_sort(array_agg(p0 * loss)), 'sum')
       |         AS mu FROM base),
       |t AS (SELECT source, p0, loss, p0 * exp(loss - mu.mu) AS t
       |      FROM base, mu)
       |SELECT source, round(p0, 6) AS p0, round(loss, 6) AS diversity,
-      |  round(t / (SELECT list_aggregate(array_agg(t ORDER BY source), 'sum')
+      |  round(t / (SELECT list_aggregate(list_sort(array_agg(t)), 'sum')
       |             FROM t), 6) AS weight
       |FROM t ORDER BY source""".stripMargin
 

@@ -96,19 +96,22 @@ object PrefOps {
     val wtot = m.groupBy("i").agg(sum("w").as("wins"), sum("n").as("games"))
     var p = wtot.select(col("i"), lit(1.0).as("p"))
     for (_ <- 1 to BtRounds) {
-      // the denominator folds the opponent-sorted term list
-      // SEQUENTIALLY (the dot-product oracle idiom): the group is
-      // |types|-sized, so collect_list is bounded by the dimension,
-      // and partition order can't perturb the double sum
+      // the denominator folds the VALUE-sorted term list SEQUENTIALLY:
+      // the group is |types|-sized, so collect_list is bounded by the
+      // dimension; ordering by the summands themselves means partition
+      // order can't perturb the double sum AND the oracle spells the
+      // identical fold in shared dialect
+      // (list_aggregate(list_sort(array_agg(term)), 'sum')), keeping
+      // the statement parity-pinned on spark.sql
       val denom = m
         .join(p.select(col("i"), col("p").as("pi")), "i")
         .join(p.select(col("i").as("j"), col("p").as("pj")), "j")
-        .select(col("i"), col("j"),
+        .select(col("i"),
           (col("n").cast(DoubleType) / (col("pi") + col("pj"))).as("term"))
         .groupBy("i")
-        .agg(sort_array(collect_list(struct(col("j"), col("term")))).as("l"))
+        .agg(sort_array(collect_list(col("term"))).as("l"))
         .select(col("i"),
-          expr("aggregate(l, CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)")
+          expr("aggregate(l, CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
             .as("denom"))
       p = wtot.join(denom, "i")
         .select(col("i"),
@@ -127,8 +130,8 @@ object PrefOps {
          |  SELECT w.i, CASE WHEN w.wins = 0 THEN CAST(0 AS DOUBLE)
          |    ELSE CAST(w.wins AS DOUBLE) / d.denom END AS p
          |  FROM wtot w JOIN (
-         |    SELECT m.i, list_aggregate(array_agg(
-         |        CAST(m.n AS DOUBLE) / (pi.p + pj.p) ORDER BY m.j), 'sum') AS denom
+         |    SELECT m.i, list_aggregate(list_sort(array_agg(
+         |        CAST(m.n AS DOUBLE) / (pi.p + pj.p))), 'sum') AS denom
          |    FROM m JOIN $prev pi ON pi.i = m.i
          |           JOIN $prev pj ON pj.i = m.j
          |    GROUP BY m.i) d ON d.i = w.i)""".stripMargin

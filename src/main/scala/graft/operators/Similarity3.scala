@@ -294,8 +294,11 @@ object Similarity3 {
        |    ${dotSql("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) AS cosine
        |  FROM assigned aa JOIN assigned bb ON aa.cell = bb.cell AND aa.vec_id <> bb.vec_id
        |  JOIN n na ON aa.vec_id = na.vec_id JOIN n nb ON bb.vec_id = nb.vec_id)
-       |SELECT vec_id, nbr, cosine FROM pairs
-       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr ASC) <= $KnnK
+       |SELECT vec_id, nbr, cosine FROM (
+       |  SELECT vec_id, nbr, cosine,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr ASC) AS rk
+       |  FROM pairs) ranked
+       |WHERE rk <= $KnnK
        |ORDER BY vec_id ASC, cosine DESC, nbr ASC""".stripMargin
 
   // --------------------------------------------------- centroid filter

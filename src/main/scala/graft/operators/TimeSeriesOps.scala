@@ -649,7 +649,7 @@ object TimeSeriesOps {
   private val qTheilSenSql =
     """WITH daily AS (
       |  SELECT event_type,
-      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+      |    divide(epoch_ms(CAST(CAST(ts AS DATE) AS TIMESTAMP)), 86400000) AS d,
       |    COUNT(*) AS cnt
       |  FROM events GROUP BY 1, 2),
       |pairs AS (

@@ -225,9 +225,12 @@ object TrainingOps2 {
   private val qDomainCapSql = {
     val h = PortableHash.sql("'cap:' || CAST(doc_id AS STRING)") +
       " % 1125899906842624"
-    s"""SELECT doc_id, source, lang, n_chars FROM documents
-       |QUALIFY row_number() OVER (PARTITION BY source ORDER BY $h ASC, doc_id ASC)
-       |  <= $DomainCap
+    s"""SELECT doc_id, source, lang, n_chars FROM (
+       |  SELECT doc_id, source, lang, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY $h ASC, doc_id ASC)
+       |      AS rk
+       |  FROM documents) ranked
+       |WHERE rk <= $DomainCap
        |ORDER BY source, doc_id""".stripMargin
   }
 
@@ -281,8 +284,10 @@ object TrainingOps2 {
     * its τ from, in one pass. Exactness: pᵢ is one division of exact
     * BIGINTs; pow() is the only libm call and is rounded to 9 dp
     * immediately (the ta_ngram_lm rule); the per-τ normalizer folds
-    * the source-sorted term list SEQUENTIALLY (dimension-sized group —
-    * the NOTES #35 idiom), so partition order cannot perturb it.
+    * the VALUE-sorted term list SEQUENTIALLY (dimension-sized group —
+    * the NOTES #35 idiom; ordering by the summands themselves lets the
+    * oracle spell the identical fold in shared dialect and stay
+    * parity-pinned), so partition order cannot perturb it.
     * Shapes: one keyed aggregate over the corpus, then everything is
     * |sources|·|τ|-sized — broadcast-scale at 100 TB.
     */
@@ -299,10 +304,9 @@ object TrainingOps2 {
       .select(col("source"), col("tau"), col("tokens"), col("p"),
         round(pow(col("p"), col("tau")), 9).as("w_raw"))
     val z = raw.groupBy("tau")
-      .agg(sort_array(collect_list(struct(col("source"), col("w_raw").as("term"))))
-        .as("l"))
+      .agg(sort_array(collect_list(col("w_raw"))).as("l"))
       .select(col("tau").as("zt"),
-        expr("aggregate(l, CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)").as("z"))
+        expr("aggregate(l, CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("z"))
     raw.join(broadcast(z), col("tau") === col("zt"))
       .select(col("source"), col("tau"), col("tokens"),
         round(col("w_raw") / col("z"), 6).as("weight"),
@@ -323,7 +327,7 @@ object TrainingOps2 {
        |    round(pow(CAST(s.tokens AS DOUBLE) / t.all_tok, g.tau), 9) AS w_raw
        |  FROM s CROSS JOIN t CROSS JOIN g),
        |z AS (
-       |  SELECT tau AS zt, list_aggregate(array_agg(w_raw ORDER BY source), 'sum') AS z
+       |  SELECT tau AS zt, list_aggregate(list_sort(array_agg(w_raw)), 'sum') AS z
        |  FROM raw GROUP BY tau)
        |SELECT r.source, r.tau, r.tokens,
        |  round(r.w_raw / z.z, 6) AS weight,

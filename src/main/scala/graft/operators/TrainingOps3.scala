@@ -389,10 +389,14 @@ object TrainingOps3 {
   }
 
   private val qGradNoiseScaleSql =
-    s"""WITH v AS (
+    s"""WITH mx AS (
+       |  SELECT CAST(max(len(embedding)) AS BIGINT) AS m FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, m)) AS i FROM mx),
+       |v AS (
        |  SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS INT) AS d,
        |    CAST(list_extract(embedding, CAST(i AS INTEGER)) AS DOUBLE) AS x
-       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)),
+       |  FROM embeddings CROSS JOIN dims
+       |  WHERE i <= len(embedding)),
        |perdim AS (
        |  SELECT label, d, COUNT(*) AS n,
        |    CAST(SUM(CAST(floor(x * $GnsQ) AS BIGINT)) AS BIGINT) AS s1q,

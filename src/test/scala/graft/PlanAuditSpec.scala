@@ -214,17 +214,30 @@ class PlanAuditSpec extends SparkSuite {
       case j: BroadcastNestedLoopJoinExec =>
         narrowThroughBroadcast(if (j.buildSide == BuildLeft) j.right else j.left, sawBJ = true)
       case leaf if leaf.children.isEmpty =>
-        // mirror the rule's count-based width test: a leaf is narrow
-        // only when its partitioning is unshuffled AND its partition
-        // count is below the session target — a warehouse-scale scan
-        // (or a cache of one) with hundreds of splits is exactly the
-        // parallelism the kernel wants
+        // mirror the rule's width test: a leaf is narrow only when its
+        // estimated width is below the session target — a
+        // warehouse-scale scan (or a cache of one) with hundreds of
+        // splits is exactly the parallelism the kernel wants. File
+        // scans report UnknownPartitioning(0), so their width comes
+        // from the rule's own byte-based split estimate
+        // (relation size / filesMaxPartitionBytes), NOT from
+        // outputPartitioning — otherwise every file-scan leaf counts
+        // as narrow regardless of size and a genuinely wide scan
+        // streamed through a broadcast join would false-positive.
         val target = math.max(sc.sparkContext.defaultParallelism,
           sc.sessionState.conf.numShufflePartitions)
-        sawBJ && (leaf.outputPartitioning match {
-          case _: HashPartitioning | _: RangePartitioning |
-               _: RoundRobinPartitioning => false
-          case p => p.numPartitions < target
+        sawBJ && (leaf match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            val maxSplit =
+              math.max(1L, sc.sessionState.conf.filesMaxPartitionBytes)
+            val splits = math.max(1L,
+              (f.relation.location.sizeInBytes + maxSplit - 1) / maxSplit)
+            splits < target
+          case _ => leaf.outputPartitioning match {
+            case _: HashPartitioning | _: RangePartitioning |
+                 _: RoundRobinPartitioning => false
+            case p => p.numPartitions < target
+          }
         })
       case other => other.children.exists(narrowThroughBroadcast(_, sawBJ))
     }

@@ -25,6 +25,17 @@ class RegistrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
+  test("COVERAGE.md's documented query count matches the registry") {
+    // the inventory doc is hand-synced and drifted twice (r10, r11);
+    // this pins the headline "All N queries" number to the registry
+    val text = scala.io.Source.fromFile("COVERAGE.md", "UTF-8").mkString
+    val m = """All (\d+) queries""".r.findFirstMatchIn(text)
+    assert(m.isDefined, "COVERAGE.md no longer states 'All N queries'")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"COVERAGE.md documents ${m.get.group(1)} queries but the registry " +
+        s"has ${SparkEntry.queries.size} — update COVERAGE.md")
+  }
+
   test("no module silently shadows another module's query name") {
     val all = Seq(
       operators.HfpPipeline.queries, operators.Analytics.queries,

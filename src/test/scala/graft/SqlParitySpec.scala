@@ -14,117 +14,120 @@ class SqlParitySpec extends SparkSuite {
   /** Every oracle whose SQL text runs UNCHANGED on spark.sql (with the
     * [[graft.functions.SqlCompat]] DuckDB-dialect alias pack
     * registered) with row-identical results — probed exhaustively by
-    * SqlParityProbe, 259 of 330 as of round 11 (the round's multimodal
-    * wave landed mm_keyframes and mm_exif_quarantine directly on the
-    * list; mm_cross_contam stays off on the AS MATERIALIZED rewrite its
-    * thrice-referenced fingerprint CTE needs, like mm_joint_dedup; and
-    * the slicing class — ann_pq/ann_ivf_pq/ann_maxsim/ann_matryoshka's
-    * subvectors, dd_substring/ta_novelty/ta_contamination's token
-    * windows, dd_prefix_dup's prefix — moved on by respelling
-    * `l[a:b]` as DuckDB's own named form `array_slice(l, a, b)`, which
-    * SqlCompat maps to Spark's `slice(l, a, b − a + 1)`: same 1-based
-    * end-inclusive clamped semantics, name-for-name).
-    * The core round-11 jump (205 → 246, +41 with none lost) came from
-    * one change:
-    * [[graft.functions.PortableHash.sql]] now renders the 60-bit hash
-    * as a per-digit `instr`/`substr` fold with decimal BIGINT weights
-    * instead of DuckDB's `CAST('0x…' AS BIGINT)` hex cast — a cast
-    * FORM no name alias could bridge, which had kept every
-    * hash-partitioned oracle off the list. That single seam carried
-    * the whole sketch-dedup family (minhash/simhash/winnowing/
-    * supershingle/ngram-jaccard/containment/incremental/edit-distance/
-    * threshold-curve), the sampling family (hash/weighted/stratified/
-    * group/reservoir-adjacent splits, train_split, synth_sample), the
-    * geo family (cells/speed/trajectory/spatial_join/nearest_stop),
-    * q_entity_resolve's full deletion-neighborhood chain, and the
-    * audio/CLIP mm_* fingerprints onto the list. (Earlier waves:
-    * the round-9 dialect bridge — `divide()`, polymorphic `epoch_ms`,
-    * literal `strftime`, `list_contains`/`list_max` — and the round-10
-    * rewrites off `s[1]` subscripts onto
-    * `generate_series`/`list_extract` brought the ann/embedding and
-    * ta_* families.) The remaining 71 stay off (among them the round-11b wave's q_grad_noise_scale, whose oracle needs DuckDB's correlated lateral unnest; its siblings q_spec_decode_accept and q_length_debiased_winrate pin directly) for dialect reasons the
-    * pack deliberately does not paper over: raw 1-based `l[i]`
+    * SqlParityProbe, 271 of 330 as of round 12. The round-12 wave
+    * (+12, none lost) fell to four seams:
+    *
+    *  - QUALIFY (q_domain_cap, ann_knn_join, q_knn_classify, q_mrr,
+    *    q_knn_ivf) — pure syntactic sugar over a ranked subquery;
+    *    the oracles now spell the portable ANSI nested-select form.
+    *  - aggregate-ORDER-BY folds (q_chi2_independence,
+    *    q_domain_reweight, q_mixture_temperature, q_bradley_terry) —
+    *    the order-pinned double sums now fold the VALUE-sorted term
+    *    list (`list_aggregate(list_sort(array_agg(term)), 'sum')`),
+    *    which is equally deterministic (the order is the summands
+    *    themselves) and parses on both engines; the DataFrame sides
+    *    moved to the matching `sort_array(collect_list(term))` fold.
+    *  - list_sort's direction argument (q_active_learning_margin) —
+    *    SqlCompat now maps literal 'ASC'/'DESC'.
+    *  - day-count arithmetic (q_theil_sen) and correlated lateral
+    *    unnest (q_grad_noise_scale) — respelled through already-shared
+    *    forms: `divide(epoch_ms(...), 86400000)` for epoch days, and a
+    *    max-dim `generate_series` CTE cross join filtered by
+    *    `len(embedding)` for the per-dimension fan-out. (A date_diff
+    *    ALIAS is impossible: Spark resolves builtin names before temp
+    *    functions — probed empirically.)
+    *
+    * (History: round 11 reached 259 via the PortableHash decimal
+    * digit-fold rendering — which carried the sketch-dedup, sampling,
+    * geo, linkage and mm-fingerprint families — and the `array_slice`
+    * respelling of the slicing class; round 9 built the dialect bridge
+    * — `divide()`, polymorphic `epoch_ms`, literal `strftime` —
+    * and round 10 moved the `s[1]`-subscript families onto
+    * `generate_series`/`list_extract`.)
+    * The remaining 59 stay off for dialect reasons the pack
+    * deliberately does not paper over: raw 1-based `l[i]`
     * subscripts where the bracket FORM is the query's point
     * (q_array_funcs) or the struct-positional variant (dd_chunk_ledger's
-    * ROW access), parse-level syntax (QUALIFY,
-    * aggregate-ORDER-BY — q_chi2_independence/q_domain_reweight/
-    * q_bradley_terry's order-pinned double folds and the cdc/span
-    * chains' ordered list aggregation), quoted date_diff
-    * units (q_theil_sen), base64 chunking (q_encode_funcs), INTERVAL
+    * ROW access), the cdc/span chains' ordered list aggregation (the
+    * order there is SEMANTIC — document order — not a determinism
+    * device, and DuckDB's unnamed structs close the sort-struct
+    * route), base64 chunking (q_encode_funcs), INTERVAL
     * arithmetic (q_interval_arith), recursive-CTE UNION semantics (the
     * components family and q_survivorship — Spark lacks UNION-dedup
-    * recursion), and DuckDB list/variant operators with no exact Spark
-    * twin — all exercised against DuckDB by the driver instead.
+    * recursion), AS MATERIALIZED multi-referenced CTEs
+    * (mm_cross_contam, mm_joint_dedup), and DuckDB list/variant
+    * operators with no exact Spark twin — all exercised against DuckDB
+    * by the driver instead.
     */
   private val ansiOracles = Seq(
-    "ann_brute", "ann_ivf", "ann_ivf_pq", "ann_matryoshka", "ann_maxsim", "ann_ndcg", "ann_pq", "ann_range_search",
-    "ann_recall_curve", "ann_recall_eval", "dd_bag_dedup", "dd_containment",
-    "dd_edit_distance", "dd_embed_cosine", "dd_exact", "dd_incremental",
-    "dd_minhash_lsh", "dd_ngram_jaccard", "dd_prefix_dup", "dd_semantic", "dd_simhash",
-    "dd_substring", "dd_supershingle", "dd_threshold_curve", "dd_url_dedup",
-    "dd_winnowing", "hfp_cast", "hfp_dedup_anti", "hfp_dedup_bloom",
-    "hfp_dedup_within", "hfp_geo_cells", "hfp_load_day", "hfp_pipeline",
-    "hfp_route", "hfp_union", "mm_audio_fingerprint", "mm_audio_vad",
-    "mm_binary_stats", "mm_clip_filter", "mm_crop_jitter",
-    "mm_decode_features", "mm_exif_quarantine", "mm_frame_sample",
-    "mm_keyframes", "mm_mfcc",
-    "mm_modality_route", "mm_patchify", "mm_phash_buckets", "mm_resize",
-    "mm_scene_split", "q10_returned_items", "q11_important_parts",
-    "q12_priority_conditional", "q13_order_dist", "q14_promo_ratio",
-    "q15_top_supplier", "q16_supplier_counts", "q17_small_qty_revenue",
-    "q18_large_orders", "q19_disjunctive_pred", "q1_pricing_summary",
-    "q20_promo_suppliers", "q21_late_suppliers", "q22_high_balance",
-    "q2_min_cost_supplier", "q2_topk_orders", "q3_shipping_priority",
-    "q4_priority_exists", "q5_region_revenue", "q6_selective_agg",
-    "q7_bi_nation_volume", "q8_market_share", "q9_product_profit",
-    "q_ab_srm", "q_ab_test", "q_anomaly_zscore", "q_anti_join",
-    "q_assoc_rules", "q_auc", "q_autocorr", "q_benford", "q_best_of_2",
+    "ann_brute", "ann_ivf", "ann_ivf_pq", "ann_knn_join",
+    "ann_matryoshka", "ann_maxsim", "ann_ndcg", "ann_pq",
+    "ann_range_search", "ann_recall_curve", "ann_recall_eval", "dd_bag_dedup",
+    "dd_containment", "dd_edit_distance", "dd_embed_cosine", "dd_exact",
+    "dd_incremental", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_prefix_dup",
+    "dd_semantic", "dd_simhash", "dd_substring", "dd_supershingle",
+    "dd_threshold_curve", "dd_url_dedup", "dd_winnowing", "hfp_cast",
+    "hfp_dedup_anti", "hfp_dedup_bloom", "hfp_dedup_within", "hfp_geo_cells",
+    "hfp_load_day", "hfp_pipeline", "hfp_route", "hfp_union",
+    "mm_audio_fingerprint", "mm_audio_vad", "mm_binary_stats", "mm_clip_filter",
+    "mm_crop_jitter", "mm_decode_features", "mm_exif_quarantine", "mm_frame_sample",
+    "mm_keyframes", "mm_mfcc", "mm_modality_route", "mm_patchify",
+    "mm_phash_buckets", "mm_resize", "mm_scene_split", "q10_returned_items",
+    "q11_important_parts", "q12_priority_conditional", "q13_order_dist", "q14_promo_ratio",
+    "q15_top_supplier", "q16_supplier_counts", "q17_small_qty_revenue", "q18_large_orders",
+    "q19_disjunctive_pred", "q1_pricing_summary", "q20_promo_suppliers", "q21_late_suppliers",
+    "q22_high_balance", "q2_min_cost_supplier", "q2_topk_orders", "q3_shipping_priority",
+    "q4_priority_exists", "q5_region_revenue", "q6_selective_agg", "q7_bi_nation_volume",
+    "q8_market_share", "q9_product_profit", "q_ab_srm", "q_ab_test",
+    "q_active_learning_margin", "q_anomaly_zscore", "q_anti_join", "q_assoc_rules",
+    "q_auc", "q_autocorr", "q_benford", "q_best_of_2",
     "q_bfs_dist", "q_bitwise_funcs", "q_bloom_skip", "q_bootstrap_ci",
-    "q_brier_score", "q_bucketed_join", "q_calibration", "q_changepoint",
-    "q_class_balance", "q_clustering_coeff", "q_cochran_q",
-    "q_compaction_plan", "q_cond_funcs", "q_confusion_stats",
+    "q_bradley_terry", "q_brier_score", "q_bucketed_join", "q_calibration",
+    "q_changepoint", "q_chi2_independence", "q_class_balance", "q_clustering_coeff",
+    "q_cochran_q", "q_compaction_plan", "q_cond_funcs", "q_confusion_stats",
     "q_context_chunks", "q_cross_join", "q_cube", "q_curriculum",
-    "q_data_card", "q_decay_agg", "q_dedup_keep_latest",
-    "q_delta_encoding", "q_distinct_agg", "q_doc_packing", "q_domain_mix",
-    "q_dp_counts", "q_dq_checks", "q_empty_agg", "q_entity_resolve",
-    "q_entropy", "q_equidepth_bucketize", "q_ess", "q_ewma",
-    "q_feature_hash", "q_feature_quantiles", "q_fleiss_kappa",
+    "q_data_card", "q_decay_agg", "q_dedup_keep_latest", "q_delta_encoding",
+    "q_distinct_agg", "q_doc_packing", "q_domain_cap", "q_domain_mix",
+    "q_domain_reweight", "q_dp_counts", "q_dq_checks", "q_empty_agg",
+    "q_entity_resolve", "q_entropy", "q_equidepth_bucketize", "q_ess",
+    "q_ewma", "q_feature_hash", "q_feature_quantiles", "q_fleiss_kappa",
     "q_forecast_snaive", "q_forget_user", "q_full_outer_join", "q_funnel",
-    "q_gae", "q_gap_fill", "q_gd_train", "q_geo_speed", "q_geo_trajectory",
-    "q_geomean", "q_gini", "q_global_shuffle", "q_group_sample",
-    "q_grouping_sets", "q_hard_negatives", "q_hash_sample", "q_having",
-    "q_hist_quantiles", "q_histogram", "q_hll_distinct", "q_ht_estimate",
-    "q_hybrid_rrf", "q_in_subquery", "q_incr_agg", "q_incr_join",
-    "q_item_cf", "q_json_funcs", "q_k_anonymity", "q_kcore",
+    "q_gae", "q_gap_fill", "q_gd_train", "q_geo_speed",
+    "q_geo_trajectory", "q_geomean", "q_gini", "q_global_shuffle",
+    "q_grad_noise_scale", "q_group_sample", "q_grouping_sets", "q_hard_negatives",
+    "q_hash_sample", "q_having", "q_hist_quantiles", "q_histogram",
+    "q_hll_distinct", "q_ht_estimate", "q_hybrid_rrf", "q_in_subquery",
+    "q_incr_agg", "q_incr_join", "q_item_cf", "q_json_funcs",
+    "q_k_anonymity", "q_kcore", "q_knn_classify", "q_knn_ivf",
     "q_krippendorff", "q_l_diversity", "q_label_prop", "q_lateral_topn",
     "q_length_buckets", "q_length_debiased_winrate", "q_link_predict", "q_mad_outlier",
     "q_map_struct_funcs", "q_math_extended", "q_math_funcs", "q_mcnemar",
-    "q_merge_upsert", "q_mmr_select", "q_modularity",
-    "q_mutual_information", "q_nearest_stop", "q_negative_sampling",
+    "q_merge_upsert", "q_mixture_temperature", "q_mmr_select", "q_modularity",
+    "q_mrr", "q_mutual_information", "q_nearest_stop", "q_negative_sampling",
     "q_ngram_overlap", "q_not_in_subquery", "q_ohlc", "q_pad_waste",
     "q_pagerank", "q_pass_at_k", "q_path_transitions", "q_percentiles",
     "q_power_analysis", "q_pref_pairs", "q_profile", "q_psi",
     "q_quantile_norm", "q_range_join", "q_range_native", "q_rollup",
-    "q_running_distinct", "q_salted_agg", "q_salted_join",
-    "q_scalar_subquery", "q_scd2", "q_seasonal_profile", "q_semi_join",
-    "q_seq_mining", "q_seq_pack", "q_sessionize", "q_set_except",
-    "q_set_intersect", "q_shard_plan", "q_skew_profile", "q_skyline",
-    "q_snapshot_diff", "q_spatial_join", "q_spec_decode_accept", "q_split_leakage", "q_sssp",
-    "q_stats_agg", "q_stratified_kfold", "q_stratified_sample",
-    "q_string_advanced", "q_string_funcs", "q_survival", "q_synth_sample",
-    "q_tail_index", "q_target_encode", "q_temperature_scale",
-    "q_token_budget", "q_top_p_cutoff", "q_train_split",
-    "q_triangle_count", "q_trig_funcs", "q_tumbling_window", "q_typed_agg",
-    "q_typed_cogroup", "q_ucb_bandit", "q_union_distinct", "q_unpivot",
-    "q_values_lookup", "q_vocab_growth", "q_weighted_sample",
-    "q_window_dist", "q_window_first_last", "q_window_frame",
+    "q_running_distinct", "q_salted_agg", "q_salted_join", "q_scalar_subquery",
+    "q_scd2", "q_seasonal_profile", "q_semi_join", "q_seq_mining",
+    "q_seq_pack", "q_sessionize", "q_set_except", "q_set_intersect",
+    "q_shard_plan", "q_skew_profile", "q_skyline", "q_snapshot_diff",
+    "q_spatial_join", "q_spec_decode_accept", "q_split_leakage", "q_sssp",
+    "q_stats_agg", "q_stratified_kfold", "q_stratified_sample", "q_string_advanced",
+    "q_string_funcs", "q_survival", "q_synth_sample", "q_tail_index",
+    "q_target_encode", "q_temperature_scale", "q_theil_sen", "q_token_budget",
+    "q_top_p_cutoff", "q_train_split", "q_triangle_count", "q_trig_funcs",
+    "q_tumbling_window", "q_typed_agg", "q_typed_cogroup", "q_ucb_bandit",
+    "q_union_distinct", "q_unpivot", "q_values_lookup", "q_vocab_growth",
+    "q_weighted_sample", "q_window_dist", "q_window_first_last", "q_window_frame",
     "q_window_lag", "q_window_rank", "q_winsorize", "q_zipf_fit",
-    "q_zone_map", "q_zorder", "ta_bm25", "ta_bpe", "ta_cluster_topics", "ta_contamination", "ta_novelty",
-    "ta_collocations", "ta_dsir", "ta_heavy_hitters", "ta_ks_test",
-    "ta_langid_profile", "ta_nb_langid", "ta_ngram_lm", "ta_oov_rate",
-    "ta_perplexity_bucket", "ta_pii_scrub", "ta_pipeline", "ta_quality",
-    "ta_readability", "ta_repetition", "ta_sentiment", "ta_stem",
-    "ta_textrank", "ta_tfidf", "ta_tfidf_cosine", "ta_wasserstein")
+    "q_zone_map", "q_zorder", "ta_bm25", "ta_bpe",
+    "ta_cluster_topics", "ta_collocations", "ta_contamination", "ta_dsir",
+    "ta_heavy_hitters", "ta_ks_test", "ta_langid_profile", "ta_nb_langid",
+    "ta_ngram_lm", "ta_novelty", "ta_oov_rate", "ta_perplexity_bucket",
+    "ta_pii_scrub", "ta_pipeline", "ta_quality", "ta_readability",
+    "ta_repetition", "ta_sentiment", "ta_stem", "ta_textrank",
+    "ta_tfidf", "ta_tfidf_cosine", "ta_wasserstein")
 
   test("ANSI oracle SQL runs on spark.sql with identical results") {
     val s = sc
