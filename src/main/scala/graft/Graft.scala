@@ -242,6 +242,10 @@ object Graft {
     def specDecodeAcceptance(s: SparkSession, dir: String): DataFrame = operators.ServingOps.qSpecDecodeAccept(s, dir)
     def gradientNoiseScale(s: SparkSession, dir: String): DataFrame = operators.TrainingOps3.qGradNoiseScale(s, dir)
     def lengthDebiasedWinrate(s: SparkSession, dir: String): DataFrame = operators.PrefOps.qLengthDebiasedWinrate(s, dir)
+    // round-12 serving wave
+    def kvPrefixReuse(s: SparkSession, dir: String): DataFrame = operators.ServingOps2.qKvPrefixReuse(s, dir)
+    def draftLengthCurve(s: SparkSession, dir: String): DataFrame = operators.ServingOps2.qDraftLengthCurve(s, dir)
+    def routerCostQualityFrontier(s: SparkSession, dir: String): DataFrame = operators.ServingOps2.qRouterFrontier(s, dir)
   }
 
   /** Multimodal (binary-column) operators. */
