@@ -244,8 +244,10 @@ object Graft {
     def lengthDebiasedWinrate(s: SparkSession, dir: String): DataFrame = operators.PrefOps.qLengthDebiasedWinrate(s, dir)
     // round-12 serving wave
     def kvPrefixReuse(s: SparkSession, dir: String): DataFrame = operators.ServingOps2.qKvPrefixReuse(s, dir)
+    def kvDepthProfile(s: SparkSession, dir: String): DataFrame = operators.ServingOps2.qKvDepthProfile(s, dir)
     def draftLengthCurve(s: SparkSession, dir: String): DataFrame = operators.ServingOps2.qDraftLengthCurve(s, dir)
     def routerCostQualityFrontier(s: SparkSession, dir: String): DataFrame = operators.ServingOps2.qRouterFrontier(s, dir)
+    def cacheTtlCurve(s: SparkSession, dir: String): DataFrame = operators.ServingOps2.qCacheTtlCurve(s, dir)
   }
 
   /** Multimodal (binary-column) operators. */

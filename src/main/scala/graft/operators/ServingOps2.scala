@@ -275,13 +275,120 @@ object ServingOps2 {
        |FROM dom ORDER BY threshold_milli""".stripMargin
   }
 
+  // ----------------------------------------------- q_kv_depth_profile
+
+  /** KV prefix-sharing DEPTH profile — [[qKvPrefixReuse]]'s global
+    * companion readout: at each block depth i, how many prompts reach
+    * that depth and how many DISTINCT prefix blocks they fan out into —
+    * the trie-shape curve that locates where shared system-prompt
+    * prefixes end and per-request content begins (reuse ≈ 1 at shallow
+    * depths, → 0 where prompts diverge), which is what sizes the cache
+    * tier per depth. Block identity is the md5 of the whole prefix, so
+    * identical prefixes share across sources — a GLOBAL cache's view.
+    * Shapes: the same bounded block fan-out as the audit, one keyed
+    * aggregate by depth (output is max-blocks rows — data-bounded and
+    * tiny); integer counts, one final division per row.
+    */
+  def qKvDepthProfile(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents").select(split(col("text"), " ").as("t"))
+    toks
+      .select(col("t"),
+        explode(sequence(lit(0), (size(col("t")) / KvBlock).cast(IntegerType)))
+          .as("i"))
+      .where(col("i") >= 1)
+      .select(col("i").as("depth"),
+        md5(array_join(slice(col("t"), lit(1), col("i") * KvBlock), " "))
+          .as("bh"))
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n_docs_reaching"),
+        countDistinct(col("bh")).as("distinct_blocks"))
+      .select(col("depth"), col("n_docs_reaching"), col("distinct_blocks"),
+        round((col("n_docs_reaching") - col("distinct_blocks"))
+          .cast(DoubleType) / col("n_docs_reaching"), 6).as("reuse_frac"))
+      .orderBy("depth")
+  }
+
+  private val qKvDepthProfileSql =
+    s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+       |mx AS (SELECT CAST(max(divide(len(t), $KvBlock)) AS BIGINT) AS m FROM toks),
+       |blocks AS (SELECT unnest(generate_series(1, m)) AS i FROM mx),
+       |inst AS (
+       |  SELECT CAST(i AS INTEGER) AS depth,
+       |    md5(array_to_string(array_slice(t, 1, CAST(i * $KvBlock AS INTEGER)), ' ')) AS bh
+       |  FROM toks CROSS JOIN blocks
+       |  WHERE i <= divide(len(t), $KvBlock))
+       |SELECT depth, COUNT(*) AS n_docs_reaching,
+       |  CAST(COUNT(DISTINCT bh) AS BIGINT) AS distinct_blocks,
+       |  round(CAST(COUNT(*) - COUNT(DISTINCT bh) AS DOUBLE) / COUNT(*), 6)
+       |    AS reuse_frac
+       |FROM inst GROUP BY depth ORDER BY depth""".stripMargin
+
+  // ----------------------------------------------- q_cache_ttl_curve
+
+  /** Response-cache TTL grid in seconds. */
+  private val CacheTtls = Seq(60, 300, 900, 3600)
+
+  /** Response-cache TTL tuning curve: a per-user cache serves a repeat
+    * request when the SAME user's previous request arrived within the
+    * TTL (sliding expiry — each request refreshes its entry), so the
+    * hit rate at TTL t is the fraction of requests whose backward gap
+    * is ≤ t. One lag window per user computes every gap once; the TTL
+    * grid then sweeps over the gap relation (the tuning-curve pattern —
+    * ann_recall_curve / q_draft_length_curve), with the boundary
+    * INCLUSIVE (gap = TTL hits — pinned by the spec). All arithmetic
+    * is integer epoch-milliseconds; the single division per output row
+    * closes the curve. Shapes: one window partitioned by the natural
+    * key, a ×|grid| fan-out of a single BIGINT column, one keyed
+    * aggregate.
+    */
+  def qCacheTtlCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = Tables(s, dir, "events")
+      .select(col("user_id"), col("ts").cast(TimestampType).as("ts"),
+        col("event_id"))
+      .withColumn("gap_ms",
+        unix_millis(col("ts")) - unix_millis(lag("ts", 1).over(w)))
+      .select(col("gap_ms"))
+    gaps
+      .crossJoin(broadcast(s.range(1).select(
+        explode(lit(CacheTtls.map(_.toLong).toArray)).as("ttl_s"))))
+      .groupBy("ttl_s")
+      .agg(count(lit(1)).as("n_requests"),
+        sum(when(col("gap_ms").isNotNull &&
+          col("gap_ms") <= col("ttl_s") * 1000, 1L).otherwise(0L)).as("n_hits"))
+      .select(col("ttl_s"), col("n_requests"), col("n_hits"),
+        round(col("n_hits").cast(DoubleType) / col("n_requests"), 6)
+          .as("hit_rate"))
+      .orderBy("ttl_s")
+  }
+
+  private val qCacheTtlCurveSql = {
+    val grid = CacheTtls.map(t => s"($t)").mkString(", ")
+    val hit = "CASE WHEN gap_ms IS NOT NULL AND gap_ms <= ttl_s * 1000 THEN 1 ELSE 0 END"
+    s"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       |g AS (
+       |  SELECT epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id)) AS gap_ms
+       |  FROM e),
+       |t AS (SELECT CAST(t AS BIGINT) AS ttl_s FROM (VALUES $grid) v(t))
+       |SELECT ttl_s, COUNT(*) AS n_requests,
+       |  CAST(SUM($hit) AS BIGINT) AS n_hits,
+       |  round(CAST(SUM($hit) AS DOUBLE) / COUNT(*), 6) AS hit_rate
+       |FROM g CROSS JOIN t GROUP BY ttl_s ORDER BY ttl_s""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kv_prefix_reuse" -> (qKvPrefixReuse(_, _)),
+    "q_kv_depth_profile" -> (qKvDepthProfile(_, _)),
     "q_draft_length_curve" -> (qDraftLengthCurve(_, _)),
-    "q_router_frontier" -> (qRouterFrontier(_, _)))
+    "q_router_frontier" -> (qRouterFrontier(_, _)),
+    "q_cache_ttl_curve" -> (qCacheTtlCurve(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_kv_prefix_reuse" -> qKvPrefixReuseSql,
+    "q_kv_depth_profile" -> qKvDepthProfileSql,
     "q_draft_length_curve" -> qDraftLengthCurveSql,
-    "q_router_frontier" -> qRouterFrontierSql)
+    "q_router_frontier" -> qRouterFrontierSql,
+    "q_cache_ttl_curve" -> qCacheTtlCurveSql)
 }

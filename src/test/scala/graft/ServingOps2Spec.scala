@@ -41,6 +41,43 @@ class ServingOps2Spec extends SparkSuite {
       "s1" -> ((3L, 9L, 5L, 0.444444, 64L)),
       "s2" -> ((2L, 4L, 2L, 0.5, 32L)),
       "s3" -> ((1L, 0L, 0L, 0.0, 0L))), s"got: $got")
+
+    // the depth profile over the SAME corpus, global view: depths 1-2
+    // see five prompts fanning into two distinct blocks (s1's shared
+    // prefix + s2's), depth 3 is all-divergent
+    val depth = ServingOps2.qKvDepthProfile(s, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(depth == Seq((1, 5L, 2L, 0.6), (2, 5L, 2L, 0.6), (3, 3L, 3L, 0.0)),
+      s"depth profile: $depth")
+  }
+
+  test("q_cache_ttl_curve: hand-computed gaps, inclusive TTL boundary, monotone hit rate") {
+    val s = sc
+    // user 1 at t = 0 s, 30 s, 400 s, 4000 s → gaps 30 s / 370 s /
+    // 3600 s; the last gap sits EXACTLY at the largest TTL (inclusive
+    // hit). user 2 appears once (never a hit, still a request).
+    val rows = Seq((1L, 0L), (2L, 30L), (3L, 400L), (4L, 4000L), (5L, -1L))
+      .map { case (id, t) =>
+        val uid = if (t < 0) 2L else 1L
+        val at = if (t < 0) 0L else t
+        (id, new java.sql.Timestamp(1704067200000L + at * 1000L), uid, "q",
+          1.0, "{}")
+      }
+    val dir = java.nio.file.Files.createTempDirectory("cache-ttl").toString
+    s.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = ServingOps2.qCacheTtlCurve(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((60L, 5L, 1L, 0.2), (300L, 5L, 1L, 0.2),
+      (900L, 5L, 2L, 0.4), (3600L, 5L, 3L, 0.6)), s"curve: $got")
+
+    // on the real corpus the curve must be monotone nondecreasing in
+    // TTL (a longer validity window can only add hits)
+    val real = ServingOps2.qCacheTtlCurve(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).map(_._2).toSeq
+    assert(real == real.sorted,
+      s"hit counts not monotone in TTL: ${real.mkString(",")}")
   }
 
   test("q_draft_length_curve: K = 8 equals q_spec_decode_accept; acceptance monotone in K") {

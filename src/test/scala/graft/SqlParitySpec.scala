@@ -14,9 +14,9 @@ class SqlParitySpec extends SparkSuite {
   /** Every oracle whose SQL text runs UNCHANGED on spark.sql (with the
     * [[graft.functions.SqlCompat]] DuckDB-dialect alias pack
     * registered) with row-identical results — probed exhaustively by
-    * SqlParityProbe, 274 of 333 as of round 12 (the round's serving
-    * wave — q_kv_prefix_reuse, q_draft_length_curve, q_router_frontier
-    * — pins directly: pure integer arithmetic over already-bridged
+    * SqlParityProbe, 276 of 335 as of round 12 (the round's serving
+    * wave — q_kv_prefix_reuse, q_kv_depth_profile, q_draft_length_curve,
+    * q_router_frontier, q_cache_ttl_curve — pins directly: pure integer arithmetic over already-bridged
     * forms). The round-12 respelling wave (+12, none lost) fell to
     * four seams:
     *
@@ -85,53 +85,53 @@ class SqlParitySpec extends SparkSuite {
     "q_active_learning_margin", "q_anomaly_zscore", "q_anti_join", "q_assoc_rules",
     "q_auc", "q_autocorr", "q_benford", "q_best_of_2",
     "q_bfs_dist", "q_bitwise_funcs", "q_bloom_skip", "q_bootstrap_ci",
-    "q_bradley_terry", "q_brier_score", "q_bucketed_join", "q_calibration",
-    "q_changepoint", "q_chi2_independence", "q_class_balance", "q_clustering_coeff",
-    "q_cochran_q", "q_compaction_plan", "q_cond_funcs", "q_confusion_stats",
-    "q_context_chunks", "q_cross_join", "q_cube", "q_curriculum",
-    "q_data_card", "q_decay_agg", "q_dedup_keep_latest", "q_delta_encoding",
-    "q_distinct_agg", "q_doc_packing", "q_domain_cap", "q_domain_mix",
-    "q_domain_reweight", "q_dp_counts", "q_dq_checks", "q_draft_length_curve",
-    "q_empty_agg", "q_entity_resolve", "q_entropy", "q_equidepth_bucketize",
-    "q_ess", "q_ewma", "q_feature_hash", "q_feature_quantiles",
-    "q_fleiss_kappa", "q_forecast_snaive", "q_forget_user", "q_full_outer_join",
-    "q_funnel", "q_gae", "q_gap_fill", "q_gd_train",
-    "q_geo_speed", "q_geo_trajectory", "q_geomean", "q_gini",
-    "q_global_shuffle", "q_grad_noise_scale", "q_group_sample", "q_grouping_sets",
-    "q_hard_negatives", "q_hash_sample", "q_having", "q_hist_quantiles",
-    "q_histogram", "q_hll_distinct", "q_ht_estimate", "q_hybrid_rrf",
-    "q_in_subquery", "q_incr_agg", "q_incr_join", "q_item_cf",
-    "q_json_funcs", "q_k_anonymity", "q_kcore", "q_knn_classify",
-    "q_knn_ivf", "q_krippendorff", "q_kv_prefix_reuse", "q_l_diversity",
-    "q_label_prop", "q_lateral_topn", "q_length_buckets", "q_length_debiased_winrate",
-    "q_link_predict", "q_mad_outlier", "q_map_struct_funcs", "q_math_extended",
-    "q_math_funcs", "q_mcnemar", "q_merge_upsert", "q_mixture_temperature",
-    "q_mmr_select", "q_modularity", "q_mrr", "q_mutual_information",
-    "q_nearest_stop", "q_negative_sampling", "q_ngram_overlap", "q_not_in_subquery",
-    "q_ohlc", "q_pad_waste", "q_pagerank", "q_pass_at_k",
-    "q_path_transitions", "q_percentiles", "q_power_analysis", "q_pref_pairs",
-    "q_profile", "q_psi", "q_quantile_norm", "q_range_join",
-    "q_range_native", "q_rollup", "q_router_frontier", "q_running_distinct",
-    "q_salted_agg", "q_salted_join", "q_scalar_subquery", "q_scd2",
-    "q_seasonal_profile", "q_semi_join", "q_seq_mining", "q_seq_pack",
-    "q_sessionize", "q_set_except", "q_set_intersect", "q_shard_plan",
-    "q_skew_profile", "q_skyline", "q_snapshot_diff", "q_spatial_join",
-    "q_spec_decode_accept", "q_split_leakage", "q_sssp", "q_stats_agg",
-    "q_stratified_kfold", "q_stratified_sample", "q_string_advanced", "q_string_funcs",
-    "q_survival", "q_synth_sample", "q_tail_index", "q_target_encode",
-    "q_temperature_scale", "q_theil_sen", "q_token_budget", "q_top_p_cutoff",
-    "q_train_split", "q_triangle_count", "q_trig_funcs", "q_tumbling_window",
-    "q_typed_agg", "q_typed_cogroup", "q_ucb_bandit", "q_union_distinct",
-    "q_unpivot", "q_values_lookup", "q_vocab_growth", "q_weighted_sample",
-    "q_window_dist", "q_window_first_last", "q_window_frame", "q_window_lag",
-    "q_window_rank", "q_winsorize", "q_zipf_fit", "q_zone_map",
-    "q_zorder", "ta_bm25", "ta_bpe", "ta_cluster_topics",
-    "ta_collocations", "ta_contamination", "ta_dsir", "ta_heavy_hitters",
-    "ta_ks_test", "ta_langid_profile", "ta_nb_langid", "ta_ngram_lm",
-    "ta_novelty", "ta_oov_rate", "ta_perplexity_bucket", "ta_pii_scrub",
-    "ta_pipeline", "ta_quality", "ta_readability", "ta_repetition",
-    "ta_sentiment", "ta_stem", "ta_textrank", "ta_tfidf",
-    "ta_tfidf_cosine", "ta_wasserstein")
+    "q_bradley_terry", "q_brier_score", "q_bucketed_join", "q_cache_ttl_curve",
+    "q_calibration", "q_changepoint", "q_chi2_independence", "q_class_balance",
+    "q_clustering_coeff", "q_cochran_q", "q_compaction_plan", "q_cond_funcs",
+    "q_confusion_stats", "q_context_chunks", "q_cross_join", "q_cube",
+    "q_curriculum", "q_data_card", "q_decay_agg", "q_dedup_keep_latest",
+    "q_delta_encoding", "q_distinct_agg", "q_doc_packing", "q_domain_cap",
+    "q_domain_mix", "q_domain_reweight", "q_dp_counts", "q_dq_checks",
+    "q_draft_length_curve", "q_empty_agg", "q_entity_resolve", "q_entropy",
+    "q_equidepth_bucketize", "q_ess", "q_ewma", "q_feature_hash",
+    "q_feature_quantiles", "q_fleiss_kappa", "q_forecast_snaive", "q_forget_user",
+    "q_full_outer_join", "q_funnel", "q_gae", "q_gap_fill",
+    "q_gd_train", "q_geo_speed", "q_geo_trajectory", "q_geomean",
+    "q_gini", "q_global_shuffle", "q_grad_noise_scale", "q_group_sample",
+    "q_grouping_sets", "q_hard_negatives", "q_hash_sample", "q_having",
+    "q_hist_quantiles", "q_histogram", "q_hll_distinct", "q_ht_estimate",
+    "q_hybrid_rrf", "q_in_subquery", "q_incr_agg", "q_incr_join",
+    "q_item_cf", "q_json_funcs", "q_k_anonymity", "q_kcore",
+    "q_knn_classify", "q_knn_ivf", "q_krippendorff", "q_kv_depth_profile",
+    "q_kv_prefix_reuse", "q_l_diversity", "q_label_prop", "q_lateral_topn",
+    "q_length_buckets", "q_length_debiased_winrate", "q_link_predict", "q_mad_outlier",
+    "q_map_struct_funcs", "q_math_extended", "q_math_funcs", "q_mcnemar",
+    "q_merge_upsert", "q_mixture_temperature", "q_mmr_select", "q_modularity",
+    "q_mrr", "q_mutual_information", "q_nearest_stop", "q_negative_sampling",
+    "q_ngram_overlap", "q_not_in_subquery", "q_ohlc", "q_pad_waste",
+    "q_pagerank", "q_pass_at_k", "q_path_transitions", "q_percentiles",
+    "q_power_analysis", "q_pref_pairs", "q_profile", "q_psi",
+    "q_quantile_norm", "q_range_join", "q_range_native", "q_rollup",
+    "q_router_frontier", "q_running_distinct", "q_salted_agg", "q_salted_join",
+    "q_scalar_subquery", "q_scd2", "q_seasonal_profile", "q_semi_join",
+    "q_seq_mining", "q_seq_pack", "q_sessionize", "q_set_except",
+    "q_set_intersect", "q_shard_plan", "q_skew_profile", "q_skyline",
+    "q_snapshot_diff", "q_spatial_join", "q_spec_decode_accept", "q_split_leakage",
+    "q_sssp", "q_stats_agg", "q_stratified_kfold", "q_stratified_sample",
+    "q_string_advanced", "q_string_funcs", "q_survival", "q_synth_sample",
+    "q_tail_index", "q_target_encode", "q_temperature_scale", "q_theil_sen",
+    "q_token_budget", "q_top_p_cutoff", "q_train_split", "q_triangle_count",
+    "q_trig_funcs", "q_tumbling_window", "q_typed_agg", "q_typed_cogroup",
+    "q_ucb_bandit", "q_union_distinct", "q_unpivot", "q_values_lookup",
+    "q_vocab_growth", "q_weighted_sample", "q_window_dist", "q_window_first_last",
+    "q_window_frame", "q_window_lag", "q_window_rank", "q_winsorize",
+    "q_zipf_fit", "q_zone_map", "q_zorder", "ta_bm25",
+    "ta_bpe", "ta_cluster_topics", "ta_collocations", "ta_contamination",
+    "ta_dsir", "ta_heavy_hitters", "ta_ks_test", "ta_langid_profile",
+    "ta_nb_langid", "ta_ngram_lm", "ta_novelty", "ta_oov_rate",
+    "ta_perplexity_bucket", "ta_pii_scrub", "ta_pipeline", "ta_quality",
+    "ta_readability", "ta_repetition", "ta_sentiment", "ta_stem",
+    "ta_textrank", "ta_tfidf", "ta_tfidf_cosine", "ta_wasserstein")
 
   test("ANSI oracle SQL runs on spark.sql with identical results") {
     val s = sc
