@@ -26,7 +26,13 @@ object SqlParityProbe {
           val viaSql = spark.sql(sql).collect().toSeq
           val viaDf = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
           if (viaSql == viaDf) "PARITY"
-          else s"DIFFER ${viaSql.size} vs ${viaDf.size}"
+          else {
+            val firstDiff = viaSql.zip(viaDf).zipWithIndex
+              .collectFirst { case ((a, b), i) if a != b =>
+                s" first diff @$i:\n  sql=$a\n  df =$b" }
+              .getOrElse(" (length mismatch only)")
+            s"DIFFER ${viaSql.size} vs ${viaDf.size}$firstDiff"
+          }
         } catch {
           case e: Exception =>
             "ERR " + Option(e.getMessage).getOrElse("?").linesIterator

@@ -94,7 +94,9 @@ object SqlCompat {
     // probe-enforced): an empty DuckDB range (a ≥ b) would come out
     // DESCENDING from sequence — statements relying on empty ranges
     // stay off the pinned parity list.
-    "range" -> (es => Sequence(es(0), Subtract(es(1), Literal(1)), None)),
+    "range" -> (es =>
+      if (es.size == 1) Sequence(Literal(0L), Subtract(es(0), Literal(1)), None)
+      else Sequence(es(0), Subtract(es(1), Literal(1)), None)),
     "generate_series" -> (es => Sequence(es(0), es(1), es.lift(2))),
     "list_distinct" -> (es => ArrayDistinct(es.head)),
     // DuckDB's optional direction argument: only the literal
@@ -148,11 +150,45 @@ object SqlCompat {
     "divide" -> (es => IntegralDivide(es(0), es(1))),
     "list_contains" -> (es => ArrayContains(es(0), es(1))),
     "list_max" -> (es => ArrayMax(es.head)),
+    "list_concat" -> (es => Concat(es)),
+    // DuckDB's list_prepend(value, list); Spark spells it
+    // array_insert(list, 1, value)
+    "list_prepend" -> (es => ArrayInsert(es(1), Literal(1), es(0), legacyNegativeIndex = false)),
+    // DuckDB's list_reduce has NO initial-value form — the repo's
+    // oracles supply one by folding over list_prepend(init, l), and
+    // ONLY that composition maps exactly: it is Spark's
+    // aggregate(l, init, merge). Any other shape (no recoverable
+    // init) must fail loudly, not approximate.
+    "list_reduce" -> { es =>
+      es(0) match {
+        case ArrayInsert(arr, Literal(1, _), init, _) =>
+          ArrayAggregate(arr, init, es(1),
+            LambdaFunction(lv("fin"), Seq(lv("fin"))))
+        case other => throw new IllegalArgumentException(
+          "list_reduce alias: only the list_prepend(init, l) composition " +
+            s"maps to Spark's aggregate(l, init, f); got $other")
+      }
+    },
+    // DuckDB's list_position returns NULL when absent; Spark's
+    // array_position returns 0 — NULLIF maps the sentinel exactly
+    "list_position" -> { es =>
+      val pos = ArrayPosition(es(0), es(1))
+      If(EqualTo(pos, Literal(0L)), Literal(null, LongType), pos)
+    },
     // DuckDB's 1-based list subscript, by NAME: `l[i]` itself cannot be
     // bridged (Spark parses [] as 0-based extraction), but DuckDB's
     // named spelling list_extract(l, i) IS Spark's element_at — both
     // 1-based — so oracles index lists through the named form
-    "list_extract" -> (es => ElementAt(es(0), es(1))),
+    // failOnError = false: DuckDB's list_extract yields NULL for an
+    // out-of-range index where Spark's ANSI element_at throws — and
+    // index 0 (NULL on DuckDB, a hard error on Spark even with
+    // failOnError) detours through an out-of-range index so it NULLs
+    // the same way
+    "list_extract" -> { es =>
+      val idx = Add(es(1),
+        If(EqualTo(es(1), Literal(0)), Literal(2147483647), Literal(0)))
+      ElementAt(es(0), idx, failOnError = false)
+    },
     // DuckDB's array_slice(l, a, b) IS the `l[a:b]` slice's named
     // spelling (1-based, END-inclusive, both bounds clamped) — Spark's
     // slice(l, start, LENGTH) has the same 1-based start and the same
@@ -240,10 +276,28 @@ object SqlCompat {
       Percentile(es(0), es(1), Literal(1L)).toAggregateExpression()))
 
   /** Register the pack on a live session (idempotent, temp-function
-    * scope — opt-in per session, never implicit).
+    * scope — opt-in per session, never implicit). Besides the name
+    * aliases, two session settings complete the dialect: DuckDB quotes
+    * identifiers with double quotes (`"1-URGENT"` — ANSI behavior
+    * Spark gates behind a conf; no oracle uses double-quoted STRING
+    * literals, DuckDB itself would reject those), and DuckDB recursion
+    * is unbounded where Spark's recursive CTEs default to a 1M-row
+    * safety cap — raised (not removed) so dialect-legal recursive
+    * statements of test-scale depth run while a runaway still fails.
     */
-  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "built-in")
+  def register(spark: SparkSession): Unit = {
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "16000000")
+    // DuckDB string literals are RAW (no backslash processing) where
+    // Spark's default unescapes '\s' to 's' — silently mangling every
+    // regex in a shared statement; the ANSI raw-literal mode is the
+    // DuckDB behavior. And DuckDB's base64() never chunks, where this
+    // Spark build MIME-wraps at 76 chars.
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.conf.set("spark.sql.chunkBase64String.enabled", "false")
   }
 }

@@ -191,9 +191,12 @@ object AdvancedOps {
   }
 
   private val qGroupedTopKSql =
-    """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
-      |QUALIFY row_number() OVER (PARTITION BY o_custkey
-      |  ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      |  FROM orders) ranked
+      |WHERE rk <= 3
       |ORDER BY o_custkey ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin
 
   /** The same as-of semantics through the NATIVE custom operator

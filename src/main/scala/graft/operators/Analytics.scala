@@ -379,7 +379,9 @@ object Analytics {
 
   /** Argmin/argmax + ordered string aggregation. Deterministic: the
     * min_by/max_by ordering key (o_orderkey) is unique per group, and
-    * the string_agg pins an explicit ORDER BY.
+    * the status concatenation sorts the collected values first
+    * (value-sorted — the shared-dialect spelling, so the oracle runs
+    * on spark.sql too).
     */
   def qAggMisc(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "orders")
@@ -396,7 +398,7 @@ object Analytics {
       |  max_by(o_orderpriority, o_orderkey) AS latest_priority,
       |  min_by(o_orderpriority, o_orderkey) AS first_priority,
       |  max(o_orderkey) AS max_key,
-      |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+      |  array_to_string(list_sort(array_agg(o_orderstatus)), ',') AS statuses
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   /** Statistical aggregates. Both engines accumulate these in running
@@ -747,7 +749,7 @@ object Analytics {
       |  CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS TIMESTAMP) AS month_start,
       |  last_day(o_orderdate) AS month_end,
       |  CAST(o_orderdate AS DATE) + 30 AS plus30,
-      |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+      |  divide(epoch_ms(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)), 86400000) - 9131 AS days_since
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** Math family: exact ops stay raw; transcendentals (libm differs in

@@ -410,10 +410,10 @@ object Analytics2 {
 
   private val qWindowRangeFrameSql =
     """SELECT o_custkey, o_orderkey,
-      |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d,
+      |  divide(epoch_ms(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)), 86400000) - 9131 AS d,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
       |    PARTITION BY o_custkey
-      |    ORDER BY date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      |    ORDER BY divide(epoch_ms(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)), 86400000) - 9131
       |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 

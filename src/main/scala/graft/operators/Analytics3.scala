@@ -188,16 +188,16 @@ object Analytics3 {
 
   private val qArrayAdvancedSql =
     """WITH t AS (SELECT c_custkey, c_nationkey,
-      |    [c_custkey % 7, CAST(c_nationkey AS BIGINT), c_custkey % 3] AS a1,
-      |    [CAST(c_nationkey AS BIGINT), c_custkey % 5] AS a2
+      |    list_value(c_custkey % 7, CAST(c_nationkey AS BIGINT), c_custkey % 3) AS a1,
+      |    list_value(CAST(c_nationkey AS BIGINT), c_custkey % 5) AS a2
       |  FROM customer)
       |SELECT c_custkey,
       |  COALESCE(array_to_string(list_transform(list_sort(list_distinct(list_concat(a1, a2))), x -> CAST(x AS STRING)), ','), '') AS union_sorted,
       |  COALESCE(array_to_string(list_transform(list_sort(list_distinct(list_filter(a1, x -> list_contains(a2, x)))), x -> CAST(x AS STRING)), ','), '') AS intersect_sorted,
       |  CAST(len(list_distinct(list_filter(a1, x -> NOT list_contains(a2, x)))) AS BIGINT) AS except_n,
       |  list_contains(a1, c_custkey % 5) AS has_mod5,
-      |  COALESCE(array_to_string(list_transform(list_slice(a1, 2, 3), x -> CAST(x AS STRING)), ','), '') AS mid_slice,
-      |  COALESCE(array_to_string(list_transform(flatten([a1, a2]), x -> CAST(x AS STRING)), ','), '') AS flat,
+      |  COALESCE(array_to_string(list_transform(array_slice(a1, 2, 3), x -> CAST(x AS STRING)), ','), '') AS mid_slice,
+      |  COALESCE(array_to_string(list_transform(flatten(list_value(a1, a2)), x -> CAST(x AS STRING)), ','), '') AS flat,
       |  list_max(a1) AS max_elem,
       |  CAST(COALESCE(list_position(a1, CAST(c_nationkey AS BIGINT)), 0) AS BIGINT) AS nat_pos
       |FROM t ORDER BY c_custkey""".stripMargin
@@ -253,7 +253,7 @@ object Analytics3 {
       |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
       |  make_date(year(o_orderdate), month(o_orderdate), 1) AS month_floor,
       |  (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS months_since,
-      |  CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow_sun0
+      |  (divide(epoch_ms(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)), 86400000) + 4) % 7 AS dow_sun0
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** Encoding round trips: base64 over the utf-8 payload, verified by

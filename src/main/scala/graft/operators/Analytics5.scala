@@ -60,10 +60,15 @@ object Analytics5 {
       .orderBy("doc_id", "pos")
 
   private val qPosexplodeSql =
-    """SELECT doc_id,
-      |  unnest(range(len(string_split(text, ' ')))) AS pos,
-      |  unnest(string_split(text, ' ')) AS tok
-      |FROM documents WHERE doc_id < 10 ORDER BY doc_id, pos""".stripMargin
+    """WITH mx AS (
+      |  SELECT CAST(max(len(string_split(text, ' '))) AS BIGINT) AS m
+      |  FROM documents WHERE doc_id < 10),
+      |dims AS (SELECT unnest(generate_series(1, m)) AS i FROM mx)
+      |SELECT doc_id, i - 1 AS pos,
+      |  list_extract(string_split(text, ' '), CAST(i AS INTEGER)) AS tok
+      |FROM documents CROSS JOIN dims
+      |WHERE doc_id < 10 AND i <= len(string_split(text, ' '))
+      |ORDER BY doc_id, pos""".stripMargin
 
   /** Correlated LATERAL top-n: per-nation top-2 customers by balance. */
   def qLateralTopn(s: SparkSession, dir: String): DataFrame = {
@@ -156,7 +161,7 @@ object Analytics5 {
       |  regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
       |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
       |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
-      |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+      |  regexp_extract(url, '[?]([^#]*)', 1) AS query,
       |  regexp_extract(url, '[?&]status=([^&#]*)', 1) AS status_param
       |FROM u ORDER BY o_orderkey""".stripMargin
 

@@ -73,7 +73,8 @@ object Analytics6 {
     """WITH f AS (SELECT user_id, date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort
       |           FROM events GROUP BY user_id),
       |a AS (SELECT DISTINCT e.user_id, f.cohort,
-      |        datediff('week', f.cohort, date_trunc('week', CAST(e.ts AS TIMESTAMP))) AS wk
+      |        divide(epoch_ms(date_trunc('week', CAST(e.ts AS TIMESTAMP)))
+      |          - epoch_ms(f.cohort), 604800000) AS wk
       |      FROM events e JOIN f ON e.user_id = f.user_id)
       |SELECT CAST(cohort AS DATE) AS cohort_week, CAST(wk AS BIGINT) AS wk, COUNT(*) AS n_active
       |FROM a GROUP BY 1, 2 ORDER BY cohort_week, wk""".stripMargin

@@ -115,20 +115,32 @@ object CorpusOps {
   }
 
   private val qCdcChunksSql = {
-    val winExpr = s"array_to_string(d.toks[i - ${CdcW - 1}:i], ' ')"
-    s"""WITH t AS (
-       |  SELECT d.doc_id, i AS p, list_extract(d.toks, i) AS tok,
+    // greatest(): the i >= CdcW guard does not protect the slice on
+    // spark.sql — subexpression elimination hoists the hashed window
+    // out of the CASE branch, so a raw i − 3 start would throw at
+    // i < 4; the clamp keeps the expression total (and is invisible
+    // where the guard admits it, i − 3 ≥ 1)
+    val winExpr =
+      s"array_to_string(array_slice(d.toks, greatest(i - ${CdcW - 1}, 1), i), ' ')"
+    s"""WITH mx AS (
+       |  SELECT CAST(max(len(string_split(text, ' '))) AS BIGINT) AS m FROM documents),
+       |dims AS (SELECT unnest(generate_series(1, m)) AS i FROM mx),
+       |t AS (
+       |  SELECT d.doc_id, i AS p, list_extract(d.toks, CAST(i AS INTEGER)) AS tok,
        |    CASE WHEN i >= $CdcW
        |      AND ${PortableHash.sql(winExpr)} % ${CdcMask + 1} = 0
        |    THEN 1 ELSE 0 END AS cut
-       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
-       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)) d),
+       |  FROM (SELECT doc_id, toks FROM
+       |          (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)) d
+       |  CROSS JOIN dims WHERE i <= len(d.toks)),
        |c AS (SELECT doc_id, p, tok,
        |    CAST(SUM(cut) OVER (PARTITION BY doc_id ORDER BY p
        |      ROWS UNBOUNDED PRECEDING) - cut AS BIGINT) AS chunk
        |  FROM t),
        |ch AS (SELECT doc_id, chunk, COUNT(*) AS n_tok,
-       |    md5(string_agg(tok, ' ' ORDER BY p)) AS chash
+       |    md5(array_to_string(list_transform(list_sort(array_agg(
+       |      lpad(CAST(p AS STRING), 7, '0') || ':' || tok)),
+       |      s -> substr(s, 9)), ' ')) AS chash
        |  FROM c GROUP BY doc_id, chunk)
        |SELECT chash, COUNT(*) AS n_occurrences,
        |  COUNT(DISTINCT doc_id) AS n_docs, min(n_tok) AS n_tok
@@ -172,24 +184,40 @@ object CorpusOps {
   }
 
   private val ddChunkLedgerSql = {
-    val winExpr = s"array_to_string(d.toks[i - ${CdcW - 1}:i], ' ')"
-    s"""WITH t AS (
-       |  SELECT d.doc_id, i AS p, list_extract(d.toks, i) AS tok,
+    // greatest(): the i >= CdcW guard does not protect the slice on
+    // spark.sql — subexpression elimination hoists the hashed window
+    // out of the CASE branch, so a raw i − 3 start would throw at
+    // i < 4; the clamp keeps the expression total (and is invisible
+    // where the guard admits it, i − 3 ≥ 1)
+    val winExpr =
+      s"array_to_string(array_slice(d.toks, greatest(i - ${CdcW - 1}, 1), i), ' ')"
+    s"""WITH mx AS (
+       |  SELECT CAST(max(len(string_split(text, ' '))) AS BIGINT) AS m FROM documents),
+       |dims AS (SELECT unnest(generate_series(1, m)) AS i FROM mx),
+       |t AS (
+       |  SELECT d.doc_id, i AS p, list_extract(d.toks, CAST(i AS INTEGER)) AS tok,
        |    CASE WHEN i >= $CdcW
        |      AND ${PortableHash.sql(winExpr)} % ${CdcMask + 1} = 0
        |    THEN 1 ELSE 0 END AS cut
-       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
-       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)) d),
+       |  FROM (SELECT doc_id, toks FROM
+       |          (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)) d
+       |  CROSS JOIN dims WHERE i <= len(d.toks)),
        |c AS (SELECT doc_id, p, tok,
        |    CAST(SUM(cut) OVER (PARTITION BY doc_id ORDER BY p
        |      ROWS UNBOUNDED PRECEDING) - cut AS BIGINT) AS ci
        |  FROM t),
        |ch AS (SELECT doc_id, ci, COUNT(*) AS n_tok,
-       |    md5(string_agg(tok, ' ' ORDER BY p)) AS chash
+       |    md5(array_to_string(list_transform(list_sort(array_agg(
+       |      lpad(CAST(p AS STRING), 7, '0') || ':' || tok)),
+       |      s -> substr(s, 9)), ' ')) AS chash
        |  FROM c GROUP BY doc_id, ci),
-       |fo AS (SELECT chash, min(ROW(doc_id, ci)) AS first FROM ch GROUP BY chash),
+       |fo AS (SELECT chash,
+       |    min(lpad(CAST(doc_id AS STRING), 12, '0') || ':'
+       |        || lpad(CAST(ci AS STRING), 12, '0')) AS first
+       |  FROM ch GROUP BY chash),
        |led AS (SELECT ch.doc_id, ch.n_tok,
-       |    (ch.doc_id = fo.first[1] AND ch.ci = fo.first[2]) AS stored
+       |    (lpad(CAST(ch.doc_id AS STRING), 12, '0') || ':'
+       |     || lpad(CAST(ch.ci AS STRING), 12, '0') = fo.first) AS stored
        |  FROM ch JOIN fo ON ch.chash = fo.chash)
        |SELECT doc_id, COUNT(*) AS n_chunks,
        |  CAST(SUM(CASE WHEN stored THEN 1 ELSE 0 END) AS BIGINT) AS stored_chunks,

@@ -48,7 +48,9 @@ object CorpusPrepOps {
   private val taCodeDetectSql =
     s"""WITH d AS (
        |  SELECT source,
-       |    CAST(floor((4.0 * (CAST(len(regexp_extract_all(text, '[{}()\\[\\];=<>|&]')) AS DOUBLE) / length(text))
+       |    CAST(floor((4.0 * (CAST(len(regexp_extract_all(text, '[{}();=<>|&]'))
+       |          + len(string_split(text, '[')) - 1
+       |          + len(string_split(text, ']')) - 1 AS DOUBLE) / length(text))
        |      + CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)
        |      + CAST(len(string_split(text, ' ')) AS DOUBLE) / length(text)) * $CodeQ) AS BIGINT) AS score_q
        |  FROM documents)
@@ -124,10 +126,16 @@ object CorpusPrepOps {
 
   private val qSpanCorruptSql = {
     val h = PortableHash.sql("'sc:' || CAST(doc_id AS STRING) || ':' || CAST(pos AS STRING)")
-    s"""WITH toks AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-       |         unnest(range(0, len(string_split(text, ' ')))) AS pos
+    s"""WITH mx AS (
+       |  SELECT CAST(max(len(string_split(text, ' '))) AS BIGINT) AS m
        |  FROM documents WHERE doc_id < $SpanDocs),
+       |dims AS (SELECT unnest(generate_series(1, m)) AS i FROM mx),
+       |toks AS (
+       |  SELECT doc_id,
+       |         list_extract(string_split(text, ' '), CAST(i AS INTEGER)) AS tok,
+       |         i - 1 AS pos
+       |  FROM documents CROSS JOIN dims
+       |  WHERE doc_id < $SpanDocs AND i <= len(string_split(text, ' '))),
        |starts AS (SELECT doc_id, pos AS sp FROM toks WHERE $h % $SpanMod = 0),
        |masked AS (
        |  SELECT DISTINCT doc_id, sp + o AS pos
@@ -147,12 +155,16 @@ object CorpusPrepOps {
        |    '<extra_id_' || CAST(run_id AS STRING) || '>' AS piece
        |  FROM runs GROUP BY doc_id, run_id),
        |inp AS (
-       |  SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS input_text FROM (
+       |  SELECT doc_id, array_to_string(list_transform(list_sort(array_agg(
+       |      lpad(CAST(pos AS STRING), 7, '0') || ':' || piece)),
+       |      s -> substr(s, 9)), ' ') AS input_text FROM (
        |    SELECT doc_id, pos, tok AS piece FROM marked WHERE NOT m
        |    UNION ALL SELECT doc_id, pos, piece FROM sent)
        |  GROUP BY doc_id),
        |tgt AS (
-       |  SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS target_text FROM (
+       |  SELECT doc_id, array_to_string(list_transform(list_sort(array_agg(
+       |      lpad(CAST(pos AS STRING), 7, '0') || ':' || piece)),
+       |      s -> substr(s, 9)), ' ') AS target_text FROM (
        |    SELECT doc_id, pos * 2 + 1 AS pos, tok AS piece FROM runs
        |    UNION ALL SELECT doc_id, pos * 2 AS pos, piece FROM sent)
        |  GROUP BY doc_id),

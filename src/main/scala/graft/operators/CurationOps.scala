@@ -99,7 +99,7 @@ object CurationOps {
        |  SELECT doc_id,
        |    CAST(len(t) AS BIGINT) AS n_words,
        |    round(CAST(len(replace(text, ' ', '')) AS DOUBLE) / CAST(len(t) AS BIGINT), 6) AS mean_word_len,
-       |    round(CAST(len(list_filter(t, w -> regexp_matches(w, '^[a-z]+$$'))) AS BIGINT) * 1.0 / CAST(len(t) AS BIGINT), 6) AS alpha_frac,
+       |    round(CAST(len(list_filter(t, w -> regexp_matches(w, '^[a-z]+$$'))) AS DOUBLE) / CAST(len(t) AS BIGINT), 6) AS alpha_frac,
        |    CAST($hits AS BIGINT) AS stop_hits
        |  FROM d)
        |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,

@@ -262,7 +262,7 @@ object EvalOps {
        |maxd AS (SELECT max(last_order) AS maxd FROM per),
        |scored AS (
        |  SELECT custkey, monetary,
-       |    CAST(ntile($RfmTiles) OVER (ORDER BY date_diff('day', CAST(last_order AS DATE), CAST(maxd AS DATE)) ASC, custkey ASC) AS BIGINT) AS r,
+       |    CAST(ntile($RfmTiles) OVER (ORDER BY divide(epoch_ms(CAST(CAST(maxd AS DATE) AS TIMESTAMP)) - epoch_ms(CAST(CAST(last_order AS DATE) AS TIMESTAMP)), 86400000) ASC, custkey ASC) AS BIGINT) AS r,
        |    CAST(ntile($RfmTiles) OVER (ORDER BY freq DESC, custkey ASC) AS BIGINT) AS f,
        |    CAST(ntile($RfmTiles) OVER (ORDER BY monetary DESC, custkey ASC) AS BIGINT) AS m
        |  FROM per, maxd)

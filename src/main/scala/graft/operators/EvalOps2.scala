@@ -96,7 +96,7 @@ object EvalOps2 {
 
   private val qCohenKappaSql = {
     def score(words: Seq[String]) = {
-      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      val lst = words.map(w => s"'$w'").mkString("list_value(", ", ", ")")
       s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains($lst, t))) AS BIGINT)"
     }
     s"""WITH sc AS (

@@ -115,11 +115,12 @@ object FeatureOps {
     s"""WITH r AS (
        |  SELECT lang, doc_id, (($h % $RsMod) + $RsMod) % $RsMod AS h40
        |  FROM documents)
-       |SELECT lang,
-       |  CAST(row_number() OVER (PARTITION BY lang ORDER BY h40, doc_id) AS BIGINT) AS rk,
-       |  doc_id, h40
-       |FROM r
-       |QUALIFY rk <= $RsK
+       |SELECT lang, rk, doc_id, h40 FROM (
+       |  SELECT lang,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h40, doc_id) AS BIGINT) AS rk,
+       |    doc_id, h40
+       |  FROM r) ranked
+       |WHERE rk <= $RsK
        |ORDER BY lang, rk""".stripMargin
   }
 

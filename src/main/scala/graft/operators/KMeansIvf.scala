@@ -146,10 +146,17 @@ object KMeansIvf {
        |        c.cid ASC) AS rk
        |    FROM embeddings e CROSS JOIN $cent c) WHERE rk = 1)""".stripMargin
 
+  // centroid assembly: the ordered list is rebuilt by sorting
+  // pos-PREFIXED encodings ('0007:<v>') and stripping the prefix — the
+  // shared-dialect spelling of `list(v ORDER BY pos)` (pos is unique
+  // per group, so the payload never decides the order, and the
+  // double→string→double round trip is lossless on both engines)
   private def iterSql(cent: String, assign: String, next: String): String =
     s"""${assignSql(cent, assign)},
        |$next AS (
-       |  SELECT cid, list(v ORDER BY pos) AS ce FROM (
+       |  SELECT cid, list_transform(list_sort(array_agg(
+       |      lpad(CAST(pos AS STRING), 4, '0') || ':' || CAST(v AS STRING))),
+       |    s -> CAST(substr(s, 6) AS DOUBLE)) AS ce FROM (
        |    SELECT a.cell AS cid, ve.pos,
        |      CAST(SUM(CAST(floor(ve.v * 281474976710656.0) AS BIGINT)) AS DOUBLE)
        |        / COUNT(*) / 281474976710656.0 AS v
@@ -161,17 +168,20 @@ object KMeansIvf {
     val iters = (1 to Iterations)
       .map(i => iterSql(s"cent${i - 1}", s"assign$i", s"cent$i"))
       .mkString(",\n")
-    s"""WITH ve AS (
-       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
-       |    CAST(unnest(embedding) AS DOUBLE) AS v
-       |  FROM embeddings),
+    s"""WITH mx AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS m FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, m)) AS i FROM mx),
+       |ve AS (
+       |  SELECT vec_id, CAST(i AS BIGINT) AS pos,
+       |    CAST(list_extract(embedding, CAST(i AS INTEGER)) AS DOUBLE) AS v
+       |  FROM embeddings CROSS JOIN dims WHERE i <= len(embedding)),
        |cent0 AS (
        |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
        |  FROM embeddings WHERE vec_id % $SeedMod = 0),
        |$iters
-       |SELECT cid, CAST(generate_subscripts(ce, 1) AS BIGINT) AS pos,
-       |  unnest(ce) AS v
-       |FROM cent$Iterations ORDER BY cid, pos""".stripMargin
+       |SELECT cid, CAST(i AS BIGINT) AS pos,
+       |  list_extract(ce, CAST(i AS INTEGER)) AS v
+       |FROM cent$Iterations CROSS JOIN dims WHERE i <= len(ce)
+       |ORDER BY cid, pos""".stripMargin
   }
 
   private val annIvfTrainedSql = {
@@ -182,10 +192,12 @@ object KMeansIvf {
       "list_aggregate(list_transform(generate_series(1, len(e.embedding)), i -> CAST(list_extract(e.embedding, i) AS DOUBLE) * CAST(list_extract(q.qe, i) AS DOUBLE)), 'sum')"
     def ffNorm(a: String) =
       s"sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
-    s"""WITH ve AS (
-       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
-       |    CAST(unnest(embedding) AS DOUBLE) AS v
-       |  FROM embeddings),
+    s"""WITH mx AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS m FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, m)) AS i FROM mx),
+       |ve AS (
+       |  SELECT vec_id, CAST(i AS BIGINT) AS pos,
+       |    CAST(list_extract(embedding, CAST(i AS INTEGER)) AS DOUBLE) AS v
+       |  FROM embeddings CROSS JOIN dims WHERE i <= len(embedding)),
        |cent0 AS (
        |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
        |  FROM embeddings WHERE vec_id % $SeedMod = 0),

@@ -150,7 +150,7 @@ object MlOps {
        |  SELECT tok, COUNT(*) AS cnt FROM (
        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
        |  GROUP BY tok),
-       |sd AS (SELECT unnest([1, 2, 3, 4]) AS seed),
+       |sd AS (SELECT unnest(list_value(1, 2, 3, 4)) AS seed),
        |counters AS (
        |  SELECT seed, ${cmsHash("tok")} % $CmsW AS bucket,
        |         CAST(SUM(cnt) AS BIGINT) AS bsum

@@ -97,22 +97,22 @@ object MlOps2 {
     val ratings = Tables(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
       .join(Tables(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
-        col("o_custkey").as("user")), "l_orderkey")
+        col("o_custkey").as("user_id")), "l_orderkey")
       .join(Tables(s, dir, "part").select(col("p_partkey").as("l_partkey"),
         col("p_brand").as("item")), "l_partkey")
-      .groupBy("user", "item").agg(count(lit(1)).as("r"))
+      .groupBy("user_id", "item").agg(count(lit(1)).as("r"))
     // deterministic item factors in [-0.5, 0.5): v_d = hash(d:item)‰ − 0.5
     def itemF(d: Int): Column =
       (PortableHash.hash64(col("item"), d) % 1000L).cast(DoubleType) / 1000.0 - 0.5
-    val q = ratings.select(col("user"), col("r").cast(DoubleType).as("r"),
+    val q = ratings.select(col("user_id"), col("r").cast(DoubleType).as("r"),
         itemF(1).as("v1"), itemF(2).as("v2"))
-      .select(col("user"),
+      .select(col("user_id"),
         floor(col("v1") * col("v1") * AlsQ).as("a11"),
         floor(col("v1") * col("v2") * AlsQ).as("a12"),
         floor(col("v2") * col("v2") * AlsQ).as("a22"),
         floor(col("r") * col("v1") * AlsQ).as("b1"),
         floor(col("r") * col("v2") * AlsQ).as("b2"))
-      .groupBy("user")
+      .groupBy("user_id")
       .agg(sum("a11").as("a11"), sum("a12").as("a12"), sum("a22").as("a22"),
         sum("b1").as("b1"), sum("b2").as("b2"))
     def dq(c: String): Column = col(c).cast(DoubleType) / AlsQ
@@ -120,27 +120,27 @@ object MlOps2 {
     val a22 = dq("a22") + AlsLambda
     val a12 = dq("a12")
     val det = a11 * a22 - a12 * a12
-    q.select(col("user"),
+    q.select(col("user_id"),
         ((a22 * dq("b1") - a12 * dq("b2")) / det).as("u1"),
         ((a11 * dq("b2") - a12 * dq("b1")) / det).as("u2"))
-      .orderBy("user").limit(AlsTopUsers)
+      .orderBy("user_id").limit(AlsTopUsers)
   }
 
   private val qAlsStepSql = {
     def h(seed: Int) =
       s"CAST(${PortableHash.sql("item", seed)} % 1000 AS DOUBLE) / 1000.0 - 0.5"
     s"""WITH ratings AS (
-       |  SELECT o.o_custkey AS "user", p.p_brand AS item, COUNT(*) AS r
+       |  SELECT o.o_custkey AS user_id, p.p_brand AS item, COUNT(*) AS r
        |  FROM lineitem l
        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
        |  JOIN part p ON p.p_partkey = l.l_partkey
        |  GROUP BY 1, 2),
        |f AS (
-       |  SELECT "user", CAST(r AS DOUBLE) AS r,
+       |  SELECT user_id, CAST(r AS DOUBLE) AS r,
        |         ${h(1)} AS v1, ${h(2)} AS v2
        |  FROM ratings),
        |qs AS (
-       |  SELECT "user",
+       |  SELECT user_id,
        |    SUM(CAST(floor(v1 * v1 * 1073741824.0) AS BIGINT)) AS a11,
        |    SUM(CAST(floor(v1 * v2 * 1073741824.0) AS BIGINT)) AS a12,
        |    SUM(CAST(floor(v2 * v2 * 1073741824.0) AS BIGINT)) AS a22,
@@ -148,17 +148,17 @@ object MlOps2 {
        |    SUM(CAST(floor(r * v2 * 1073741824.0) AS BIGINT)) AS b2
        |  FROM f GROUP BY 1),
        |sv AS (
-       |  SELECT "user",
+       |  SELECT user_id,
        |    CAST(a11 AS DOUBLE) / 1073741824.0 + 0.1 AS a11,
        |    CAST(a12 AS DOUBLE) / 1073741824.0 AS a12,
        |    CAST(a22 AS DOUBLE) / 1073741824.0 + 0.1 AS a22,
        |    CAST(b1 AS DOUBLE) / 1073741824.0 AS b1,
        |    CAST(b2 AS DOUBLE) / 1073741824.0 AS b2
        |  FROM qs)
-       |SELECT "user",
+       |SELECT user_id,
        |  (a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12) AS u1,
        |  (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12) AS u2
-       |FROM sv ORDER BY "user" LIMIT $AlsTopUsers""".stripMargin
+       |FROM sv ORDER BY user_id LIMIT $AlsTopUsers""".stripMargin
   }
 
   // -------------------------------------------------- q_seasonal_profile

@@ -137,7 +137,7 @@ object Pipelines {
       lit(0.0), (acc, x) => acc + x)
 
   private def planeDotSql(tbl: String, w: Array[Double]): String = {
-    val lst = w.map(_.toLong).mkString("[", ", ", "]")
+    val lst = w.map(_.toLong).mkString("list_value(", ", ", ")")
     s"list_aggregate(list_transform(generate_series(1, len($tbl.embedding)), i -> CAST(list_extract($tbl.embedding, i) AS DOUBLE) * CAST(list_extract($lst, i) AS DOUBLE)), 'sum')"
   }
 

@@ -109,8 +109,12 @@ object Similarity2 {
   }
 
   private val annSq8Sql =
-    s"""WITH ex AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS pos FROM embeddings),
-       |exd AS (SELECT vec_id, pos, CAST(x AS DOUBLE) AS x FROM ex),
+    s"""WITH mx AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS m FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, m)) AS i FROM mx),
+       |exd AS (
+       |  SELECT vec_id, i - 1 AS pos,
+       |    CAST(list_extract(embedding, CAST(i AS INTEGER)) AS DOUBLE) AS x
+       |  FROM embeddings CROSS JOIN dims WHERE i <= len(embedding)),
        |stats AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM exd GROUP BY pos),
        |q AS (SELECT embedding AS qe, ${normSql("embedding")} AS qn FROM embeddings WHERE vec_id = $QueryId),
        |qx AS (SELECT pos, x AS qv FROM exd WHERE vec_id = $QueryId),

@@ -339,15 +339,25 @@ object Similarity3 {
       .orderBy("vec_id")
   }
 
+  // the centroid's ordered rebuild sorts pos-PREFIXED encodings and
+  // strips the prefix — the shared-dialect `list(v ORDER BY pos)`
+  // (pos unique ⇒ payload never orders; double↔string round trip is
+  // lossless on both engines)
   private val annCentroidFilterSql =
-    s"""WITH cent AS (
-       |  SELECT list(v ORDER BY pos) AS ce FROM (
+    s"""WITH mx AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS m
+       |  FROM embeddings WHERE label = $FilterLabel),
+       |dims AS (SELECT unnest(generate_series(1, m)) AS i FROM mx),
+       |cent AS (
+       |  SELECT list_transform(list_sort(array_agg(
+       |      lpad(CAST(pos AS STRING), 4, '0') || ':' || CAST(v AS STRING))),
+       |    s -> CAST(substr(s, 6) AS DOUBLE)) AS ce FROM (
        |    SELECT pos,
-       |      CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * $Pow2_48) AS BIGINT)) AS DOUBLE)
+       |      CAST(SUM(CAST(floor(v * $Pow2_48) AS BIGINT)) AS DOUBLE)
        |        / COUNT(*) / $Pow2_48 AS v
-       |    FROM (SELECT generate_subscripts(embedding, 1) AS pos,
-       |                 unnest(embedding) AS v
-       |          FROM embeddings WHERE label = $FilterLabel)
+       |    FROM (SELECT CAST(i AS BIGINT) AS pos,
+       |                 CAST(list_extract(embedding, CAST(i AS INTEGER)) AS DOUBLE) AS v
+       |          FROM embeddings CROSS JOIN dims
+       |          WHERE label = $FilterLabel AND i <= len(embedding))
        |    GROUP BY pos)),
        |scored AS (
        |  SELECT e.vec_id, e.label,

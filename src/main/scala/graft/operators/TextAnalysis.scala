@@ -112,7 +112,7 @@ object TextAnalysis {
   }
 
   private def markerSql(words: Seq[String]): String = {
-    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    val lst = words.map(w => s"'$w'").mkString("list_value(", ", ", ")")
     s"CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS BIGINT)"
   }
 

@@ -303,7 +303,7 @@ object TextAnalysis2 {
        |tdc AS (SELECT term, doc_id, COUNT(*) AS c FROM td GROUP BY term, doc_id)
        |SELECT term, COUNT(*) AS df, CAST(SUM(c) AS BIGINT) AS cf,
        |  COALESCE(array_to_string(list_transform(
-       |    (list(doc_id ORDER BY doc_id))[1:$PostingsCap],
+       |    array_slice(list_sort(array_agg(doc_id)), 1, $PostingsCap),
        |    x -> CAST(x AS STRING)), ','), '') AS postings
        |FROM tdc GROUP BY term ORDER BY term""".stripMargin
 

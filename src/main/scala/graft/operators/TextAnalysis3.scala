@@ -71,7 +71,7 @@ object TextAnalysis3 {
   }
 
   private val taRakeSql = {
-    val stop = RakeStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    val stop = RakeStop.map(w => s"'$w'").mkString("list_value(", ", ", ")")
     s"""WITH tok AS (
        |  SELECT doc_id, pos, tok,
        |    list_contains($stop, tok) AS is_stop,
@@ -205,7 +205,7 @@ object TextAnalysis3 {
   }
 
   private val taQualityLrSql = {
-    val stop = QlrStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    val stop = QlrStop.map(w => s"'$w'").mkString("list_value(", ", ", ")")
     val z = s"($W0 + $WStop * (CAST(len(list_filter(toks, t -> list_contains($stop, t))) AS DOUBLE) / len(toks))" +
       s" + $WTtr * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))" +
       s" + $WLen * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)" +

@@ -447,15 +447,17 @@ object TimeSeriesOps {
        |  FROM events WHERE event_type <> 'purchase'),
        |attributed AS (
        |  SELECT c.cid,
-       |    min(struct_pack(tts := t.tts, tid := t.tid, channel := t.channel)) AS first,
-       |    max(struct_pack(tts := t.tts, tid := t.tid, channel := t.channel)) AS last
+       |    min_by(t.channel, lpad(CAST(epoch_ms(CAST(t.tts AS TIMESTAMP)) AS STRING), 15, '0')
+       |      || lpad(CAST(t.tid AS STRING), 15, '0')) AS first_channel,
+       |    max_by(t.channel, lpad(CAST(epoch_ms(CAST(t.tts AS TIMESTAMP)) AS STRING), 15, '0')
+       |      || lpad(CAST(t.tid AS STRING), 15, '0')) AS last_channel
        |  FROM conv c JOIN touch t ON c.user_id = t.user_id
        |  WHERE t.tts <= c.cts AND t.tts >= c.cts - INTERVAL $AttrWindowDays DAY
        |  GROUP BY c.cid),
-       |fc AS (SELECT first.channel AS channel, COUNT(*) AS first_touch
-       |  FROM attributed GROUP BY first.channel),
-       |lc AS (SELECT last.channel AS channel, COUNT(*) AS last_touch
-       |  FROM attributed GROUP BY last.channel)
+       |fc AS (SELECT first_channel AS channel, COUNT(*) AS first_touch
+       |  FROM attributed GROUP BY first_channel),
+       |lc AS (SELECT last_channel AS channel, COUNT(*) AS last_touch
+       |  FROM attributed GROUP BY last_channel)
        |SELECT coalesce(fc.channel, lc.channel) AS channel,
        |  coalesce(fc.first_touch, 0) AS first_touch,
        |  coalesce(lc.last_touch, 0) AS last_touch

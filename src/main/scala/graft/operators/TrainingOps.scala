@@ -142,19 +142,29 @@ object TrainingOps {
   }
 
   private val ddSpanRemovalSql =
-    s"""WITH w AS (
+    s"""WITH mx AS (
+       |  SELECT CAST(max(len(string_split(text, ' '))) AS BIGINT) AS m FROM documents),
+       |dims AS (SELECT unnest(generate_series(1, m)) AS i FROM mx),
+       |w AS (
        |  SELECT d.doc_id, d.i,
        |    ${PortableHash.sql(s"array_to_string(array_slice(d.toks, i, i+${SpanW - 1}), ' ')")} AS h
-       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - ${SpanW - 2})) AS i
-       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)) d),
+       |  FROM (SELECT doc_id, toks, i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |        CROSS JOIN dims WHERE i <= len(toks) - ${SpanW - 1}) d),
        |wf AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
        |cov AS (SELECT DISTINCT w.doc_id, w.i + r.off AS p
        |        FROM w JOIN wf ON w.h = wf.h CROSS JOIN range(0, $SpanW) r(off)),
-       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-       |                unnest(range(1, len(string_split(text, ' ')) + 1)) AS p
-       |         FROM documents),
+       |toks AS (SELECT doc_id,
+       |                list_extract(string_split(text, ' '), CAST(i AS INTEGER)) AS tok,
+       |                i AS p
+       |         FROM documents CROSS JOIN dims
+       |         WHERE i <= len(string_split(text, ' '))),
        |kept AS (
-       |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS cleaned, COUNT(*) AS n_kept
+       |  SELECT t.doc_id,
+       |    array_to_string(list_transform(list_sort(array_agg(
+       |      lpad(CAST(t.p AS STRING), 7, '0') || ':' || t.tok)),
+       |      s -> substr(s, 9)), ' ') AS cleaned,
+       |    COUNT(*) AS n_kept
        |  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
        |  WHERE c.p IS NULL GROUP BY t.doc_id)
        |SELECT d.doc_id, coalesce(k.n_kept, 0) AS n_kept,

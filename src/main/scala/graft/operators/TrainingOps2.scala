@@ -178,9 +178,11 @@ object TrainingOps2 {
     s"""WITH p AS (SELECT o_totalprice AS v FROM orders),
        |n AS (SELECT COUNT(*) AS n, CAST(ceil($TrimFrac * COUNT(*)) AS BIGINT) AS k FROM p),
        |lo AS (SELECT max(v) AS lo FROM
-       |  (SELECT v FROM p, n ORDER BY v ASC LIMIT (SELECT k FROM n))),
+       |  (SELECT v, row_number() OVER (ORDER BY v ASC) AS rn FROM p) rl, n
+       |  WHERE rn <= k),
        |hi AS (SELECT min(v) AS hi FROM
-       |  (SELECT v FROM p, n ORDER BY v DESC LIMIT (SELECT k FROM n))),
+       |  (SELECT v, row_number() OVER (ORDER BY v DESC) AS rn FROM p) rh, n
+       |  WHERE rn <= k),
        |c AS (SELECT v, lo, hi, greatest(lo, least(hi, v)) AS cv FROM p, lo, hi)
        |SELECT COUNT(*) AS n, min(lo) AS p_lo, min(hi) AS p_hi,
        |  CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,

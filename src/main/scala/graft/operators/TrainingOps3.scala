@@ -212,7 +212,8 @@ object TrainingOps3 {
        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
        |    row_number() OVER w AS rk,
        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-       |      OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM events
        |  WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC))
        |SELECT user_id, CAST(SUM(rel) AS BIGINT) AS n_rel,
@@ -333,7 +334,7 @@ object TrainingOps3 {
        |  SELECT CAST(dim AS BIGINT) AS dim
        |  FROM (SELECT unnest(generate_series(1, $EmbDim)) AS dim)),
        |v AS (
-       |  SELECT dim, CAST(list_extract(embedding, dim) AS DOUBLE) AS x
+       |  SELECT dim, CAST(list_extract(embedding, CAST(dim AS INTEGER)) AS DOUBLE) AS x
        |  FROM embeddings CROSS JOIN dims),
        |agg AS (
        |  SELECT dim, COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2
