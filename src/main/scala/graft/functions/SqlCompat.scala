@@ -169,12 +169,11 @@ object SqlCompat {
             s"maps to Spark's aggregate(l, init, f); got $other")
       }
     },
-    // DuckDB's list_position returns NULL when absent; Spark's
-    // array_position returns 0 — NULLIF maps the sentinel exactly
-    "list_position" -> { es =>
-      val pos = ArrayPosition(es(0), es(1))
-      If(EqualTo(pos, Literal(0L)), Literal(null, LongType), pos)
-    },
+    // the shipped DuckDB (1.0) returns 0 for an absent element —
+    // exactly Spark's array_position (newer DuckDB releases switch to
+    // NULL; SqlCompatSpec pins the 0 sentinel against the live oracle
+    // engine so an upgrade fails loudly here, not silently in a query)
+    "list_position" -> (es => ArrayPosition(es(0), es(1))),
     // DuckDB's 1-based list subscript, by NAME: `l[i]` itself cannot be
     // bridged (Spark parses [] as 0-based extraction), but DuckDB's
     // named spelling list_extract(l, i) IS Spark's element_at — both
