@@ -1,8 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** First three /proc/loadavg fields (1/5/15-min run-queue averages),
+    * or empty when unreadable (non-Linux). Captured at start AND end so
+    * a contended run is evident from the artifact alone — the r12
+    * official bench reported 1.97× floor with 4-12× inflation on
+    * untouched queries, and refuting that as sandbox contention cost
+    * the judge a full re-run (VERDICT r12 §what's-wrong 2).
+    */
+  private def loadavg(): Seq[Double] =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .trim.split(" ").take(3).toSeq.map(_.toDouble)
+    catch { case _: Throwable => Seq.empty }
+
+  /** This JVM's cumulative CPU nanoseconds (-1 when unavailable). With
+    * wall time this yields effective-cores: a clean local[32] run sits
+    * well above 1; a run starved by co-tenants shows wall time growing
+    * while CPU doesn't.
+    */
+  private def procCpuNanos(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadavg()
+    val wallStart = System.nanoTime()
     // the driver contract pins the bench env at local[32] with 32
     // shuffle partitions; SPARK_GRAFT_CPUS is a dev-only override (the
     // old default of 4 meant the DRIVER's official runs measured a
@@ -61,7 +88,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // self-diagnosis block (VERDICT r12 §next 2): loadavg at both ends,
+    // this JVM's CPU-vs-wall, and the effective-cores ratio. Reading a
+    // contended artifact: loadavg far above the CPU count at either
+    // end, or effective_cores collapsing toward ~1 on a local[32] run,
+    // says the NUMBERS are contention, not plans — without a re-run.
+    val wallSec = (System.nanoTime() - wallStart) / 1e9
+    val cpuSec = procCpuNanos() / 1e9
+    val loadEnd = loadavg()
+    def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
+    val env = s""""loadavg_start":${arr(loadStart)},"loadavg_end":${arr(loadEnd)},""" +
+      s""""wall_sec":${fmt(wallSec)},"proc_cpu_sec":${fmt(cpuSec)},""" +
+      s""""effective_cores":${fmt(if (wallSec > 0) cpuSec / wallSec else 0.0)}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$env,"sf":"$sfDir"}"""
     // The harness captures only a ~2KB tail of sbt stdout, and the full
     // per-query map (~220 queries) is ~6KB — so the one-line contract
     // was always truncated and the driver recorded "parsed": null four
@@ -82,7 +121,7 @@ object Bench {
       if (used + piece.length + 1 < 1400) { if (used > 0) sb.append(','); sb.append(piece); used += piece.length + 1 }
     }
     println(full)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":{${sb.toString}},"queries_file":"${outFile.toAbsolutePath}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":{${sb.toString}},"queries_file":"${outFile.toAbsolutePath}",$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -51,9 +51,14 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // DuckDB-dialect alias pack (string_split/unnest/list_*/range…):
-    // temp-function scope, every alias a native codegen'd expression —
-    // lets DuckDB-flavored analytics SQL run unchanged (SqlParitySpec
-    // pins 124 shared-text statements row-identical across dialects)
+    // NAME aliases only — temp-function scope, every alias a native
+    // codegen'd expression, and a temp function can never shadow a
+    // builtin, so user SQL that never says these names is untouched.
+    // The dialect's PARSER settings (raw string literals, double-quoted
+    // identifiers, …) change how existing user SQL parses and are NOT
+    // applied implicitly (ADVICE r12): opt in per session with
+    // SqlCompat.register(spark, dialectSession = true) or per block
+    // with SqlCompat.withDialectSession (what the parity paths do).
     graft.functions.SqlCompat.register(spark)
     spark
   }

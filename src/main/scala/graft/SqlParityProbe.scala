@@ -17,13 +17,16 @@ object SqlParityProbe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.sources.Tables.registerAll(spark, sfDir)
     graft.functions.SqlCompat.register(spark)
+    import graft.functions.SqlCompat.withDialectSession
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     SparkEntry.oracleSql.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, sql) =>
       val status =
         try {
-          val viaSql = spark.sql(sql).collect().toSeq
+          // oracle text parses under the DuckDB dialect settings; the
+          // DataFrame twin runs under stock parsing, as in Verify
+          val viaSql = withDialectSession(spark)(spark.sql(sql).collect().toSeq)
           val viaDf = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
           if (viaSql == viaDf) "PARITY"
           else {

@@ -843,6 +843,40 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** `graft_prefix_chain(tokens, block)`: the chained KV-block prefix
+    * hashes of a token array as array<string> — one linear pass in
+    * [[PrefixChain]] (block i = `md5(h[i−1] ‖ '|' ‖ block-i tokens)`),
+    * replacing the per-depth full-prefix re-hash whose work grew as
+    * L²/2B per document (the r12 KV-audit scale defect). Equality-
+    * preserving for whole-prefix identity: it IS the radix-trie key a
+    * prefix cache shuffles. Single static call; stays in whole-stage
+    * codegen.
+    */
+  case class PrefixChainHashes(child: Expression, block: Int)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects array<string>, got $other")
+      }
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_prefix_chain"
+
+    override def nullSafeEval(input: Any): Any =
+      PrefixChain.hashes(input.asInstanceOf[ArrayData], block)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.PrefixChain.hashes($s, $block);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---------------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------------
@@ -862,6 +896,8 @@ object GraftExpressions {
     "graft_cdc" -> (es => CdcChunks(es(0),
       es(1).eval(null).toString.toInt, es(2).eval(null).toString.toLong)),
     "graft_del_hood" -> (es => DelNeighborhoodExpr(es(0),
+      es(1).eval(null).toString.toInt)),
+    "graft_prefix_chain" -> (es => PrefixChainHashes(es(0),
       es(1).eval(null).toString.toInt)),
     "graft_geomean" -> (es => GeoMeanQ(es.head).toAggregateExpression()),
     // Spark ships these two only as internal expressions for its

@@ -32,6 +32,16 @@ object SqlCompat {
 
   private def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
 
+  /** Ascending inclusive sequence with DuckDB's empty-range semantics:
+    * `[]` when start > stop (Spark's Sequence would descend), NULL-in
+    * NULL-out. The empty branch slices a one-element sequence to length
+    * zero so it carries the coerced element type without naming it.
+    */
+  private def ascSeq(start: Expression, stop: Expression): Expression =
+    CaseWhen(Seq((GreaterThan(start, stop),
+      Slice(Sequence(start, start, None), Literal(1), Literal(0)))),
+      Some(Sequence(start, stop, None)))
+
   /** DuckDB's `len` is polymorphic (string length / list cardinality);
     * Spark splits it into `length` and `size`. Type-dispatch must wait
     * until the child resolves, hence a RuntimeReplaceable shim — the
@@ -90,14 +100,23 @@ object SqlCompat {
     "array_to_string" -> (es => ArrayJoin(es(0), es(1), None)),
     "len" -> (es => LenCompat(es.head)),
     // DuckDB range(a, b) is end-EXCLUSIVE, generate_series(a, b)
-    // end-inclusive; Spark's sequence is inclusive. Caveat (documented,
-    // probe-enforced): an empty DuckDB range (a ≥ b) would come out
-    // DESCENDING from sequence — statements relying on empty ranges
-    // stay off the pinned parity list.
+    // end-inclusive; Spark's sequence is inclusive — and on an EMPTY
+    // range (start > inclusive stop) DuckDB returns an empty list where
+    // Spark's Sequence DESCENDS, so a phantom descending row would leak
+    // through any downstream filter (ADVICE r12: a corpus where every
+    // doc is shorter than one KV block emitted a depth-0 md5('')
+    // instance on the parity run only). `ascSeq` pins the DuckDB
+    // semantics: empty list when start > stop, NULL when either bound
+    // is NULL (the CaseWhen's null predicate falls through to the else
+    // branch, where Sequence propagates the NULL). The explicit 3-arg
+    // step form keeps raw Sequence — a negative step legitimately
+    // descends on both engines.
     "range" -> (es =>
-      if (es.size == 1) Sequence(Literal(0L), Subtract(es(0), Literal(1)), None)
-      else Sequence(es(0), Subtract(es(1), Literal(1)), None)),
-    "generate_series" -> (es => Sequence(es(0), es(1), es.lift(2))),
+      if (es.size == 1) ascSeq(Literal(0L), Subtract(es(0), Literal(1)))
+      else ascSeq(es(0), Subtract(es(1), Literal(1)))),
+    "generate_series" -> (es =>
+      if (es.size <= 2) ascSeq(es(0), es(1))
+      else Sequence(es(0), es(1), es.lift(2))),
     "list_distinct" -> (es => ArrayDistinct(es.head)),
     // DuckDB's optional direction argument: only the literal
     // 'ASC'/'DESC' spellings map (DuckDB also takes a null-order
@@ -150,6 +169,13 @@ object SqlCompat {
     "divide" -> (es => IntegralDivide(es(0), es(1))),
     "list_contains" -> (es => ArrayContains(es(0), es(1))),
     "list_max" -> (es => ArrayMax(es.head)),
+    // NON-NULL-INPUT CONSTRAINT (documented, not papered over): DuckDB's
+    // list_concat treats a NULL list as empty and returns the other
+    // list; Spark's Concat returns NULL if ANY argument is NULL. The
+    // alias maps only the shared non-null-input semantics — a statement
+    // feeding a possibly-NULL list must coalesce it explicitly (the one
+    // oracle use, q_array_advanced, feeds non-null literals), per the
+    // pack's fail-loud-don't-approximate policy.
     "list_concat" -> (es => Concat(es)),
     // DuckDB's list_prepend(value, list); Spark spells it
     // array_insert(list, 1, value)
@@ -170,9 +196,11 @@ object SqlCompat {
       }
     },
     // the shipped DuckDB (1.0) returns 0 for an absent element —
-    // exactly Spark's array_position (newer DuckDB releases switch to
-    // NULL; SqlCompatSpec pins the 0 sentinel against the live oracle
-    // engine so an upgrade fails loudly here, not silently in a query)
+    // exactly Spark's array_position. Newer DuckDB releases switch to
+    // NULL-for-absent; that expectation was TRANSCRIBED from DuckDB 1.0
+    // (SqlCompatSpec pins only the Spark side of the alias — it runs on
+    // spark.sql), so a sandbox DuckDB upgrade would surface in the
+    // driver's correctness runs, not in sbt test (ADVICE r12).
     "list_position" -> (es => ArrayPosition(es(0), es(1))),
     // DuckDB's 1-based list subscript, by NAME: `l[i]` itself cannot be
     // bridged (Spark parses [] as 0-based extraction), but DuckDB's
@@ -274,29 +302,70 @@ object SqlCompat {
     "quantile_cont" -> (es =>
       Percentile(es(0), es(1), Literal(1L)).toAggregateExpression()))
 
-  /** Register the pack on a live session (idempotent, temp-function
-    * scope — opt-in per session, never implicit). Besides the name
-    * aliases, two session settings complete the dialect: DuckDB quotes
-    * identifiers with double quotes (`"1-URGENT"` — ANSI behavior
-    * Spark gates behind a conf; no oracle uses double-quoted STRING
-    * literals, DuckDB itself would reject those), and DuckDB recursion
-    * is unbounded where Spark's recursive CTEs default to a 1M-row
-    * safety cap — raised (not removed) so dialect-legal recursive
-    * statements of test-scale depth run while a runaway still fails.
+  /** Register the NAME aliases on a live session (idempotent,
+    * temp-function scope — this is the part that is safe to apply
+    * implicitly, and all [[graft.GraftSession]] does: a temp function
+    * can never shadow a Spark builtin, so user SQL that never says
+    * `list_sort`/`string_split`/… is untouched).
+    *
+    * The four PARSER/SESSION settings that complete the dialect (raw
+    * string literals, ANSI double-quoted identifiers, unchunked base64,
+    * raised recursion cap) change how EXISTING user SQL parses — e.g.
+    * Spark's default unescapes `'\s'` to `'s'`, so flipping raw
+    * literals under a user silently changes every regex they wrote for
+    * the default. They are therefore NOT applied here (ADVICE r12):
+    * opt in explicitly with `register(spark, dialectSession = true)`
+    * for a session that runs DuckDB-dialect SQL end-to-end (the parity
+    * probe), or scope them to a block with [[withDialectSession]] (the
+    * parity/compat suites on the shared test session).
     */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = register(spark, dialectSession = false)
+
+  def register(spark: SparkSession, dialectSession: Boolean): Unit = {
     fns.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
-    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "16000000")
-    // DuckDB string literals are RAW (no backslash processing) where
-    // Spark's default unescapes '\s' to 's' — silently mangling every
-    // regex in a shared statement; the ANSI raw-literal mode is the
-    // DuckDB behavior. And DuckDB's base64() never chunks, where this
-    // Spark build MIME-wraps at 76 chars.
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    spark.conf.set("spark.sql.chunkBase64String.enabled", "false")
+    if (dialectSession) setDialectConfs(spark)
+  }
+
+  /** The dialect's session settings: DuckDB quotes identifiers with
+    * double quotes (`"1-URGENT"` — ANSI behavior Spark gates behind a
+    * conf; no oracle uses double-quoted STRING literals, DuckDB itself
+    * would reject those); DuckDB recursion is unbounded where Spark's
+    * recursive CTEs default to a 1M-row safety cap — raised (not
+    * removed) so dialect-legal recursive statements of test-scale depth
+    * run while a runaway still fails; DuckDB string literals are RAW
+    * (no backslash processing) where Spark's default unescapes `'\s'`
+    * to `'s'` — silently mangling every regex in a shared statement;
+    * and DuckDB's base64() never chunks, where this Spark build
+    * MIME-wraps at 76 chars.
+    */
+  private val dialectConfs: Seq[(String, String)] = Seq(
+    "spark.sql.ansi.doubleQuotedIdentifiers" -> "true",
+    "spark.sql.cteRecursionRowLimit" -> "16000000",
+    "spark.sql.parser.escapedStringLiterals" -> "true",
+    "spark.sql.chunkBase64String.enabled" -> "false")
+
+  private def setDialectConfs(spark: SparkSession): Unit =
+    dialectConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+
+  /** Run `f` with the dialect session settings applied, restoring each
+    * conf's prior value (or unset state) afterwards — the scoping the
+    * shared-session test suites use so DuckDB-dialect statements parse
+    * exactly while every other suite keeps stock Spark parsing. Parse
+    * AND collect inside the block: the literal/identifier settings are
+    * read at parse time, the base64 chunking at expression build time.
+    */
+  def withDialectSession[T](spark: SparkSession)(f: => T): T = {
+    val prior = dialectConfs.map { case (k, _) =>
+      k -> (try spark.conf.getOption(k) catch { case _: Exception => None })
+    }
+    setDialectConfs(spark)
+    try f
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 }

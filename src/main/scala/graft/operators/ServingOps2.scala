@@ -34,27 +34,28 @@ object ServingOps2 {
     * number of KV blocks a prefix cache must materialize, and
     * total − distinct is the recomputation the cache saves. Per source:
     * requests, total full-block instances, distinct cached blocks,
-    * reuse fraction, and saved tokens. Block identity is md5 of the
-    * joined prefix — the constant-width cache key a real block cache
-    * shuffles (never the multi-KB prefix string itself; that is the
-    * 100 TB shape). The tail partial block is never cached, matching
-    * block-cache semantics. Shapes: one narrow scan, a bounded
-    * fan-out (×longest-doc/16 via an ascending-from-zero sequence —
-    * `sequence(1, 0)` would come out DESCENDING on Spark, the SqlCompat
-    * range caveat), then two map-side-combinable keyed aggregates.
+    * reuse fraction, and saved tokens. Block identity is the CHAINED
+    * block hash `h[i] = md5(h[i−1] ‖ '|' ‖ block-i tokens)` — the
+    * radix-trie key (two prompts share h[i] iff their whole prefixes up
+    * to i·16 tokens match), computed in ONE linear pass per document by
+    * the codegen'd [[graft.functions.PrefixChain]] kernel. The r12
+    * shape re-hashed the FULL joined prefix at every depth — Σ 16·i ≈
+    * L²/32 tokens of join+hash work per document, ~9 GB of string
+    * traffic for one 200k-token doc (VERDICT r12 §1); the chain carries
+    * identical distinct/reuse readouts at O(L). The constant-width hash
+    * is also what shuffles (never the multi-KB prefix string — the
+    * 100 TB shape), and the tail partial block is never cached,
+    * matching block-cache semantics. Shapes: one narrow scan, one
+    * per-row kernel (heavy-kernel-spread eligible), a bounded explode,
+    * then two map-side-combinable keyed aggregates.
     */
   def qKvPrefixReuse(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
     val perSource = toks.groupBy("source").agg(count(lit(1)).as("n_requests"))
     val inst = toks
-      .select(col("source"), col("t"),
-        explode(sequence(lit(0), (size(col("t")) / KvBlock).cast(IntegerType)))
-          .as("i"))
-      .where(col("i") >= 1)
       .select(col("source"),
-        md5(array_join(slice(col("t"), lit(1), col("i") * KvBlock), " "))
-          .as("bh"))
+        explode(expr(s"graft_prefix_chain(t, $KvBlock)")).as("bh"))
     val agg = inst.groupBy("source")
       .agg(count(lit(1)).as("total_blocks"),
         countDistinct(col("bh")).as("distinct_blocks"))
@@ -73,17 +74,37 @@ object ServingOps2 {
       .orderBy("source")
   }
 
+  /** The chained-hash instance relation shared by both KV oracles: per
+    * (doc, depth i), fold blocks 1..i with `md5(h ‖ '|' ‖ block)` from
+    * the empty-string seed — DuckDB's native `list_reduce` over a
+    * `list_prepend('', …)` seed, exactly the composition the SqlCompat
+    * alias maps to Spark's `aggregate`, so the statement still
+    * parity-pins. The oracle re-folds per depth (fine at verify scale);
+    * the engine side computes the whole chain once per document. The
+    * `i >= 1` guard keeps the all-short-docs corpus exact on the Spark
+    * parity run too: `generate_series(1, 0)` is empty on DuckDB, and
+    * the aliased Sequence now matches (ADVICE r12 — a phantom depth-0
+    * block otherwise appears when every doc has < $KvBlock tokens).
+    */
+  private def kvInstSql(cols: String) =
+    s"""mx AS (SELECT CAST(max(divide(len(t), $KvBlock)) AS BIGINT) AS m FROM toks),
+       |blocks AS (SELECT unnest(generate_series(1, m)) AS i FROM mx),
+       |inst AS (
+       |  SELECT $cols,
+       |    list_reduce(
+       |      list_prepend('', list_transform(generate_series(1, CAST(i AS INTEGER)),
+       |        j -> array_to_string(array_slice(t,
+       |          CAST((j - 1) * $KvBlock + 1 AS INTEGER),
+       |          CAST(j * $KvBlock AS INTEGER)), ' '))),
+       |      (h, b) -> md5(h || '|' || b)) AS bh
+       |  FROM toks CROSS JOIN blocks
+       |  WHERE i >= 1 AND i <= divide(len(t), $KvBlock))""".stripMargin
+
   private val qKvPrefixReuseSql =
     s"""WITH toks AS (
        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
        |per AS (SELECT source, COUNT(*) AS n_requests FROM toks GROUP BY source),
-       |mx AS (SELECT CAST(max(divide(len(t), $KvBlock)) AS BIGINT) AS m FROM toks),
-       |blocks AS (SELECT unnest(generate_series(1, m)) AS i FROM mx),
-       |inst AS (
-       |  SELECT source,
-       |    md5(array_to_string(array_slice(t, 1, CAST(i * $KvBlock AS INTEGER)), ' ')) AS bh
-       |  FROM toks CROSS JOIN blocks
-       |  WHERE i <= divide(len(t), $KvBlock)),
+       |${kvInstSql("source")},
        |agg AS (
        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS total_blocks,
        |    CAST(COUNT(DISTINCT bh) AS BIGINT) AS distinct_blocks
@@ -283,22 +304,19 @@ object ServingOps2 {
     * the trie-shape curve that locates where shared system-prompt
     * prefixes end and per-request content begins (reuse ≈ 1 at shallow
     * depths, → 0 where prompts diverge), which is what sizes the cache
-    * tier per depth. Block identity is the md5 of the whole prefix, so
-    * identical prefixes share across sources — a GLOBAL cache's view.
-    * Shapes: the same bounded block fan-out as the audit, one keyed
+    * tier per depth. Block identity is the chained block hash
+    * ([[qKvPrefixReuse]]'s radix-trie key — whole-prefix equality
+    * preserved, linear per document), so identical prefixes share
+    * across sources — a GLOBAL cache's view. Shapes: one per-row
+    * kernel pass, a posexplode (depth = position + 1), one keyed
     * aggregate by depth (output is max-blocks rows — data-bounded and
     * tiny); integer counts, one final division per row.
     */
   def qKvDepthProfile(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables(s, dir, "documents").select(split(col("text"), " ").as("t"))
     toks
-      .select(col("t"),
-        explode(sequence(lit(0), (size(col("t")) / KvBlock).cast(IntegerType)))
-          .as("i"))
-      .where(col("i") >= 1)
-      .select(col("i").as("depth"),
-        md5(array_join(slice(col("t"), lit(1), col("i") * KvBlock), " "))
-          .as("bh"))
+      .select(posexplode(expr(s"graft_prefix_chain(t, $KvBlock)")).as(Seq("p", "bh")))
+      .select((col("p") + 1).as("depth"), col("bh"))
       .groupBy("depth")
       .agg(count(lit(1)).as("n_docs_reaching"),
         countDistinct(col("bh")).as("distinct_blocks"))
@@ -310,13 +328,7 @@ object ServingOps2 {
 
   private val qKvDepthProfileSql =
     s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
-       |mx AS (SELECT CAST(max(divide(len(t), $KvBlock)) AS BIGINT) AS m FROM toks),
-       |blocks AS (SELECT unnest(generate_series(1, m)) AS i FROM mx),
-       |inst AS (
-       |  SELECT CAST(i AS INTEGER) AS depth,
-       |    md5(array_to_string(array_slice(t, 1, CAST(i * $KvBlock AS INTEGER)), ' ')) AS bh
-       |  FROM toks CROSS JOIN blocks
-       |  WHERE i <= divide(len(t), $KvBlock))
+       |${kvInstSql(s"CAST(i AS INTEGER) AS depth")}
        |SELECT depth, COUNT(*) AS n_docs_reaching,
        |  CAST(COUNT(DISTINCT bh) AS BIGINT) AS distinct_blocks,
        |  round(CAST(COUNT(*) - COUNT(DISTINCT bh) AS DOUBLE) / COUNT(*), 6)

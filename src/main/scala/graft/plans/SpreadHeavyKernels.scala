@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 import graft.functions.GraftExpressions.{CdcChunks, DelNeighborhoodExpr,
-  DistSq, DotProduct, DotProductF, L2NormSq, L2NormSqF, ShingleHashesExpr,
-  TrigramCountsExpr, WinnowFingerprints, WordPieceTokens}
+  DistSq, DotProduct, DotProductF, L2NormSq, L2NormSqF, PrefixChainHashes,
+  ShingleHashesExpr, TrigramCountsExpr, WinnowFingerprints, WordPieceTokens}
 
 /** Planning-time promotion of the NOTES #27 rule: a per-row
   * compute-heavy kernel (the shared inventory in the companion — from
@@ -200,7 +200,11 @@ object SpreadHeavyKernels {
     *    multiplying array output: [[WinnowFingerprints]] (k-gram hash +
     *    window minima), [[ShingleHashesExpr]], [[TrigramCountsExpr]],
     *    [[WordPieceTokens]] (longest-match inner loop),
-    *    [[CdcChunks]] (rolling hash), and the vector kernels
+    *    [[CdcChunks]] (rolling hash), [[PrefixChainHashes]] (one md5
+    *    per 16-token block, multiplying array output — the KV-audit
+    *    kernel, built as an expression partly SO this list can see it;
+    *    its builtin predecessor was invisible here, VERDICT r12 §1),
+    *    and the vector kernels
     *    [[DotProductF]]/[[L2NormSqF]] plus their generic float/double
     *    twins [[DotProduct]]/[[L2NormSq]]/[[DistSq]] (d multiply-adds
     *    per row — d is 64-1536 in practice).
@@ -213,7 +217,7 @@ object SpreadHeavyKernels {
   private[graft] val isHeavyKernel: Expression => Boolean = {
     case _: DelNeighborhoodExpr | _: Levenshtein | _: WinnowFingerprints |
          _: ShingleHashesExpr | _: TrigramCountsExpr | _: WordPieceTokens |
-         _: CdcChunks | _: DotProductF | _: L2NormSqF |
+         _: CdcChunks | _: PrefixChainHashes | _: DotProductF | _: L2NormSqF |
          _: DotProduct | _: L2NormSq | _: DistSq => true
     case _ => false
   }

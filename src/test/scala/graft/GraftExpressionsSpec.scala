@@ -149,6 +149,46 @@ class GraftExpressionsSpec extends SparkSuite {
     a.foreach { case (_, g) => assert(g >= mn && g <= mx) }
   }
 
+  test("graft_prefix_chain equals the built-in aggregate-fold formulation and the old full-prefix identity relation") {
+    GraftExpressions.register(sc)
+    // the chained hash must equal the md5(h || '|' || block) left fold
+    // spelled entirely in built-ins (the oracle's list_reduce shape),
+    // element for element — including multi-byte tokens and a tail
+    // partial block (never hashed)
+    val docs = Tables(spark, sfDir, "documents").select(col("text")).limit(40)
+      .union(spark.createDataFrame(Seq(
+        Tuple1(((1 to 35).map(i => s"tök$i")).mkString(" ")), // 2 blocks + tail
+        Tuple1("just a few tokens"), // 0 blocks
+        Tuple1((1 to 16).map(_ => "x").mkString(" ")))) // exactly 1 block
+        .toDF("text"))
+      .select(split(col("text"), " ").as("t"))
+    val rows = docs.select(
+      expr("graft_prefix_chain(t, 16)").as("fast"),
+      expr("""aggregate(
+        transform(filter(sequence(0, size(t) div 16), i -> i >= 1), i ->
+          array_join(slice(t, (i - 1) * 16 + 1, 16), ' ')),
+        named_struct('h', '', 'hs', cast(array() as array<string>)),
+        (acc, b) -> named_struct(
+          'h', md5(concat(acc.h, '|', b)),
+          'hs', array_append(acc.hs, md5(concat(acc.h, '|', b)))),
+        acc -> acc.hs)""").as("ref"),
+      col("t")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.getSeq[Any](2).take(5))
+      assert(r.getSeq[String](0).length == r.getSeq[Any](2).length / 16)
+    }
+    // equality-preservation: chained hashes agree at depth i iff the
+    // old full-prefix md5 identities do (the radix-trie contract)
+    val pair = spark.createDataFrame(Seq(
+      Tuple1(((1 to 32).map(i => s"s$i") ++ (1 to 16).map(i => s"a$i")).mkString(" ")),
+      Tuple1(((1 to 32).map(i => s"s$i") ++ (1 to 16).map(i => s"b$i")).mkString(" "))))
+      .toDF("text").select(split(col("text"), " ").as("t"))
+      .select(expr("graft_prefix_chain(t, 16)").as("hs")).collect()
+      .map(_.getSeq[String](0))
+    assert(pair(0).take(2) == pair(1).take(2) && pair(0)(2) != pair(1)(2),
+      "shared 32-token prefix must share exactly the first two block hashes")
+  }
+
   test("graft_del_hood: quadratic-neighborhood inputs fail legibly at the length cap") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.functions.DelHood

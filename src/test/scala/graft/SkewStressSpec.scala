@@ -239,9 +239,15 @@ class SkewStressSpec extends SparkSuite {
   test("megabyte documents stream through the per-row kernels") {
     val s = sc
     // one ~1.4 MB document (200k tokens) among normals: the linear
-    // kernels (winnow fingerprints, wordpiece) must process it in one
-    // row without blowing the task — the per-doc window/loop designs
-    // never materialize per-position relations
+    // kernels (winnow fingerprints, wordpiece, and — since the r12
+    // verdict flagged their quadratic predecessor — BOTH chained
+    // KV-prefix kernels) must process it in one row without blowing
+    // the task. The r12 KV shape re-hashed the full prefix at every
+    // 16-token depth: this exact document would have pushed ≈ 1.25 G
+    // tokens (~9 GB of string traffic) through one Generate chain;
+    // the chained kernel does one linear pass (12,500 md5s of
+    // hash+16-token blocks), so the whole four-query pass staying
+    // inside the same wall-clock envelope IS the linearity evidence.
     val big = (0 until 200000).map(i => s"tok$i").mkString(" ")
     val docs = s.range(20).select(
       col("id").as("doc_id"),
@@ -253,8 +259,18 @@ class SkewStressSpec extends SparkSuite {
     val t0 = System.nanoTime()
     val winnow = SparkEntry.queries("dd_winnowing")(s, dir).collect()
     val wordpiece = SparkEntry.queries("ta_wordpiece")(s, dir).collect()
+    val kvReuse = SparkEntry.queries("q_kv_prefix_reuse")(s, dir).collect()
+    val kvDepth = SparkEntry.queries("q_kv_depth_profile")(s, dir).collect()
     val secs = (System.nanoTime() - t0) / 1e9
     assert(winnow.nonEmpty && wordpiece.nonEmpty)
+    // all 200k-token prefixes are distinct (12,500 full blocks, no
+    // sharing with the short docs), and every depth is reached once
+    val web = kvReuse.find(_.getString(0) == "web").get
+    assert(web.getLong(2) == 12500L && web.getLong(3) == 12500L,
+      s"megadoc block accounting: $web")
+    assert(kvDepth.length == 12500 &&
+      kvDepth.forall(r => r.getLong(2) == r.getLong(1)),
+      s"depth profile rows: ${kvDepth.length}")
     assert(secs < 120.0, f"megabyte-doc kernel pass took $secs%.1f s")
   }
 

@@ -7,11 +7,13 @@ import graft.functions.SqlCompat
 /** Unit pins for the [[SqlCompat]] DuckDB-dialect pack's EDGE
   * semantics — the cases SqlParitySpec's end-to-end statements mostly
   * never touch (out-of-range indexes, empty slices, absent elements,
-  * unsupported argument forms). Every expected value below was taken
-  * from the live oracle engine (DuckDB 1.0) rather than its docs —
-  * notably list_position's 0-for-absent sentinel, which newer DuckDB
-  * releases change to NULL: if the sandbox's DuckDB is ever upgraded,
-  * THIS suite is where the divergence should fail first.
+  * unsupported argument forms). Expected values were TRANSCRIBED from a
+  * DuckDB 1.0 CLI session rather than its docs — notably
+  * list_position's 0-for-absent sentinel, which newer DuckDB releases
+  * change to NULL. This suite executes only the SPARK side of each
+  * alias (it runs on spark.sql), so it pins that the alias keeps the
+  * transcribed behavior; a sandbox DuckDB upgrade would surface in the
+  * driver's correctness runs, not here (ADVICE r12).
   */
 class SqlCompatSpec extends SparkSuite {
 
@@ -48,6 +50,22 @@ class SqlCompatSpec extends SparkSuite {
     assert(one("SELECT range(2, 5) AS r").getSeq[Int](0) == Seq(2, 3, 4))
   }
 
+  test("range/generate_series: empty ranges are EMPTY lists (not Spark's descending sequence), NULL bounds stay NULL") {
+    // DuckDB: range(0) = [], generate_series(3, 1) = [] — Spark's raw
+    // Sequence would descend, leaking a phantom row through any
+    // downstream explode+filter (ADVICE r12: the KV audit's depth-0
+    // md5('') block on an all-short-docs corpus)
+    val r = one("""SELECT range(0) AS a, range(5, 2) AS b,
+      generate_series(3, 1) AS c, generate_series(2, 2) AS d""")
+    assert(r.getSeq[Long](0) == Seq() && r.getSeq[Int](1) == Seq())
+    assert(r.getSeq[Int](2) == Seq() && r.getSeq[Int](3) == Seq(2))
+    val n = one("SELECT generate_series(1, CAST(NULL AS INTEGER)) AS x")
+    assert(n.isNullAt(0), "NULL bound must stay NULL, as on DuckDB")
+    // the explicit negative step still descends on both engines
+    assert(one("SELECT generate_series(3, 1, -1) AS x").getSeq[Int](0)
+      == Seq(3, 2, 1))
+  }
+
   test("list_position: 1-based when found, the DuckDB-1.0 0 sentinel when absent") {
     val r = one("""SELECT list_position(list_value(7, 8), 8) AS found,
       list_position(list_value(7, 8), 9) AS absent""")
@@ -77,13 +95,24 @@ class SqlCompatSpec extends SparkSuite {
     assert(r.getLong(0) == 1000L && r.getString(1) == "1970-01-01 00:00:01")
   }
 
-  test("dialect session settings: raw string literals, double-quoted identifiers, unchunked base64") {
-    // '\s' must stay two characters (Spark's default would unescape it
-    // and silently mangle every regex in a shared statement)
-    assert(one("SELECT length('\\s') AS l").getInt(0) == 2)
-    assert(s.sql("""SELECT 1 AS "a-b"""").columns.toSeq == Seq("a-b"))
-    val b64 = one("SELECT base64(CAST(repeat('x', 100) AS BINARY)) AS b").getString(0)
-    assert(!b64.contains("\n"), "base64 must not MIME-chunk")
+  test("dialect session settings: scoped by withDialectSession, restored after") {
+    // inside the scope: raw literals ('\s' stays two characters —
+    // Spark's default would unescape it and silently mangle every regex
+    // in a shared statement), double-quoted identifiers, unchunked
+    // base64
+    SqlCompat.withDialectSession(s) {
+      assert(one("SELECT length('\\s') AS l").getInt(0) == 2)
+      assert(s.sql("""SELECT 1 AS "a-b"""").columns.toSeq == Seq("a-b"))
+      val b64 = one("SELECT base64(CAST(repeat('x', 100) AS BINARY)) AS b").getString(0)
+      assert(!b64.contains("\n"), "base64 must not MIME-chunk")
+    }
+    // outside: stock Spark parsing is restored — register() alone must
+    // never flip parser behavior under a user session (ADVICE r12)
+    assert(one("SELECT length('\\s') AS l").getInt(0) == 1,
+      "escapedStringLiterals leaked outside withDialectSession")
+    assert(one("""SELECT "plainstring" AS x""").getString(0) == "plainstring",
+      "doubleQuotedIdentifiers leaked outside withDialectSession " +
+        "(stock Spark reads double quotes as a string literal)")
   }
 
   test("strftime: known literal directives translate, unknown ones fail loudly") {

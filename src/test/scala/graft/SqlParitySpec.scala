@@ -43,7 +43,10 @@ class SqlParitySpec extends SparkSuite {
     *    q_span_corrupt, dd_span_removal) — a max-bound
     *    `generate_series` CTE cross join filtered by `len(list)`,
     *    with `list_extract` at the index.
-    *  - dialect session settings, now part of SqlCompat.register:
+    *  - dialect session settings, applied via SqlCompat's scoped
+    *    withDialectSession (set + restore around the oracle text only —
+    *    implicit session-wide flips contradicted the temp-function
+    *    contract, ADVICE r12):
     *    RAW string literals (Spark's default unescapes '\s' to 's',
     *    silently mangling every regex in a shared statement — fixed
     *    ta_tokens/q_regexp_funcs/q_encode_funcs and the url/code_detect
@@ -169,7 +172,12 @@ class SqlParitySpec extends SparkSuite {
     graft.functions.SqlCompat.register(s)
     val failures = ansiOracles.flatMap { name =>
       try {
-        val viaSql = s.sql(SparkEntry.oracleSql(name)).collect().toSeq
+        // the oracle text parses under the DuckDB dialect settings,
+        // SCOPED (set + restore) so the shared test session keeps stock
+        // Spark parsing for every other suite (ADVICE r12); the
+        // DataFrame twin runs outside the scope, as in Verify
+        val viaSql = graft.functions.SqlCompat.withDialectSession(s)(
+          s.sql(SparkEntry.oracleSql(name)).collect().toSeq)
         val viaDf = SparkEntry.queries(name)(s, sfDir).collect().toSeq
         if (viaSql == viaDf) None else Some(s"$name: rows differ (${viaSql.size} vs ${viaDf.size})")
       } catch { case e: Exception => Some(s"$name: ${e.getMessage.linesIterator.next()}") }
