@@ -250,6 +250,16 @@ object Graft {
     def cacheTtlCurve(s: SparkSession, dir: String): DataFrame = operators.ServingOps2.qCacheTtlCurve(s, dir)
   }
 
+  /** RL / agentic-trace diagnostics over multi-turn episode logs
+    * (round 13): per-step credit assignment, tool-failure taxonomy,
+    * near-identical rollout collapse.
+    */
+  object traces {
+    def stepCredit(s: SparkSession, dir: String): DataFrame = operators.TraceOps.qTraceCredit(s, dir)
+    def toolErrorTaxonomy(s: SparkSession, dir: String): DataFrame = operators.TraceOps.qToolErrors(s, dir)
+    def trajectoryCollapse(s: SparkSession, dir: String): DataFrame = operators.TraceOps.qTrajCollapse(s, dir)
+  }
+
   /** Multimodal (binary-column) operators. */
   object media {
     def binaryStats(s: SparkSession, dir: String): DataFrame = operators.Multimodal.mmBinaryStats(s, dir)
