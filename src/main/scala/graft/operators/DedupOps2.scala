@@ -117,10 +117,11 @@ object DedupOps2 {
        |JOIN small k ON k.phash = x.phash
        |WHERE bit_count(xor(x.fingerprint, y.fingerprint)) <= $JointHammingMax
        |ORDER BY a, b""".stripMargin
-      // j is referenced three times and each reference would otherwise
-      // re-inline the whole per-char phash chain (the SpectralOps
-      // rule); no RECURSIVE CTE here, so the blanket rewrite is safe
-      .replace("AS (", "AS MATERIALIZED (")
+      // r13: the AS MATERIALIZED rewrite is GONE — measured on the live
+      // DuckDB, inlining j's three references costs 1.36 s vs 0.92 s at
+      // sf0.1 (the engine CSEs the per-char chain well enough), and
+      // dropping the DuckDB-only keyword lets the statement parse on
+      // spark.sql, moving this query onto the parity-pinned list
 
   // ------------------------------------------------- mm_cross_contam
 
@@ -178,9 +179,9 @@ object DedupOps2 {
        |WHERE e.doc_id % 10 = 0 AND t.doc_id % 10 <> 0
        |  AND bit_count(xor(e.fingerprint, t.fingerprint)) <= $JointHammingMax
        |GROUP BY e.doc_id ORDER BY eval_doc""".stripMargin
-      // same materialization note as mmJointDedupSql: j is referenced
-      // three times over the per-char phash chain
-      .replace("AS (", "AS MATERIALIZED (")
+      // same r13 de-materialization as mmJointDedupSql: 1.05 s inlined
+      // vs 0.75 s at sf0.1 on the live DuckDB, and the shared text now
+      // parses on spark.sql (parity-pinned)
 
   // --------------------------------------------------- q_survivorship
 

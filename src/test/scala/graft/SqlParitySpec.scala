@@ -14,9 +14,16 @@ class SqlParitySpec extends SparkSuite {
   /** Every oracle whose SQL text runs UNCHANGED on spark.sql (with the
     * [[graft.functions.SqlCompat]] DuckDB-dialect alias pack
     * registered) with row-identical results — probed exhaustively by
-    * SqlParityProbe, 314 of 335 as of round 12 (259 → 314, none lost;
-    * the round's five serving-wave queries pin directly). The round-12
-    * seams, in the order they fell:
+    * SqlParityProbe, 319 of 338 as of round 13 (259 → 314 → 319, none
+    * lost; the KV rewrite and the three trace-wave queries pin
+    * directly, and de-materializing the two mm joint-dedup oracles —
+    * the live DuckDB CSEs their triple-referenced CTE well enough that
+    * the DuckDB-only AS MATERIALIZED keyword was no longer paying for
+    * its parse failure on Spark — moved those onto the list). THIS
+    * LIST IS NOW DECLARED FINAL (r12 verdict item 5): every remaining
+    * exclusion carries a named engine-feature gap below, and no
+    * further parity spend is planned. The round-12 seams, in the order
+    * they fell:
     *
     *  - QUALIFY (7 statements) — pure sugar over a ranked subquery;
     *    the oracles now spell the portable ANSI nested-select form.
@@ -68,15 +75,22 @@ class SqlParitySpec extends SparkSuite {
     * built the dialect bridge — `divide()`, polymorphic `epoch_ms`,
     * literal `strftime`; round 10 moved the `s[1]`-subscript families
     * onto `generate_series`/`list_extract`.)
-    * The remaining 21 stay off for reasons the pack deliberately does
-    * not paper over: recursive-CTE UNION-dedup semantics (dd_canonical,
+    * The remaining 19 stay off for reasons the pack deliberately does
+    * not paper over — FINAL, each named to its engine-feature gap:
+    * recursive-CTE UNION-dedup semantics (dd_canonical,
     * dd_components, dd_keep_best, q_curation_funnel, q_dbscan_grid,
     * q_survivorship — Spark recursion is UNION ALL only) and
     * ta_wordpiece's diverging recursion row semantics; DuckDB HUGEINT
-    * arithmetic (the KMV family, q_ols); AS MATERIALIZED
-    * multi-referenced CTEs (mm_cross_contam, mm_joint_dedup, the PCA
-    * family — a DuckDB-side necessity: without it the iterative chains
-    * re-inline exponentially); DuckDB's native ASOF JOIN (q_asof_join /
+    * arithmetic (the KMV family: q_approx_distinct_kmv, q_kmv_set_ops,
+    * q_join_size_est, plus q_ols — no 128-bit integer type on Spark);
+    * AS MATERIALIZED multi-referenced CTEs, now the PCA family ONLY
+    * (q_pca_power/q_pca_project/q_pca_deflate — every power-iteration
+    * round references the whole v-chain, so unmaterialized DuckDB
+    * re-inlines the tree exponentially, measured >120 s vs 0.12 s at
+    * sf0.01, and the keyword does not parse on Spark; the mm joint
+    * pair LEFT this class in r13 — the live DuckDB CSEs their
+    * triple-referenced CTE at ~1.4× the materialized cost, so the
+    * keyword was dropped and both now pin); DuckDB's native ASOF JOIN (q_asof_join /
     * q_asof_native — the POINT is validating our custom operator
     * against DuckDB's independent native one); and statements whose
     * POINT is the unbridgeable form itself (q_explode /
@@ -99,6 +113,7 @@ class SqlParitySpec extends SparkSuite {
     "hfp_route", "hfp_union", "kmeans_train", "mm_audio_fingerprint",
     "mm_audio_vad", "mm_binary_stats", "mm_clip_filter", "mm_crop_jitter",
     "mm_decode_features", "mm_exif_quarantine", "mm_frame_sample", "mm_keyframes",
+    "mm_cross_contam", "mm_joint_dedup",
     "mm_mfcc", "mm_modality_route", "mm_patchify", "mm_phash_buckets",
     "mm_resize", "mm_scene_split", "q10_returned_items", "q11_important_parts",
     "q12_priority_conditional", "q13_order_dist", "q14_promo_ratio", "q15_top_supplier",
@@ -150,7 +165,8 @@ class SqlParitySpec extends SparkSuite {
     "q_sssp", "q_stats_agg", "q_stratified_kfold", "q_stratified_sample",
     "q_string_advanced", "q_string_funcs", "q_survival", "q_synth_sample",
     "q_tail_index", "q_target_encode", "q_temperature_scale", "q_theil_sen",
-    "q_token_budget", "q_top_p_cutoff", "q_train_split", "q_triangle_count",
+    "q_token_budget", "q_tool_errors", "q_top_p_cutoff", "q_trace_credit",
+    "q_traj_collapse", "q_train_split", "q_triangle_count",
     "q_trig_funcs", "q_tumbling_window", "q_typed_agg", "q_typed_cogroup",
     "q_ucb_bandit", "q_union_distinct", "q_unpivot", "q_url_funcs",
     "q_values_lookup", "q_vocab_growth", "q_weighted_sample", "q_window_dist",
