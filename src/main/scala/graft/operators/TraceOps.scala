@@ -43,11 +43,20 @@ object TraceOps {
 
   private def w = Window.partitionBy("user_id").orderBy("ts", "event_id")
 
-  /** events → (trace_id, ts, event_id, event_type, cents, props):
+  /** events → (user_id, sid, ts, event_id, event_type, cents, props):
     * gap-stitched episodes with the reward signal quantized to cents
     * (DECIMAL(12,2) — both engines round a double to 2 decimals
     * identically, proven by q_salted_agg) so every downstream sum is
     * exact integer arithmetic.
+    *
+    * The episode key stays the COMPOSITE (user_id, sid), not the packed
+    * trace_id, until output: every downstream per-episode window and
+    * group keys on (user_id, sid), whose clustering the stitching
+    * window's HashPartitioning(user_id) already satisfies (hash keys ⊆
+    * clustering keys) — so each trace query pays exactly ONE data-sized
+    * shuffle, where a window over the derived `user_id·10⁶ + sid`
+    * expression would force a second full exchange Spark cannot prove
+    * away.
     */
   private def episodes(s: SparkSession, dir: String): DataFrame = {
     val boundary = when(lag("ts", 1).over(w).isNull ||
@@ -59,10 +68,14 @@ object TraceOps {
         col("props"))
       .withColumn("sid", sum(boundary).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select((col("user_id") * TraceIdBase + col("sid")).as("trace_id"),
-        col("ts"), col("event_id"), col("event_type"), col("cents"),
-        col("props"))
   }
+
+  /** Per-episode window: keyed on the composite, satisfied by the
+    * stitcher's user_id partitioning — no second exchange.
+    */
+  private def wTrace = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+
+  private def traceId = (col("user_id") * TraceIdBase + col("sid")).as("trace_id")
 
   /** The episode WITH-chain shared by all three oracles, ending in
     * `ep(trace_id, ts, event_id, event_type, cents, props)`.
@@ -100,12 +113,11 @@ object TraceOps {
     * join back for the sign test, a second tiny aggregate.
     */
   def qTraceCredit(s: SparkSession, dir: String): DataFrame = {
-    val wt = Window.partitionBy("trace_id").orderBy("ts", "event_id")
     val steps = episodes(s, dir)
-      .select(col("trace_id"), col("ts"), col("event_id"), col("cents"))
-      .withColumn("step_idx", row_number().over(wt).cast(LongType))
+      .select(col("user_id"), col("sid"), col("ts"), col("event_id"), col("cents"))
+      .withColumn("step_idx", row_number().over(wTrace).cast(LongType))
       .withColumn("rtg", sum("cents").over(
-        wt.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        wTrace.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
       .select(col("step_idx"), col("rtg"))
     val base = steps.groupBy("step_idx")
       .agg(count(lit(1)).as("n_steps"), sum("rtg").as("sum_rtg"))
@@ -165,7 +177,7 @@ object TraceOps {
   def qToolErrors(s: SparkSession, dir: String): DataFrame = {
     val errs = episodes(s, dir)
       .where(col("event_type") === "error")
-      .select(col("trace_id"), col("ts"), col("event_id"),
+      .select(col("user_id"), col("sid"), col("ts"), col("event_id"),
         concat(lit("t"), (get_json_object(col("props"), "$.k").cast(LongType) / 13)
           .cast(LongType)).as("tool"),
         (col("cents") % 4).as("cls_code"))
@@ -174,12 +186,11 @@ object TraceOps {
           .when(col("cls_code") === 1, "rate_limit")
           .when(col("cls_code") === 2, "bad_args")
           .otherwise("server_error"))
-    val wt = Window.partitionBy("trace_id").orderBy("ts", "event_id")
     val chain = errs
-      .withColumn("chain_pos", row_number().over(wt))
+      .withColumn("chain_pos", row_number().over(wTrace))
       .where(col("chain_pos") <= MaxChain)
       .withColumn("prev_tool", lag("tool", 1).over(
-        Window.partitionBy("trace_id").orderBy("chain_pos")))
+        Window.partitionBy("user_id", "sid").orderBy("chain_pos")))
     val chainAgg = chain.groupBy("tool", "cls")
       .agg(sum(when(col("chain_pos") === 1, 1L).otherwise(0L)).as("n_chain_head"),
         sum(when(col("prev_tool") === col("tool"), 1L).otherwise(0L))
@@ -251,13 +262,13 @@ object TraceOps {
     */
   def qTrajCollapse(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableHash
-    val wt = Window.partitionBy("trace_id").orderBy("ts", "event_id")
     val tri = episodes(s, dir)
-      .select(col("trace_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("a2", lead("event_type", 1).over(wt))
-      .withColumn("a3", lead("event_type", 2).over(wt))
+      .select(col("user_id"), col("sid"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("a2", lead("event_type", 1).over(wTrace))
+      .withColumn("a3", lead("event_type", 2).over(wTrace))
       .where(col("a3").isNotNull)
-      .select(col("trace_id"),
+      .select(col("user_id"), col("sid"),
         PortableHash.hash64(concat_ws(" ", col("event_type"), col("a2"),
           col("a3"))).as("h"))
       .distinct()
@@ -265,12 +276,14 @@ object TraceOps {
     val sigAggs = DedupOps.perms.zipWithIndex.map { case ((a, b), i) =>
       min((base * a + b) % DedupOps.MersenneP).as(s"sig$i")
     }
-    val sigs = tri.groupBy("trace_id")
+    // distinct, signature agg and (via first-partial) the window above
+    // all key on (user_id, sid) subsets — one exchange end to end
+    val sigs = tri.groupBy("user_id", "sid")
       .agg(count(lit(1)).as("n_shingles"), sigAggs: _*)
     val sigCols: Seq[Column] =
       DedupOps.perms.indices.map(i => col(s"sig$i").cast(StringType))
     sigs
-      .select(col("trace_id"), col("n_shingles"),
+      .select(traceId, col("n_shingles"),
         md5(concat_ws(",", sigCols: _*)).as("collapse_key"))
       .groupBy("collapse_key", "n_shingles")
       .agg(min("trace_id").as("keep_trace"),
