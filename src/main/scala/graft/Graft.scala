@@ -258,6 +258,8 @@ object Graft {
     def stepCredit(s: SparkSession, dir: String): DataFrame = operators.TraceOps.qTraceCredit(s, dir)
     def toolErrorTaxonomy(s: SparkSession, dir: String): DataFrame = operators.TraceOps.qToolErrors(s, dir)
     def trajectoryCollapse(s: SparkSession, dir: String): DataFrame = operators.TraceOps.qTrajCollapse(s, dir)
+    def loopDiagnostics(s: SparkSession, dir: String): DataFrame = operators.TraceOps.qLoopDetect(s, dir)
+    def successFunnel(s: SparkSession, dir: String): DataFrame = operators.TraceOps.qTraceFunnel(s, dir)
   }
 
   /** Multimodal (binary-column) operators. */

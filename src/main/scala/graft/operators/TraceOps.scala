@@ -321,13 +321,137 @@ object TraceOps {
        |ORDER BY keep_trace""".stripMargin
   }
 
+  // -------------------------------------------------- q_loop_detect
+
+  /** Action-loop diagnostic: the degenerate-behavior signatures an
+    * agentic-trace pipeline filters before training on rollouts —
+    * IMMEDIATE REPEATS (the same action as the previous turn: a stuck
+    * retry), PERIOD-2 OSCILLATIONS (a-b-a: the agent ping-ponging
+    * between two actions), and the longest consecutive RUN of each
+    * action (gaps-and-islands over the episode: a run boundary is any
+    * action change or episode start, the run id is the boundary
+    * running sum — the q_sessionize construction one level down).
+    * Per action: occurrences, repeat steps, oscillation steps, longest
+    * run, repeat fraction. All counts integer; windows key on
+    * (user_id, sid) subsets — one data-sized shuffle (NOTES #52).
+    */
+  def qLoopDetect(s: SparkSession, dir: String): DataFrame = {
+    val steps = episodes(s, dir)
+      .select(col("user_id"), col("sid"), col("ts"), col("event_id"),
+        col("event_type").as("action"))
+      .withColumn("prev", lag("action", 1).over(wTrace))
+      .withColumn("prev2", lag("action", 2).over(wTrace))
+      .withColumn("rep", when(col("action") === col("prev"), 1L).otherwise(0L))
+      .withColumn("osc", when(col("action") === col("prev2") &&
+        col("action") =!= col("prev"), 1L).otherwise(0L))
+      .withColumn("boundary",
+        when(col("prev").isNull || col("action") =!= col("prev"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum("boundary").over(
+        wTrace.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = steps.groupBy("user_id", "sid", "run_id", "action")
+      .agg(count(lit(1)).as("run_len"),
+        sum("rep").as("rep"), sum("osc").as("osc"))
+    runs.groupBy("action")
+      .agg(sum("run_len").as("n_steps"),
+        sum("rep").as("n_repeat_steps"),
+        sum("osc").as("n_osc_steps"),
+        max("run_len").as("max_run_len"))
+      .select(col("action"), col("n_steps"), col("n_repeat_steps"),
+        col("n_osc_steps"), col("max_run_len"),
+        round(col("n_repeat_steps").cast(DoubleType) / col("n_steps"), 6)
+          .as("repeat_frac"))
+      .orderBy("action")
+  }
+
+  private val qLoopDetectSql =
+    s"""WITH $episodesSql,
+       |steps AS (SELECT trace_id, event_type AS action,
+       |    lag(event_type) OVER wt AS prev,
+       |    lag(event_type, 2) OVER wt AS prev2,
+       |    ts, event_id
+       |  FROM ep WINDOW wt AS (PARTITION BY trace_id ORDER BY ts, event_id)),
+       |lmark AS (SELECT trace_id, action,
+       |    CASE WHEN action = prev THEN 1 ELSE 0 END AS rep,
+       |    CASE WHEN action = prev2 AND action <> prev THEN 1 ELSE 0 END AS osc,
+       |    SUM(CASE WHEN prev IS NULL OR action <> prev THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY trace_id ORDER BY ts, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+       |  FROM steps),
+       |runs AS (SELECT trace_id, run_id, action,
+       |    CAST(COUNT(*) AS BIGINT) AS run_len,
+       |    CAST(SUM(rep) AS BIGINT) AS rep, CAST(SUM(osc) AS BIGINT) AS osc
+       |  FROM lmark GROUP BY 1, 2, 3)
+       |SELECT action, CAST(SUM(run_len) AS BIGINT) AS n_steps,
+       |  CAST(SUM(rep) AS BIGINT) AS n_repeat_steps,
+       |  CAST(SUM(osc) AS BIGINT) AS n_osc_steps,
+       |  max(run_len) AS max_run_len,
+       |  round(CAST(SUM(rep) AS DOUBLE) / SUM(run_len), 6) AS repeat_frac
+       |FROM runs GROUP BY action ORDER BY action""".stripMargin
+
+  // -------------------------------------------------- q_trace_funnel
+
+  /** Success-by-depth funnel: for each OBSERVED episode length d, how
+    * many episodes ran at least d turns and what fraction of those
+    * completed the task
+    * (contain a `purchase` action — the conversion convention the
+    * attribution family uses). The curve an RL data pipeline reads to
+    * decide whether long trajectories are worth their tokens (success
+    * lift vs depth) and where to truncate rollouts. Built without any
+    * per-depth fan-out: episodes aggregate to (length, success), group
+    * to the tiny length histogram, and two suffix sums over it (window
+    * over max-trace-length rows) produce the ≥-depth counts — integer
+    * end to end, one data-sized shuffle then length-histogram-sized
+    * work.
+    */
+  def qTraceFunnel(s: SparkSession, dir: String): DataFrame = {
+    val eps = episodes(s, dir)
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("len"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("success"))
+    val hist = eps.groupBy("len")
+      .agg(count(lit(1)).as("n_eps"), sum("success").as("n_succ"))
+    val wSuffix = Window.orderBy(col("len").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n_reaching", sum("n_eps").over(wSuffix))
+      .withColumn("n_success", sum("n_succ").over(wSuffix))
+      .select(col("len").as("depth"), col("n_reaching"), col("n_success"),
+        round(col("n_success").cast(DoubleType) / col("n_reaching"), 6)
+          .as("success_rate"))
+      .orderBy("depth")
+  }
+
+  private val qTraceFunnelSql =
+    s"""WITH $episodesSql,
+       |eps AS (SELECT trace_id, CAST(COUNT(*) AS BIGINT) AS len,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS success
+       |  FROM ep GROUP BY 1),
+       |hist AS (SELECT len, CAST(COUNT(*) AS BIGINT) AS n_eps,
+       |    CAST(SUM(success) AS BIGINT) AS n_succ
+       |  FROM eps GROUP BY len)
+       |SELECT len AS depth,
+       |  CAST(SUM(n_eps) OVER w AS BIGINT) AS n_reaching,
+       |  CAST(SUM(n_succ) OVER w AS BIGINT) AS n_success,
+       |  round(CAST(SUM(n_succ) OVER w AS DOUBLE)
+       |    / SUM(n_eps) OVER w, 6) AS success_rate
+       |FROM hist
+       |WINDOW w AS (ORDER BY len DESC ROWS BETWEEN UNBOUNDED PRECEDING
+       |  AND CURRENT ROW)
+       |ORDER BY depth""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_trace_credit" -> (qTraceCredit(_, _)),
     "q_tool_errors" -> (qToolErrors(_, _)),
-    "q_traj_collapse" -> (qTrajCollapse(_, _)))
+    "q_traj_collapse" -> (qTrajCollapse(_, _)),
+    "q_loop_detect" -> (qLoopDetect(_, _)),
+    "q_trace_funnel" -> (qTraceFunnel(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_trace_credit" -> qTraceCreditSql,
     "q_tool_errors" -> qToolErrorsSql,
-    "q_traj_collapse" -> qTrajCollapseSql)
+    "q_traj_collapse" -> qTrajCollapseSql,
+    "q_loop_detect" -> qLoopDetectSql,
+    "q_trace_funnel" -> qTraceFunnelSql)
 }

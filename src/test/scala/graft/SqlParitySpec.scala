@@ -14,8 +14,8 @@ class SqlParitySpec extends SparkSuite {
   /** Every oracle whose SQL text runs UNCHANGED on spark.sql (with the
     * [[graft.functions.SqlCompat]] DuckDB-dialect alias pack
     * registered) with row-identical results — probed exhaustively by
-    * SqlParityProbe, 319 of 338 as of round 13 (259 → 314 → 319, none
-    * lost; the KV rewrite and the three trace-wave queries pin
+    * SqlParityProbe, 321 of 340 as of round 13 (259 → 314 → 321, none
+    * lost; the KV rewrite and the five trace-wave queries pin
     * directly, and de-materializing the two mm joint-dedup oracles —
     * the live DuckDB CSEs their triple-referenced CTE well enough that
     * the DuckDB-only AS MATERIALIZED keyword was no longer paying for
@@ -147,7 +147,8 @@ class SqlParitySpec extends SparkSuite {
     "q_item_cf", "q_json_funcs", "q_k_anonymity", "q_kcore",
     "q_knn_classify", "q_knn_ivf", "q_krippendorff", "q_kv_depth_profile",
     "q_kv_prefix_reuse", "q_l_diversity", "q_label_prop", "q_lateral_topn",
-    "q_length_buckets", "q_length_debiased_winrate", "q_link_predict", "q_mad_outlier",
+    "q_length_buckets", "q_length_debiased_winrate", "q_link_predict",
+    "q_loop_detect", "q_mad_outlier",
     "q_map_at_k", "q_map_struct_funcs", "q_math_extended", "q_math_funcs",
     "q_mcnemar", "q_merge_upsert", "q_mixture_temperature", "q_mmr_select",
     "q_modularity", "q_mrr", "q_mutual_information", "q_nearest_stop",
@@ -166,7 +167,7 @@ class SqlParitySpec extends SparkSuite {
     "q_string_advanced", "q_string_funcs", "q_survival", "q_synth_sample",
     "q_tail_index", "q_target_encode", "q_temperature_scale", "q_theil_sen",
     "q_token_budget", "q_tool_errors", "q_top_p_cutoff", "q_trace_credit",
-    "q_traj_collapse", "q_train_split", "q_triangle_count",
+    "q_trace_funnel", "q_traj_collapse", "q_train_split", "q_triangle_count",
     "q_trig_funcs", "q_tumbling_window", "q_typed_agg", "q_typed_cogroup",
     "q_ucb_bandit", "q_union_distinct", "q_unpivot", "q_url_funcs",
     "q_values_lookup", "q_vocab_growth", "q_weighted_sample", "q_window_dist",

@@ -129,6 +129,63 @@ class TraceOpsSpec extends SparkSuite {
       (1L, 3000001L, 1L, 0L)), s"got: $got")
   }
 
+  test("q_loop_detect: hand-traced repeats, oscillations, and run lengths") {
+    val s = sc
+    // u1: a a b a b b b — repeats: a@2, b@6, b@7; oscillations: a@4
+    // (a-b-a), b@5 (b-a-b); runs: a:2, b:1, a:1, b:3. u2: single c.
+    val acts1 = Seq("a", "a", "b", "a", "b", "b", "b")
+    val dir = eventsDir(
+      acts1.zipWithIndex.map { case (a, i) =>
+        ((i + 1).toLong, at(i * 1.0), 1L, a, 1.0, "{}") } ++
+        Seq((100L, at(0), 2L, "c", 1.0, "{}")))
+    val got = TraceOps.qLoopDetect(s, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    assert(got == Map(
+      "a" -> ((3L, 1L, 1L, 2L, 0.333333)),
+      "b" -> ((4L, 2L, 1L, 3L, 0.5)),
+      "c" -> ((1L, 0L, 0L, 1L, 0.0))), s"got: $got")
+  }
+
+  test("q_trace_funnel: hand-built funnel — suffix counts, success lift, observed depths only") {
+    val s = sc
+    def ep(uid: Long, base: Long, actions: Seq[String]) =
+      actions.zipWithIndex.map { case (a, i) =>
+        (base + i, at(i * 0.5), uid, a, 1.0, "{}") }
+    val dir = eventsDir(
+      ep(1L, 100L, Seq("a", "a", "b", "a", "b", "b", "b")) ++ // len 7, fail
+        ep(2L, 200L, Seq("c")) ++ // len 1, fail
+        ep(3L, 300L, Seq("view", "purchase")) ++ // len 2, success
+        ep(4L, 400L, Seq("view", "view", "purchase"))) // len 3, success
+    val got = TraceOps.qTraceFunnel(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, 0.5),
+      (2L, 3L, 2L, 0.666667),
+      (3L, 2L, 1L, 0.5),
+      (7L, 1L, 0L, 0.0)), s"got: $got")
+  }
+
+  test("q_loop_detect / q_trace_funnel: real corpus — totals reconcile, funnel monotone") {
+    val s = sc
+    val total = graft.sources.Tables(s, sfDir, "events").count()
+    val loops = TraceOps.qLoopDetect(s, sfDir).collect()
+    assert(loops.map(_.getLong(1)).sum == total,
+      "loop diagnostic must partition every step exactly once")
+    loops.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) <= r.getLong(1) &&
+        r.getLong(4) >= 1L, s"inconsistent loop stats: $r") }
+    val funnel = TraceOps.qTraceFunnel(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reaching counts strictly decrease as depth rises (observed
+    // depths), success counts are bounded by them, and depth-min
+    // reaching equals the episode count
+    assert(funnel.map(_._1).toSeq == funnel.map(_._1).sorted.toSeq)
+    val reach = funnel.map(_._2).toSeq
+    assert(reach == reach.sorted.reverse, s"funnel not monotone: $reach")
+    funnel.foreach { case (d, n, sN) => assert(sN <= n, s"depth $d: $sN > $n") }
+  }
+
   test("q_traj_collapse: real corpus — ledger covers exactly the trigram-bearing episodes") {
     val s = sc
     val got = TraceOps.qTrajCollapse(s, sfDir).collect()
