@@ -262,6 +262,19 @@ object Graft {
     def successFunnel(s: SparkSession, dir: String): DataFrame = operators.TraceOps.qTraceFunnel(s, dir)
   }
 
+  /** Reward-model / RLHF diagnostics (round 13): best-of-n
+    * over-optimization, preference-cycle census, per-depth
+    * policy/reference KL, verbosity-bias regression, judge
+    * position-bias audit.
+    */
+  object rewards {
+    def bestOfNOveroptimization(s: SparkSession, dir: String): DataFrame = operators.RewardOps.qBonOveropt(s, dir)
+    def preferenceTransitivity(s: SparkSession, dir: String): DataFrame = operators.RewardOps.qPrefTransitivity(s, dir)
+    def stepKlProfile(s: SparkSession, dir: String): DataFrame = operators.RewardOps.qStepKl(s, dir)
+    def lengthBiasSlope(s: SparkSession, dir: String): DataFrame = operators.RewardOps.qRewardLengthSlope(s, dir)
+    def judgePositionBias(s: SparkSession, dir: String): DataFrame = operators.RewardOps.qJudgePositionBias(s, dir)
+  }
+
   /** Multimodal (binary-column) operators. */
   object media {
     def binaryStats(s: SparkSession, dir: String): DataFrame = operators.Multimodal.mmBinaryStats(s, dir)

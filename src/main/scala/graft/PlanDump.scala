@@ -21,6 +21,14 @@ object PlanDump {
     println(df.queryExecution.optimizedPlan.treeString)
     println("=== PHYSICAL ===")
     println(df.queryExecution.sparkPlan.treeString)
+    // PLANDUMP_EXEC=1: run the query and print the AQE-final plan —
+    // the only place stage/exchange REUSE is visible (sparkPlan shows
+    // repeated subtrees that a single run de-duplicates)
+    if (sys.env.contains("PLANDUMP_EXEC")) {
+      df.collect()
+      println("=== EXECUTED (AQE final) ===")
+      println(df.queryExecution.executedPlan.treeString)
+    }
     spark.stop()
   }
 }

@@ -58,7 +58,7 @@ object TraceOps {
     * expression would force a second full exchange Spark cannot prove
     * away.
     */
-  private def episodes(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def episodes(s: SparkSession, dir: String): DataFrame = {
     val boundary = when(lag("ts", 1).over(w).isNull ||
       unix_millis(col("ts")) - unix_millis(lag("ts", 1).over(w)) > GapMs, 1L)
       .otherwise(0L)
@@ -73,14 +73,14 @@ object TraceOps {
   /** Per-episode window: keyed on the composite, satisfied by the
     * stitcher's user_id partitioning — no second exchange.
     */
-  private def wTrace = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+  private[operators] def wTrace = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
 
   private def traceId = (col("user_id") * TraceIdBase + col("sid")).as("trace_id")
 
   /** The episode WITH-chain shared by all three oracles, ending in
     * `ep(trace_id, ts, event_id, event_type, cents, props)`.
     */
-  private val episodesSql =
+  private[operators] val episodesSql =
     s"""e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents, props
        |  FROM events),

@@ -14,8 +14,9 @@ class SqlParitySpec extends SparkSuite {
   /** Every oracle whose SQL text runs UNCHANGED on spark.sql (with the
     * [[graft.functions.SqlCompat]] DuckDB-dialect alias pack
     * registered) with row-identical results — probed exhaustively by
-    * SqlParityProbe, 321 of 340 as of round 13 (259 → 314 → 321, none
-    * lost; the KV rewrite and the five trace-wave queries pin
+    * SqlParityProbe, 326 of 345 as of round 13 (259 → 314 → 326, none
+    * lost; the KV rewrite, the five trace-wave queries and the five
+    * reward-wave queries pin
     * directly, and de-materializing the two mm joint-dedup oracles —
     * the live DuckDB CSEs their triple-referenced CTE well enough that
     * the DuckDB-only AS MATERIALIZED keyword was no longer paying for
@@ -125,7 +126,8 @@ class SqlParitySpec extends SparkSuite {
     "q_agg_misc", "q_als_step", "q_anomaly_zscore", "q_anti_join",
     "q_array_advanced", "q_assoc_rules", "q_attribution", "q_auc",
     "q_autocorr", "q_benford", "q_best_of_2", "q_bfs_dist",
-    "q_bitwise_funcs", "q_bloom_skip", "q_bootstrap_ci", "q_bradley_terry",
+    "q_bitwise_funcs", "q_bloom_skip", "q_bon_overopt", "q_bootstrap_ci",
+    "q_bradley_terry",
     "q_brier_score", "q_bucketed_join", "q_cache_ttl_curve", "q_calibration",
     "q_cdc_chunks", "q_changepoint", "q_chi2_independence", "q_class_balance",
     "q_clustering_coeff", "q_cms_heavy", "q_cochran_q", "q_cohen_kappa",
@@ -144,7 +146,8 @@ class SqlParitySpec extends SparkSuite {
     "q_hard_negatives", "q_hash_sample", "q_having", "q_hist_quantiles",
     "q_histogram", "q_hll_distinct", "q_ht_estimate", "q_hybrid_rrf",
     "q_in_subquery", "q_incr_agg", "q_incr_join", "q_interval_arith",
-    "q_item_cf", "q_json_funcs", "q_k_anonymity", "q_kcore",
+    "q_item_cf", "q_json_funcs", "q_judge_position_bias", "q_k_anonymity",
+    "q_kcore",
     "q_knn_classify", "q_knn_ivf", "q_krippendorff", "q_kv_depth_profile",
     "q_kv_prefix_reuse", "q_l_diversity", "q_label_prop", "q_lateral_topn",
     "q_length_buckets", "q_length_debiased_winrate", "q_link_predict",
@@ -155,15 +158,18 @@ class SqlParitySpec extends SparkSuite {
     "q_negative_sampling", "q_ngram_overlap", "q_not_in_subquery", "q_ohlc",
     "q_outlier_trim", "q_pad_waste", "q_pagerank", "q_pass_at_k",
     "q_path_transitions", "q_percentiles", "q_pivot", "q_posexplode",
-    "q_power_analysis", "q_pref_pairs", "q_profile", "q_psi",
+    "q_power_analysis", "q_pref_pairs", "q_pref_transitivity", "q_profile",
+    "q_psi",
     "q_quantile_norm", "q_range_join", "q_range_native", "q_regexp_funcs",
-    "q_reservoir_sample", "q_rfm", "q_rollup", "q_router_frontier",
+    "q_reservoir_sample", "q_reward_length_slope", "q_rfm", "q_rollup",
+    "q_router_frontier",
     "q_running_distinct", "q_salted_agg", "q_salted_join", "q_scalar_subquery",
     "q_scd2", "q_seasonal_profile", "q_semi_join", "q_seq_mining",
     "q_seq_pack", "q_sessionize", "q_set_except", "q_set_intersect",
     "q_shard_plan", "q_skew_profile", "q_skyline", "q_snapshot_diff",
     "q_span_corrupt", "q_spatial_join", "q_spec_decode_accept", "q_split_leakage",
-    "q_sssp", "q_stats_agg", "q_stratified_kfold", "q_stratified_sample",
+    "q_sssp", "q_stats_agg", "q_step_kl", "q_stratified_kfold",
+    "q_stratified_sample",
     "q_string_advanced", "q_string_funcs", "q_survival", "q_synth_sample",
     "q_tail_index", "q_target_encode", "q_temperature_scale", "q_theil_sen",
     "q_token_budget", "q_tool_errors", "q_top_p_cutoff", "q_trace_credit",
