@@ -275,6 +275,15 @@ object Graft {
     def judgePositionBias(s: SparkSession, dir: String): DataFrame = operators.RewardOps.qJudgePositionBias(s, dir)
   }
 
+  /** Mixture-of-Experts routing diagnostics (round 13): load balance +
+    * Switch aux loss, capacity-factor drops, cross-layer churn.
+    */
+  object moe {
+    def loadBalance(s: SparkSession, dir: String): DataFrame = operators.MoeOps.qMoeLoadBalance(s, dir)
+    def capacityDrops(s: SparkSession, dir: String): DataFrame = operators.MoeOps.qMoeCapacityDrops(s, dir)
+    def routingChurn(s: SparkSession, dir: String): DataFrame = operators.MoeOps.qMoeRoutingChurn(s, dir)
+  }
+
   /** Multimodal (binary-column) operators. */
   object media {
     def binaryStats(s: SparkSession, dir: String): DataFrame = operators.Multimodal.mmBinaryStats(s, dir)

@@ -66,7 +66,8 @@ class RegistrySpec extends AnyFunSuite {
       operators.TrainingOps3.queries, operators.EvalOps3.queries,
       operators.PrefOps.queries, operators.EvalOps4.queries,
       operators.PackOps.queries, operators.ServingOps.queries,
-      operators.ServingOps2.queries, operators.TraceOps.queries)
+      operators.ServingOps2.queries, operators.TraceOps.queries,
+      operators.RewardOps.queries, operators.MoeOps.queries)
     val keys = all.flatMap(_.keys)
     val dupes = keys.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names across modules: $dupes")

@@ -14,9 +14,9 @@ class SqlParitySpec extends SparkSuite {
   /** Every oracle whose SQL text runs UNCHANGED on spark.sql (with the
     * [[graft.functions.SqlCompat]] DuckDB-dialect alias pack
     * registered) with row-identical results — probed exhaustively by
-    * SqlParityProbe, 326 of 345 as of round 13 (259 → 314 → 326, none
-    * lost; the KV rewrite, the five trace-wave queries and the five
-    * reward-wave queries pin
+    * SqlParityProbe, 329 of 348 as of round 13 (259 → 314 → 329, none
+    * lost; the KV rewrite, the five trace-wave queries, the five
+    * reward-wave queries and the three MoE-wave queries pin
     * directly, and de-materializing the two mm joint-dedup oracles —
     * the live DuckDB CSEs their triple-referenced CTE well enough that
     * the DuckDB-only AS MATERIALIZED keyword was no longer paying for
@@ -154,7 +154,9 @@ class SqlParitySpec extends SparkSuite {
     "q_loop_detect", "q_mad_outlier",
     "q_map_at_k", "q_map_struct_funcs", "q_math_extended", "q_math_funcs",
     "q_mcnemar", "q_merge_upsert", "q_mixture_temperature", "q_mmr_select",
-    "q_modularity", "q_mrr", "q_mutual_information", "q_nearest_stop",
+    "q_modularity", "q_moe_capacity_drops", "q_moe_load_balance",
+    "q_moe_routing_churn",
+    "q_mrr", "q_mutual_information", "q_nearest_stop",
     "q_negative_sampling", "q_ngram_overlap", "q_not_in_subquery", "q_ohlc",
     "q_outlier_trim", "q_pad_waste", "q_pagerank", "q_pass_at_k",
     "q_path_transitions", "q_percentiles", "q_pivot", "q_posexplode",
