@@ -118,6 +118,31 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan("q_changepoint").contains("RunningWindowFunction"))
   }
 
+  test("MoE routing: in-row logits keep load-balance and churn shuffle-free on token keys") {
+    // the wave's scale claim (COVERAGE r13): all 8 expert logits, the
+    // argmax and the layer path are higher-order-function arrays per
+    // row, so these two queries reach dimension-sized aggregates with
+    // NO exchange keyed on the token stream (event_id / user_id) — a
+    // regression to a per-(token, expert) window or join would show up
+    // here before it showed up in a bench
+    for (q <- Seq("q_moe_load_balance", "q_moe_routing_churn")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning(event_id"), s"$q: ${p.take(800)}")
+      assert(!p.contains("hashpartitioning(user_id"), s"$q: ${p.take(800)}")
+    }
+  }
+
+  test("MoE capacity drops: both windows ride the one (batch, layer) exchange") {
+    val p = plan("q_moe_capacity_drops")
+    // exactly one data-sized exchange — the per-expert ranking window
+    // (user, layer, expert) must reuse the batch-count window's
+    // (user, layer) clustering (hash keys ⊆ clustering keys), never
+    // add its own
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      p.take(1200))
+    assert("Window \\[".r.findAllIn(p).length == 2, p.take(1200))
+  }
+
   test("registry-wide: no single-partition window over a non-aggregated input") {
     // A WindowExec with an empty partitionSpec moves its WHOLE input to
     // one partition. That is acceptable only when the input is a
