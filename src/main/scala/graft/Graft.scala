@@ -284,6 +284,16 @@ object Graft {
     def routingChurn(s: SparkSession, dir: String): DataFrame = operators.MoeOps.qMoeRoutingChurn(s, dir)
   }
 
+  /** Knowledge-distillation diagnostics (round 13): teacher-student
+    * agreement/KL, dark-knowledge temperature sweep, hardest-
+    * disagreement mining.
+    */
+  object distill {
+    def agreement(s: SparkSession, dir: String): DataFrame = operators.DistillOps.qDistillAgree(s, dir)
+    def temperatureCurve(s: SparkSession, dir: String): DataFrame = operators.DistillOps.qDistillTempCurve(s, dir)
+    def mineDisagreements(s: SparkSession, dir: String): DataFrame = operators.DistillOps.qDistillMine(s, dir)
+  }
+
   /** Multimodal (binary-column) operators. */
   object media {
     def binaryStats(s: SparkSession, dir: String): DataFrame = operators.Multimodal.mmBinaryStats(s, dir)

@@ -18,7 +18,7 @@ object SparkEntry {
     HfpPipeline.queries ++ Analytics.queries ++ Analytics2.queries ++ Analytics3.queries ++ Analytics4.queries ++ Analytics5.queries ++ Analytics6.queries ++ Analytics7.queries ++ Analytics8.queries ++ CorpusOps.queries ++
       TextAnalysis.queries ++ TextAnalysis2.queries ++ TextAnalysis3.queries ++ DedupOps.queries ++ Similarity.queries ++ Similarity2.queries ++ Similarity3.queries ++
       Multimodal.queries ++ AdvancedOps.queries ++ ScaleOps.queries ++
-      KMeansIvf.queries ++ Pipelines.queries ++ TypedOps.queries ++ GraphOps.queries ++ GraphOps2.queries ++ TrainingOps.queries ++ TrainingOps2.queries ++ CorpusStats.queries ++ TokenizerOps.queries ++ CurationOps.queries ++ CurationOps2.queries ++ MiningOps.queries ++ GeoOps.queries ++ TimeSeriesOps.queries ++ GovernanceOps.queries ++ MlOps.queries ++ MlOps2.queries ++ EvalOps.queries ++ TopicOps.queries ++ CorpusPrepOps.queries ++ CurationOps3.queries ++ SpectralOps.queries ++ FeatureOps.queries ++ EvalOps2.queries ++ LinkageOps.queries ++ LayoutOps.queries ++ DedupOps2.queries ++ TrainingOps3.queries ++ EvalOps3.queries ++ PrefOps.queries ++ EvalOps4.queries ++ PackOps.queries ++ ServingOps.queries ++ ServingOps2.queries ++ TraceOps.queries ++ RewardOps.queries ++ MoeOps.queries
+      KMeansIvf.queries ++ Pipelines.queries ++ TypedOps.queries ++ GraphOps.queries ++ GraphOps2.queries ++ TrainingOps.queries ++ TrainingOps2.queries ++ CorpusStats.queries ++ TokenizerOps.queries ++ CurationOps.queries ++ CurationOps2.queries ++ MiningOps.queries ++ GeoOps.queries ++ TimeSeriesOps.queries ++ GovernanceOps.queries ++ MlOps.queries ++ MlOps2.queries ++ EvalOps.queries ++ TopicOps.queries ++ CorpusPrepOps.queries ++ CurationOps3.queries ++ SpectralOps.queries ++ FeatureOps.queries ++ EvalOps2.queries ++ LinkageOps.queries ++ LayoutOps.queries ++ DedupOps2.queries ++ TrainingOps3.queries ++ EvalOps3.queries ++ PrefOps.queries ++ EvalOps4.queries ++ PackOps.queries ++ ServingOps.queries ++ ServingOps2.queries ++ TraceOps.queries ++ RewardOps.queries ++ MoeOps.queries ++ DistillOps.queries
 
   /** Untimed session warmup for Bench: builds the session-shared
     * relations several query families amortize (the dedup family's
@@ -46,5 +46,5 @@ object SparkEntry {
     HfpPipeline.oracles ++ Analytics.oracles ++ Analytics2.oracles ++ Analytics3.oracles ++ Analytics4.oracles ++ Analytics5.oracles ++ Analytics6.oracles ++ Analytics7.oracles ++ Analytics8.oracles ++ CorpusOps.oracles ++
       TextAnalysis.oracles ++ TextAnalysis2.oracles ++ TextAnalysis3.oracles ++ DedupOps.oracles ++ Similarity.oracles ++ Similarity2.oracles ++ Similarity3.oracles ++
       Multimodal.oracles ++ AdvancedOps.oracles ++ ScaleOps.oracles ++
-      KMeansIvf.oracles ++ Pipelines.oracles ++ TypedOps.oracles ++ GraphOps.oracles ++ GraphOps2.oracles ++ TrainingOps.oracles ++ TrainingOps2.oracles ++ CorpusStats.oracles ++ TokenizerOps.oracles ++ CurationOps.oracles ++ CurationOps2.oracles ++ MiningOps.oracles ++ GeoOps.oracles ++ TimeSeriesOps.oracles ++ GovernanceOps.oracles ++ MlOps.oracles ++ MlOps2.oracles ++ EvalOps.oracles ++ TopicOps.oracles ++ CorpusPrepOps.oracles ++ CurationOps3.oracles ++ SpectralOps.oracles ++ FeatureOps.oracles ++ EvalOps2.oracles ++ LinkageOps.oracles ++ LayoutOps.oracles ++ DedupOps2.oracles ++ TrainingOps3.oracles ++ EvalOps3.oracles ++ PrefOps.oracles ++ EvalOps4.oracles ++ PackOps.oracles ++ ServingOps.oracles ++ ServingOps2.oracles ++ TraceOps.oracles ++ RewardOps.oracles ++ MoeOps.oracles
+      KMeansIvf.oracles ++ Pipelines.oracles ++ TypedOps.oracles ++ GraphOps.oracles ++ GraphOps2.oracles ++ TrainingOps.oracles ++ TrainingOps2.oracles ++ CorpusStats.oracles ++ TokenizerOps.oracles ++ CurationOps.oracles ++ CurationOps2.oracles ++ MiningOps.oracles ++ GeoOps.oracles ++ TimeSeriesOps.oracles ++ GovernanceOps.oracles ++ MlOps.oracles ++ MlOps2.oracles ++ EvalOps.oracles ++ TopicOps.oracles ++ CorpusPrepOps.oracles ++ CurationOps3.oracles ++ SpectralOps.oracles ++ FeatureOps.oracles ++ EvalOps2.oracles ++ LinkageOps.oracles ++ LayoutOps.oracles ++ DedupOps2.oracles ++ TrainingOps3.oracles ++ EvalOps3.oracles ++ PrefOps.oracles ++ EvalOps4.oracles ++ PackOps.oracles ++ ServingOps.oracles ++ ServingOps2.oracles ++ TraceOps.oracles ++ RewardOps.oracles ++ MoeOps.oracles ++ DistillOps.oracles
 }

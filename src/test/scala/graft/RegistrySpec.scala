@@ -67,7 +67,8 @@ class RegistrySpec extends AnyFunSuite {
       operators.PrefOps.queries, operators.EvalOps4.queries,
       operators.PackOps.queries, operators.ServingOps.queries,
       operators.ServingOps2.queries, operators.TraceOps.queries,
-      operators.RewardOps.queries, operators.MoeOps.queries)
+      operators.RewardOps.queries, operators.MoeOps.queries,
+      operators.DistillOps.queries)
     val keys = all.flatMap(_.keys)
     val dupes = keys.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names across modules: $dupes")

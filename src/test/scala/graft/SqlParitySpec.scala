@@ -14,9 +14,9 @@ class SqlParitySpec extends SparkSuite {
   /** Every oracle whose SQL text runs UNCHANGED on spark.sql (with the
     * [[graft.functions.SqlCompat]] DuckDB-dialect alias pack
     * registered) with row-identical results — probed exhaustively by
-    * SqlParityProbe, 329 of 348 as of round 13 (259 → 314 → 329, none
-    * lost; the KV rewrite, the five trace-wave queries, the five
-    * reward-wave queries and the three MoE-wave queries pin
+    * SqlParityProbe, 332 of 351 as of round 13 (259 → 314 → 332, none
+    * lost; the KV rewrite and the round's 16 new statements — trace,
+    * reward, MoE and distillation waves — all pin
     * directly, and de-materializing the two mm joint-dedup oracles —
     * the live DuckDB CSEs their triple-referenced CTE well enough that
     * the DuckDB-only AS MATERIALIZED keyword was no longer paying for
@@ -134,7 +134,9 @@ class SqlParitySpec extends SparkSuite {
     "q_cohort", "q_compaction_plan", "q_cond_funcs", "q_confusion_stats",
     "q_context_chunks", "q_cross_join", "q_cube", "q_curriculum",
     "q_data_card", "q_date_funcs", "q_decay_agg", "q_dedup_keep_latest",
-    "q_delta_encoding", "q_distinct_agg", "q_doc_packing", "q_domain_cap",
+    "q_delta_encoding", "q_distill_agree", "q_distill_mine",
+    "q_distill_temp_curve",
+    "q_distinct_agg", "q_doc_packing", "q_domain_cap",
     "q_domain_mix", "q_domain_reweight", "q_dp_counts", "q_dq_checks",
     "q_draft_length_curve", "q_embedding_center", "q_empty_agg", "q_encode_funcs",
     "q_entity_resolve", "q_entropy", "q_equidepth_bucketize", "q_ess",
