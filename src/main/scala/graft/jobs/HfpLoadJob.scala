@@ -2,7 +2,7 @@ package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{HfpCsvSource, JdbcSink}
+import graft.sources.{DaySink, FsUtil, HfpCsvSource, ParquetDaySink}
 
 /** The reference's whole day-load orchestration (hfpTask.ts:13-151) as
   * one idempotent batch job: per event group — scan the group+date CSV
@@ -41,12 +41,36 @@ object HfpLoadJob {
       catch { case e: java.time.format.DateTimeParseException =>
         Left(s"invalid date '$arg': ${e.getMessage}") }
 
-  /** CLI entry: `HfpLoadJob <csvRoot> <sinkDir> <date>` — validates the
-    * date (X2), then runs [[loadDay]] and prints per-table row counts.
+  /** Build the sink from the CLI's sink argument: a `jdbc:` URL selects
+    * the reference's actual sink shape (Postgres), anything else is a
+    * warehouse directory for the parquet twin. Credentials and batching
+    * come from the secrets-resolved environment (X1,
+    * [[graft.sources.SecretsConfig]]) with the reference's exact keys:
+    * PGUSER/PGPASSWORD, EVENT_BATCH_SIZE, INSERT_CONCURRENCY
+    * (constants.ts:35-52).
+    */
+  private[graft] def sinkFor(arg: String,
+      env: Map[String, String] = sys.env,
+      secretsPath: String = graft.sources.SecretsConfig.DefaultSecretsPath): DaySink =
+    if (arg.startsWith("jdbc:")) {
+      val e = graft.sources.SecretsConfig.resolve(env, secretsPath)
+      def num(key: String, dflt: Int): Int =
+        e.get(key).flatMap(_.trim.toIntOption).getOrElse(dflt)
+      graft.sources.JdbcDaySink(
+        url = arg,
+        user = e.getOrElse("PGUSER", ""),
+        password = e.getOrElse("PGPASSWORD", ""),
+        batchSize = num("EVENT_BATCH_SIZE", 1000),
+        numPartitions = num("INSERT_CONCURRENCY", 100))
+    } else ParquetDaySink(arg)
+
+  /** CLI entry: `HfpLoadJob <csvRoot> <sinkDirOrJdbcUrl> <date>` —
+    * validates the date (X2), then runs [[loadDay]] and prints
+    * per-table row counts.
     */
   def main(args: Array[String]): Unit = {
     if (args.length != 3) {
-      System.err.println("usage: HfpLoadJob <csvRoot> <sinkDir> <YYYY-MM-DD>")
+      System.err.println("usage: HfpLoadJob <csvRoot> <sinkDirOrJdbcUrl> <YYYY-MM-DD>")
       sys.exit(2)
     }
     validateDate(args(2)) match {
@@ -60,7 +84,7 @@ object HfpLoadJob {
             sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
           .config("spark.sql.session.timeZone", "UTC")
           .getOrCreate()
-        try loadDay(spark, args(0), args(1), date)
+        try loadDay(spark, args(0), sinkFor(args(1)), date)
           .foreach { case (t, n) => println(s"$t: $n") }
         finally spark.stop()
     }
@@ -72,32 +96,45 @@ object HfpLoadJob {
     "OtherEvent" -> "otherevent",
     "VehiclePosition" -> "vehicleposition")
 
-  private def existingKeys(spark: SparkSession, sinkDir: String,
-      table: String, date: String): DataFrame = {
-    val path = s"$sinkDir/$table"
-    if (new java.io.File(path).exists())
-      spark.read.parquet(path)
-        .where(col("oday") === lit(date)) // partition-pruned
-        .select("uuid")
-    else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("uuid",
-            org.apache.spark.sql.types.StringType))))
-  }
+  /** The traffic-light-priority route — schema-declared but dead in the
+    * reference (postgres_schema.sql:1-61 declares the table; no code
+    * path routes to it), so it is opt-in here: `loadDay(...,
+    * includeLightPriority = true)` appends this group after the fixed
+    * three.
+    */
+  val lightPriorityGroup: (String, String) =
+    "LightPriorityEvent" -> "lightpriorityevent"
 
   /** Load one day from `csvRoot/csv/<group>/<date>*` into
     * `sinkDir/<table>/oday=...` parquet. Returns rows appended per
     * table.
     */
   def loadDay(spark: SparkSession, csvRoot: String, sinkDir: String,
-      date: String): Map[String, Long] = {
+      date: String): Map[String, Long] =
+    loadDay(spark, csvRoot, ParquetDaySink(sinkDir), date)
+
+  /** Sink-parameterized day load: same orchestration against either the
+    * parquet warehouse twin or a real JDBC database ([[DaySink]]). All
+    * path probes go through the Hadoop FileSystem API ([[FsUtil]]) —
+    * `java.io.File` would be always-false on `hdfs://`/`abfss://` URIs,
+    * silently loading nothing.
+    */
+  def loadDay(spark: SparkSession, csvRoot: String, sink: DaySink,
+      date: String, includeLightPriority: Boolean = false): Map[String, Long] = {
     val results = scala.collection.mutable.LinkedHashMap[String, Long]()
-    groups.foreach { case (group, table) =>
-      val path = s"$csvRoot/csv/$group"
-      if (new java.io.File(path).exists()) {
-        val typed0 = HfpCsvSource.castAll(HfpCsvSource.read(spark, s"$path/$date*"))
+    val dayGroups =
+      if (includeLightPriority) groups :+ lightPriorityGroup else groups
+    dayGroups.foreach { case (group, table) =>
+      // S1 blob-list analog: does this group have any files for the
+      // date prefix? (globStatus, not a local-FS directory probe)
+      val pattern = s"$csvRoot/csv/$group/$date*"
+      if (FsUtil.globNonEmpty(spark, pattern)) {
+        val isTlp = group == lightPriorityGroup._1
+        val raw =
+          if (isTlp) HfpCsvSource.readLightPriority(spark, pattern)
+          else HfpCsvSource.read(spark, pattern)
+        val typed0 = (if (isTlp) HfpCsvSource.castAllLightPriority(raw)
+          else HfpCsvSource.castAll(raw))
           .where(col("uuid").isNotNull && col("uuid") =!= "") // C4
         // the VP group feeds TWO routes — persist so the CSV scan+cast
         // runs once for both, not once per route
@@ -114,9 +151,9 @@ object HfpLoadJob {
         // A1 build side, read BEFORE writes start; VP unions both tables
         val buildSide =
           if (group == "VehiclePosition")
-            existingKeys(spark, sinkDir, "vehicleposition", date)
-              .union(existingKeys(spark, sinkDir, "unsignedevent", date))
-          else existingKeys(spark, sinkDir, table, date)
+            sink.existingKeys(spark, "vehicleposition", date)
+              .union(sink.existingKeys(spark, "unsignedevent", date))
+          else sink.existingKeys(spark, table, date)
         try routes.foreach { case (targetTable, df) =>
           // persist so the count materializes the route ONCE and the
           // write replays the cached rows — without the pin the two
@@ -124,7 +161,7 @@ object HfpLoadJob {
           val fresh = df.join(buildSide, Seq("uuid"), "left_anti").persist()
           try {
             val n = fresh.count()
-            if (n > 0) JdbcSink.writeParquet(fresh, sinkDir, targetTable)
+            if (n > 0) sink.append(fresh, targetTable)
             results(targetTable) = results.getOrElse(targetTable, 0L) + n
           } finally fresh.unpersist(blocking = false)
         } finally if (group == "VehiclePosition") typed.unpersist(blocking = false)

@@ -312,7 +312,10 @@ object ScaleOps {
     val custT = s"graft_bkt_customer_$tag"
     if (!s.catalog.tableExists(odersT)) {
       // clear any leftover location from a dead session with a recycled
-      // pid — the managed-table CREATE refuses to reuse an existing dir
+      // pid — the managed-table CREATE refuses to reuse an existing dir.
+      // java.io.File is deliberate here (unlike the load path, which
+      // probes via FsUtil): this cleanup targets the LOCAL warehouse dir
+      // of a demo session only, never a cluster URI
       val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
       Seq(odersT, custT).map(new java.io.File(wh, _)).filter(_.exists()).foreach { d =>
         java.nio.file.Files.walk(d.toPath)

@@ -59,6 +59,30 @@ object JdbcSink {
       .option("batchsize", cfg.batchSize.toString)
       .jdbc(cfg.url, cfg.table, props(cfg))
 
+  /** DDL for a sink table from the cast-type table — the engine-side
+    * analog of the reference's migration schema (postgres_schema.sql:
+    * 1-61, applied before any load runs). Types follow what the cast
+    * layer produces: int→BIGINT, float→DOUBLE PRECISION,
+    * boolean→BOOLEAN, date→DATE, isodate→TIMESTAMP, string→VARCHAR
+    * (explicit VARCHAR, not the dialect default, because Derby maps
+    * StringType to CLOB which can't sit in comparisons).
+    */
+  def createTableDdl(table: String, columns: Seq[String],
+      castTypes: String => String): String = {
+    val cols = columns.map { c =>
+      val sqlType = castTypes(c) match {
+        case "int" => "BIGINT"
+        case "float" => "DOUBLE PRECISION"
+        case "boolean" => "BOOLEAN"
+        case "date" => "DATE"
+        case "isodate" => "TIMESTAMP"
+        case _ => "VARCHAR(255)"
+      }
+      s"$c $sqlType"
+    }
+    s"CREATE TABLE $table (${cols.mkString(", ")})"
+  }
+
   /** Parquet twin of the sink for harness runs (same routing shape:
     * one directory per target table, partitioned by operating day for
     * partition-pruned re-reads — the `oday` layout the reference keys

@@ -67,7 +67,12 @@ object HfpStreamLoader {
 
   private def existingKeys(spark: SparkSession, sinkDir: String, table: String): DataFrame = {
     val path = s"$sinkDir/$table"
-    if (new java.io.File(path).exists())
+    // Hadoop FS probe, not java.io.File — the latter is always false on
+    // hdfs://-style URIs, which would silently empty the dedup build
+    // side (duplicates on every restart). Probe for day partitions, not
+    // the bare dir: a zero-row append leaves a _SUCCESS-only dir with
+    // no schema to infer.
+    if (graft.sources.FsUtil.globNonEmpty(spark, s"$path/oday=*"))
       spark.read.parquet(path).select("uuid")
     else
       spark.createDataFrame(

@@ -116,6 +116,117 @@ class HfpLoadJobSpec extends SparkSuite {
     assert(HfpLoadJob.loadDay(sc, root, sink, date) == Map("stopevent" -> 0L))
   }
 
+  test("loadDay works through explicit file:// URIs (Hadoop FS probes, not java.io.File)") {
+    // on a cluster every path is a URI (hdfs://, abfss://); java.io.File
+    // probes would return false for all of them and the load would
+    // silently no-op. Driving loadDay through file:// URIs exercises the
+    // FileSystem-API path end-to-end: glob discovery, sink existence
+    // probe, partitioned append.
+    val root = "file://" + writeArchive()
+    val sink = "file://" + Files.createTempDirectory("hfpsinkuri").toString
+    val first = HfpLoadJob.loadDay(sc, root, sink, date)
+    assert(first == Map(
+      "stopevent" -> 2L, "otherevent" -> 1L,
+      "vehicleposition" -> 2L, "unsignedevent" -> 1L))
+    // idempotent re-run through the URI sink: existing keys are FOUND
+    // (a java.io.File probe would miss them and re-insert everything)
+    val second = HfpLoadJob.loadDay(sc, root, sink, date)
+    assert(second.values.forall(_ == 0L), second.toString)
+  }
+
+  test("loadDay drives a real JDBC sink end-to-end (Derby), idempotent on re-run") {
+    import graft.sources.{HfpCsvSource, JdbcDaySink, JdbcSink}
+    val url = "jdbc:derby:memory:graftday;create=true"
+    // the reference applies postgres_schema.sql by migration before any
+    // load runs — mirror that: create the four sink tables up front
+    val conn = java.sql.DriverManager.getConnection(url)
+    try Seq("stopevent", "otherevent", "vehicleposition", "unsignedevent")
+      .foreach { t =>
+        try conn.createStatement().execute(JdbcSink.createTableDdl(
+          t, HfpCsvSource.columns, HfpCsvSource.castTypes))
+        catch { case _: java.sql.SQLException => () } // already exists
+      }
+    finally conn.close()
+    val root = writeArchive()
+    val sink = JdbcDaySink(url, batchSize = 50, numPartitions = 2)
+    val first = HfpLoadJob.loadDay(sc, root, sink, date)
+    assert(first == Map(
+      "stopevent" -> 2L, "otherevent" -> 1L,
+      "vehicleposition" -> 2L, "unsignedevent" -> 1L))
+    // the reference's core contract holds against the real sink too:
+    // re-running the day inserts zero rows (anti-join vs the JDBC key
+    // scan, reference hfpStorage.ts:15-16)
+    val second = HfpLoadJob.loadDay(sc, root, sink, date)
+    assert(second.values.forall(_ == 0L), second.toString)
+    // sink contents round-trip: correct uuids per table, typed oday
+    val vp = spark.read.jdbc(url, "vehicleposition", new java.util.Properties())
+    assert(vp.select("uuid").collect().map(_.getString(0)).toSet == Set("v1", "v3"))
+    assert(vp.select("oday").distinct().collect()
+      .map(_.getDate(0).toString).toSeq == Seq(date))
+    // late data: only the new row lands
+    val d = Paths.get(root, "csv", "StopEvent")
+    Files.writeString(d.resolve(s"$date-9.csv"),
+      row(Map("uuid" -> "s9", "oday" -> date, "journey_type" -> "journey")) + "\n")
+    val third = HfpLoadJob.loadDay(sc, root, sink, date)
+    assert(third("stopevent") == 1L && third.values.sum == 1L)
+    assert(spark.read.jdbc(url, "stopevent", new java.util.Properties())
+      .count() == 3L)
+  }
+
+  test("opt-in LightPriorityEvent route loads the 57-column TLP wire format") {
+    import graft.sources.{HfpCsvSource, ParquetDaySink}
+    val root = writeArchive()
+    // a TLP day file: 44 base columns + 13 tlp_* fields
+    def tlpRow(overrides: Map[String, String]): String =
+      HfpCsvSource.lightPriorityEventColumns
+        .map(c => overrides.getOrElse(c, "x")).mkString(",")
+    val d = Paths.get(root, "csv", "LightPriorityEvent")
+    Files.createDirectories(d)
+    Files.writeString(d.resolve(s"$date-0.csv"), Seq(
+      tlpRow(Map("uuid" -> "t1", "oday" -> date, "tlp_prioritylevel" -> "high",
+        "tlp_requestid" -> "42", "sid" -> "7")),
+      tlpRow(Map("uuid" -> "t2", "oday" -> date, "tlp_requestid" -> "garbage")),
+      tlpRow(Map("uuid" -> "", "oday" -> date))) // dropped by C4
+      .mkString("\n") + "\n")
+    val sinkDir = Files.createTempDirectory("hfpsinktlp").toString
+    // default stays reference-faithful: the dead-DDL route is OFF
+    val off = HfpLoadJob.loadDay(sc, root, ParquetDaySink(sinkDir), date)
+    assert(!off.contains("lightpriorityevent"), off.toString)
+    val on = HfpLoadJob.loadDay(sc, root, ParquetDaySink(sinkDir), date,
+      includeLightPriority = true)
+    assert(on("lightpriorityevent") == 2L)
+    val tlp = spark.read.parquet(s"$sinkDir/lightpriorityevent")
+    assert(tlp.columns.length == HfpCsvSource.lightPriorityEventColumns.length)
+    val byId = tlp.collect().map(r => r.getAs[String]("uuid") -> r).toMap
+    // TLP int casts apply (42 parses; 'garbage' nets to NULL)
+    assert(byId("t1").getAs[Long]("tlp_requestid") == 42L)
+    assert(byId("t1").getAs[Long]("sid") == 7L)
+    assert(byId("t1").getAs[String]("tlp_prioritylevel") == "high")
+    assert(byId("t2").isNullAt(byId("t2").fieldIndex("tlp_requestid")))
+    // re-run with the route on: idempotent there too
+    val again = HfpLoadJob.loadDay(sc, root, ParquetDaySink(sinkDir), date,
+      includeLightPriority = true)
+    assert(again.values.forall(_ == 0L), again.toString)
+  }
+
+  test("sinkFor: jdbc: URLs select the JDBC sink with secrets-resolved credentials") {
+    import graft.sources.{JdbcDaySink, ParquetDaySink}
+    val secrets = Files.createTempDirectory("hfpsecrets")
+    Files.writeString(secrets.resolve("PGPASSWORD2"), "fromfile\n")
+    val env = Map("PGUSER" -> "app", "PGPASSWORD" -> "fromenv",
+      "EVENT_BATCH_SIZE" -> "250")
+    HfpLoadJob.sinkFor("jdbc:postgresql://h:5432/db", env, secrets.toString) match {
+      case j: JdbcDaySink =>
+        assert(j.url == "jdbc:postgresql://h:5432/db")
+        assert(j.user == "app")
+        assert(j.password == "fromfile") // X1: versioned secrets file wins
+        assert(j.batchSize == 250 && j.numPartitions == 100)
+      case other => fail(s"expected JdbcDaySink, got $other")
+    }
+    assert(HfpLoadJob.sinkFor("/data/warehouse", env, secrets.toString) ==
+      ParquetDaySink("/data/warehouse"))
+  }
+
   test("X2: CLI date validation accepts real dates, rejects malformed ones") {
     assert(HfpLoadJob.validateDate("2024-01-15") == Right("2024-01-15"))
     assert(HfpLoadJob.validateDate("2024-02-29") == Right("2024-02-29")) // leap
