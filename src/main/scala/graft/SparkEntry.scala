@@ -38,6 +38,7 @@ object SparkEntry {
     safely(DedupOps.warmShared(spark, sfDir))
     safely(GraphOps.warmShared(spark, sfDir))
     safely { HfpPipeline.ensureE2EFixture(spark, sfDir); () }
+    safely { HfpPipeline.ensureTlpFixture(spark, sfDir); () }
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -234,6 +234,135 @@ object HfpPipeline {
     tmp
   }
 
+  /** Opt-in LightPriorityEvent route, end-to-end: synthesize a TLP day
+    * (57-column wire format, reference postgres_schema.sql:44-56) from
+    * `events`, pre-seed the sink's `lightpriorityevent` table with the
+    * day's existing keys, run [[graft.jobs.HfpLoadJob.loadDay]] with
+    * `includeLightPriority = true`, and aggregate the loaded table —
+    * proving the TLP cast layer (int quirks incl. 0→NULL netting,
+    * empty→NULL strings) through the real CSV→cast→dedup→sink path.
+    * The reference declares this table but routes nothing to it (dead
+    * DDL); the route is therefore opt-in, and this query is the proof
+    * it works when an upstream starts emitting the group.
+    */
+  private val tlpFixtureCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private[graft] def ensureTlpFixture(s: SparkSession, dir: String): String =
+    tlpFixtureCache.getOrElseUpdate((s, dir), buildTlpFixture(s, dir))
+
+  /** Typed schema of the loaded TLP table (cast-type table → Spark
+    * types). Used for the explicit-schema read-back: on an empty corpus
+    * the zero-row partitioned seed write emits no parquet data files,
+    * and schema inference would fail where a declared schema returns an
+    * empty frame.
+    */
+  private lazy val tlpTypedSchema: StructType = {
+    val types = graft.sources.HfpCsvSource.lightPriorityCastTypes
+    StructType(graft.sources.HfpCsvSource.lightPriorityEventColumns.map { c =>
+      StructField(c, types(c) match {
+        case "int" => LongType
+        case "float" => DoubleType
+        case "boolean" => BooleanType
+        case "isodate" => TimestampType
+        case "date" => DateType
+        case _ => StringType
+      })
+    })
+  }
+
+  private def buildTlpFixture(s: SparkSession, dir: String): String = {
+    val date = E2EDate
+    val tmp = java.nio.file.Files.createTempDirectory("hfp_tlp_")
+      .toFile.getAbsolutePath
+    val events = Tables(s, dir, "events")
+    val id = col("event_id")
+    val uuid = when(id % 97 === 0, lit(""))
+      .otherwise(md5(id.cast(StringType)))
+    // TLP cast-quirk matrix: empty / garbage / netted-zero / value
+    val reqS = when(id % 5 === 0, lit("")).when(id % 5 === 1, lit("garbage"))
+      .when(id % 5 === 2, lit("0"))
+      .otherwise((id % 1000).cast(StringType))
+    val sidS = (id % 7).cast(StringType) // 0 nets to NULL
+    val prioS = when(id % 3 === 0, lit(""))
+      .otherwise(concat(lit("p"), (id % 4).cast(StringType)))
+    val wireCols = graft.sources.HfpCsvSource.lightPriorityEventColumns.map {
+      case "uuid" => uuid.as("uuid")
+      case "oday" => lit(date).as("oday")
+      case "tlp_requestid" => reqS.as("tlp_requestid")
+      case "sid" => sidS.as("sid")
+      case "tlp_prioritylevel" => prioS.as("tlp_prioritylevel")
+      // constant non-empty marker: fresh rows are distinguishable from
+      // the 2-column seed rows after the sink read-back
+      case "tlp_protocol" => lit("hfp").as("tlp_protocol")
+      case c => lit("").as(c)
+    }
+    events.select(wireCols: _*).write.mode("overwrite")
+      .option("emptyValue", "").csv(s"$tmp/csv/LightPriorityEvent/$date-data")
+    // seed the sink with the day's existing keys at the FULL typed
+    // 57-column schema (non-key fields null) so the post-load read-back
+    // sees one parquet schema
+    val seedCols = tlpTypedSchema.fields.toSeq.map { f =>
+      f.name match {
+        case "uuid" => md5(id.cast(StringType)).as("uuid")
+        case "oday" => lit(java.sql.Date.valueOf(date)).as("oday")
+        case c => lit(null).cast(f.dataType).as(c)
+      }
+    }
+    val seed = events
+      .where(id % 10 < 3 && id % 97 =!= 0)
+      .select(seedCols: _*)
+    graft.sources.JdbcSink.writeParquet(seed, s"$tmp/seed_sink", "lightpriorityevent")
+    tmp
+  }
+
+  def loadTlpE2E(s: SparkSession, dir: String): DataFrame = {
+    val fix = ensureTlpFixture(s, dir)
+    val conf = s.sparkContext.hadoopConfiguration
+    val sink = java.nio.file.Files.createTempDirectory("hfp_tlp_sink_")
+      .toFile.getAbsolutePath
+    val srcP = new org.apache.hadoop.fs.Path(s"$fix/seed_sink")
+    val dstP = new org.apache.hadoop.fs.Path(sink)
+    val fs = srcP.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, srcP, fs, dstP, false, true, conf)
+    graft.jobs.HfpLoadJob.loadDay(s, fix,
+      graft.sources.ParquetDaySink(s"$sink/seed_sink"), E2EDate,
+      includeLightPriority = true)
+    val out = s.read.schema(tlpTypedSchema)
+      .parquet(s"$sink/seed_sink/lightpriorityevent")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("tlp_protocol")).as("n_fresh"),
+        sum(col("tlp_requestid")).as("sum_req"),
+        count(col("sid")).as("n_sid"),
+        count(col("tlp_prioritylevel")).as("n_prio"))
+      .collect()(0)
+    // materialized before the working sink is deleted
+    fs.delete(dstP, true)
+    import s.implicits._
+    // sum over zero rows is NULL (empty-corpus path) — box it
+    val sumReq: Option[Long] =
+      if (out.isNullAt(2)) None else Some(out.getLong(2))
+    Seq((out.getLong(0), out.getLong(1), sumReq, out.getLong(3),
+      out.getLong(4)))
+      .toDF("n_rows", "n_fresh", "sum_req", "n_sid", "n_prio")
+  }
+
+  private val loadTlpE2ESql =
+    """WITH fresh AS (
+      |  SELECT event_id FROM events
+      |  WHERE event_id % 97 <> 0 AND NOT (event_id % 10 < 3)),
+      |seeds AS (
+      |  SELECT event_id FROM events
+      |  WHERE event_id % 10 < 3 AND event_id % 97 <> 0)
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM fresh) + (SELECT COUNT(*) FROM seeds) AS BIGINT) AS n_rows,
+      |  CAST((SELECT COUNT(*) FROM fresh) AS BIGINT) AS n_fresh,
+      |  CAST((SELECT SUM(CASE WHEN event_id % 5 IN (0, 1, 2) OR event_id % 1000 = 0
+      |                        THEN NULL ELSE event_id % 1000 END) FROM fresh) AS BIGINT) AS sum_req,
+      |  CAST((SELECT COUNT(CASE WHEN event_id % 7 <> 0 THEN 1 END) FROM fresh) AS BIGINT) AS n_sid,
+      |  CAST((SELECT COUNT(CASE WHEN event_id % 3 <> 0 THEN 1 END) FROM fresh) AS BIGINT) AS n_prio""".stripMargin
+
   def loadDayE2E(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val fix = ensureE2EFixture(s, dir)
@@ -280,6 +409,7 @@ object HfpPipeline {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hfp_load_day" -> (loadDayE2E(_, _)),
+    "hfp_load_tlp" -> (loadTlpE2E(_, _)),
     "hfp_cast" -> ((s, dir) =>
       castLayer(rawStrings(Tables(s, dir, "events")))
         .drop("event_type").orderBy("event_id")),
@@ -342,6 +472,7 @@ object HfpPipeline {
 
   def oracles: Map[String, String] = Map(
     "hfp_load_day" -> loadDayE2ESql,
+    "hfp_load_tlp" -> loadTlpE2ESql,
     "hfp_cast" ->
       s"""WITH raw AS ($rawSql), casted AS ($castSql)
          |SELECT event_id, uuid, desi, dl, spd, drst, tst, oday

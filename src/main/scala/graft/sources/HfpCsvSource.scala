@@ -65,10 +65,11 @@ object HfpCsvSource {
     * integers except the varchar request/priority/reason/decision/
     * protocol fields.
     */
-  lazy val lightPriorityCastTypes: Map[String, String] = castTypes ++ Seq(
+  lazy val lightPriorityCastTypes: Map[String, String] = (castTypes ++ Seq(
     "tlp_requestid", "tlp_att_seq", "sid", "signal_groupid",
     "tlp_signalgroupnbr", "tlp_line_configid", "tlp_point_configid",
-    "tlp_frequency").map(_ -> "int").toMap
+    "tlp_frequency").map(_ -> "int").toMap)
+    .withDefault(_ => "string") // concat does not preserve withDefault
 
   /** Per-column cast type (transformHfpItem.ts:5-51, with the typo'd
     * `vehicle_int` key faithfully leaving `vehicle_number` a string and
@@ -86,10 +87,23 @@ object HfpCsvSource {
     "tsi" -> "int", "tst" -> "isodate", "veh" -> "int", "version" -> "int")
     .withDefault(_ => "string")
 
+  /** Wire schema for the TLP route (everything nullable string). */
+  val lightPriorityRawSchema: StructType =
+    StructType(lightPriorityEventColumns.map(
+      StructField(_, StringType, nullable = true)))
+
   /** Read one group+date's CSV files into the wire-layer DataFrame. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    read(spark, path, columns, rawSchema)
+
+  /** TLP-route variant: 57-column wire layer. */
+  def readLightPriority(spark: SparkSession, path: String): DataFrame =
+    read(spark, path, lightPriorityEventColumns, lightPriorityRawSchema)
+
+  private def read(spark: SparkSession, path: String, cols: Seq[String],
+      schema: StructType): DataFrame = {
     val raw = spark.read
-      .schema(rawSchema)
+      .schema(schema)
       .option("header", "false")
       .option("sep", ",")
       .option("quote", "\"")
@@ -100,7 +114,7 @@ object HfpCsvSource {
     // skip_lines_with_empty_values: drop rows where every field is
     // NULL/empty (all-empty record). Spark already drops fully-empty
     // physical lines.
-    val anyValue = columns
+    val anyValue = cols
       .map(c => col(c).isNotNull && col(c) =!= "")
       .reduce(_ || _)
     raw.where(anyValue)
@@ -109,9 +123,17 @@ object HfpCsvSource {
   /** The C3×K2 cast projection over the wire layer → typed DataFrame
     * (the HfpCasts builders applied per the cast-type table).
     */
-  def castAll(raw: DataFrame): DataFrame = {
-    val casted = columns.map { c =>
-      (castTypes(c) match {
+  def castAll(raw: DataFrame): DataFrame =
+    castAll(raw, columns, castTypes)
+
+  /** TLP-route variant of the cast projection. */
+  def castAllLightPriority(raw: DataFrame): DataFrame =
+    castAll(raw, lightPriorityEventColumns, lightPriorityCastTypes)
+
+  private def castAll(raw: DataFrame, cols: Seq[String],
+      types: Map[String, String]): DataFrame = {
+    val casted = cols.map { c =>
+      (types(c) match {
         case "int" => castInt(col(c))
         case "float" => castFloat(col(c))
         case "boolean" => castBool(col(c))

@@ -14,7 +14,8 @@ class SqlParitySpec extends SparkSuite {
   /** Every oracle whose SQL text runs UNCHANGED on spark.sql (with the
     * [[graft.functions.SqlCompat]] DuckDB-dialect alias pack
     * registered) with row-identical results — probed exhaustively by
-    * SqlParityProbe, 332 of 351 as of round 13 (259 → 314 → 332, none
+    * SqlParityProbe, 333 of 352 as of round 14 (259 → 314 → 332 → 333
+    * with r14's hfp_load_tlp pinning on first probe, none
     * lost; the KV rewrite and the round's 16 new statements — trace,
     * reward, MoE and distillation waves — all pin
     * directly, and de-materializing the two mm joint-dedup oracles —
@@ -110,7 +111,8 @@ class SqlParitySpec extends SparkSuite {
     "dd_prefix_dup", "dd_semantic", "dd_simhash", "dd_span_removal",
     "dd_substring", "dd_supershingle", "dd_threshold_curve", "dd_url_dedup",
     "dd_winnowing", "hfp_cast", "hfp_dedup_anti", "hfp_dedup_bloom",
-    "hfp_dedup_within", "hfp_geo_cells", "hfp_load_day", "hfp_pipeline",
+    "hfp_dedup_within", "hfp_geo_cells", "hfp_load_day", "hfp_load_tlp",
+    "hfp_pipeline",
     "hfp_route", "hfp_union", "kmeans_train", "mm_audio_fingerprint",
     "mm_audio_vad", "mm_binary_stats", "mm_clip_filter", "mm_crop_jitter",
     "mm_decode_features", "mm_exif_quarantine", "mm_frame_sample", "mm_keyframes",
