@@ -20,12 +20,17 @@ import graft.sources.Tables
   *                  a hot bucket (boilerplate cluster) is bounded by
   *                  AQE skew-join splitting.
   *  - SimHash:      32-bit fingerprint, hamming-distance pairs. The
-  *                  pairing here is all-pairs (fine at test scale and
-  *                  exercisable by an oracle); the scale path is
-  *                  bucketing by fingerprint bands, same as LSH.
+  *                  pairing is pigeonhole-banded: the fingerprint is
+  *                  split into HammingMax+1 disjoint segments, so any
+  *                  pair within the distance bound shares ≥1 exact
+  *                  segment — candidates come from an equi-join on
+  *                  (segment index, value), never a cartesian
+  *                  (`ddSimhash` below).
   *  - embedding:    cosine near-dup pairs over normalized dot products.
-  *                  All-pairs at test scale; at 100 TB the candidate
-  *                  generation goes through Similarity's IVF cells.
+  *                  Exact all-pairs is block-TILED (independent
+  *                  n/B × n/B tasks, no cartesian node, no collect —
+  *                  `ddEmbedCosine`); the subquadratic 100 TB paths are
+  *                  the LSH/IVF twins `dd_cosine_lsh`/`dd_semantic`.
   *
   * Every hash is [[PortableHash]] so each operator has an EXACT DuckDB
   * oracle — no "trust me" sketches.

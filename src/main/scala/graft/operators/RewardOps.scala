@@ -74,6 +74,15 @@ object RewardOps {
     * shuffle), a broadcast 5-row grid join (the q_draft_length_curve
     * pattern), per-(n, prompt) argmax as one map-side-combinable
     * `min(struct(...))`, then a 5-row aggregate — no per-n rescans.
+    *
+    * Mixed-pool note (deliberate divergence from the Gao et al.
+    * estimator): a user with k < n candidates still contributes their
+    * best-of-k to the n row (`rn <= n_bon` keeps whatever exists), so
+    * each grid row mixes pool sizes instead of filtering to users with
+    * ≥ n candidates. Both engines and the oracle agree on this
+    * definition; it reports "selection pressure over the traffic you
+    * actually have", which is the operational question — switch to a
+    * `HAVING count(*) >= n_bon` per grid row for the paper's estimator.
     */
   def qBonOveropt(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -155,7 +164,10 @@ object RewardOps {
     // the lineage so the data-sized comparison pipeline runs ONCE and
     // the five consumers read the ≤ |models|²/2-row result (the
     // EvalOps/GraphOps bounded-materialization precedent; the bound is
-    // alphabet-sized, corpus-independent)
+    // alphabet-sized, corpus-independent). eager = false keeps plan
+    // CONSTRUCTION side-effect-free (PlanDump / registry-wide audits
+    // must not run a data-sized job); the blocks materialize at the
+    // first real action and are shared by every later consumer.
     val votes = scores.as("l")
       .join(scores.as("r"), col("l.user_id") === col("r.user_id") &&
         col("l.model") < col("r.model"))
@@ -164,7 +176,7 @@ object RewardOps {
         when(col("r.mx") > col("l.mx"), 1L).otherwise(0L).as("wj"))
       .groupBy("mi", "mj")
       .agg(sum("wi").as("wi"), sum("wj").as("wj"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val edges = votes
       .where(col("wi") =!= col("wj"))
       .select(when(col("wi") > col("wj"), col("mi")).otherwise(col("mj")).as("u"),
