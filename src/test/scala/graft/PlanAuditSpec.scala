@@ -132,6 +132,22 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("MoE load balance: aux fold and final join share ONE token scan via exchange reuse") {
+    // perExpert feeds both consumers without a materialization
+    // boundary; the single data-sized scan relies on AQE deduplicating
+    // the identical agg exchanges. If reuse stopped firing the token
+    // pipeline would silently run twice — this pins the ReusedExchange
+    // in the EXECUTED plan (reuse is runtime-only, invisible in
+    // sparkPlan). The structural alternative (localCheckpoint) measured
+    // 3x slower end-to-end, hence a gate instead of a plan node.
+    val df = SparkEntry.queries("q_moe_load_balance")(sc, sfDir)
+    df.collect() // force the AQE-final plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"), p.take(1500))
+    assert("events\\.parquet".r.findAllIn(p).length <= 1,
+      s"token scan duplicated: ${p.take(1500)}")
+  }
+
   test("MoE capacity drops: both windows ride the one (batch, layer) exchange") {
     val p = plan("q_moe_capacity_drops")
     // exactly one data-sized exchange — the per-expert ranking window
