@@ -81,28 +81,41 @@ object Bench {
     // sorted: Map iteration order would otherwise change whenever a
     // query is added, silently moving which queries hit warm caches and
     // making per-query numbers incomparable across rounds
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        // min-of-2 normally; when the two passes disagree by >2× the
-        // slow one was likely a contention artifact (the official bench
-        // was contaminated two rounds running — VERDICT r13 §perf), so
-        // take ONE bounded extra pass. If even the second-best timing
-        // stays >2× the best, the query self-identifies as `degraded`:
-        // its min is still the best available number, but the artifact
-        // says "noisy measurement", not "plan regression", without
-        // needing a judge re-run.
-        val t1 = time(name)(fn)
-        val t2 = time(name)(fn)
-        val base = List(t1, t2)
-        val ts = if (base.max / math.max(base.min, 1e-9) > 2.0)
-          time(name)(fn) :: base else base
-        val sorted = ts.sorted
-        val degraded = sorted(1) / math.max(sorted(0), 1e-9) > 2.0
-        (name, sorted.head, degraded)
-      }
-    val results = timed.map { case (name, t, _) => (name, t) }
-    val degradedQs = timed.collect { case (name, _, true) => name }
+    // Two DECORRELATED full-suite sweeps: pass A runs every query once
+    // (paying per-query codegen JIT), then pass B re-runs the whole
+    // suite in the same order, so a query's two timings are minutes
+    // apart. Back-to-back passes (the r14 scheme) let one contention
+    // window smear BOTH timings of a query and evade the degraded
+    // detector (official r14: 20 queries inflated 2-20×, only 2
+    // flagged — VERDICT r14 §perf); a window long enough to cover two
+    // sweeps of the full suite is a contaminated RUN, visible in
+    // effective_cores, not a per-query artifact. Min per query is
+    // unchanged as the headline (floor comparability).
+    val passA = queries.map { case (name, fn) => time(name)(fn) }
+    val passB = queries.map { case (name, fn) => time(name)(fn) }
+    val timed = queries.zipWithIndex.map { case ((name, fn), i) =>
+      val base = List(passA(i), passB(i))
+      // when the two sweeps disagree by >2×, ONE bounded extra pass
+      // breaks the tie. If even the second-best timing stays >2× the
+      // best, the query self-identifies as `degraded`: its min is still
+      // the best available number, but the artifact says "noisy
+      // measurement", not "plan regression", without a judge re-run.
+      val ts = if (base.max / math.max(base.min, 1e-9) > 2.0)
+        base :+ time(name)(fn) else base
+      val sorted = ts.sorted
+      val degraded = sorted(1) / math.max(sorted(0), 1e-9) > 2.0
+      // median: symmetric accounting next to the one-sided min (ADVICE
+      // r14) — for 2 passes the midpoint, for 3 the middle value
+      val median = if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+      (name, sorted.head, median, ts, degraded)
+    }
+    val results = timed.map { case (name, t, _, _, _) => (name, t) }
+    val medians = timed.map { case (name, _, m, _, _) => (name, m) }
+    val allPasses = timed.map { case (name, _, _, ts, _) => (name, ts) }
+    val degradedQs = timed.collect { case (name, _, _, _, true) => name }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -121,7 +134,17 @@ object Bench {
       s""""wall_sec":${fmt(wallSec)},"proc_cpu_sec":${fmt(cpuSec)},""" +
       s""""effective_cores":${fmt(if (wallSec > 0) cpuSec / wallSec else 0.0)},""" +
       s""""degraded":$degradedJson"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$env,"sf":"$sfDir"}"""
+    // symmetric accounting in the FILE artifact (stdout stays compact):
+    // per-query medians plus every raw pass timing, so a slow pass is
+    // inspectable instead of silently absorbed by the min
+    val totalMedian = medians.map(_._2).sum
+    val mqs = medians.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val pqs = allPasses.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""value_median":${fmt(totalMedian)},"queries_median":$mqs,"queries_passes":$pqs,$env,"sf":"$sfDir"}"""
     // The harness captures only a ~2KB tail of sbt stdout, and the full
     // per-query map (~220 queries) is ~6KB — so the one-line contract
     // was always truncated and the driver recorded "parsed": null four
@@ -142,7 +165,7 @@ object Bench {
       if (used + piece.length + 1 < 1400) { if (used > 0) sb.append(','); sb.append(piece); used += piece.length + 1 }
     }
     println(full)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":{${sb.toString}},"queries_file":"${outFile.toAbsolutePath}",$env,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_median":${fmt(totalMedian)},"n_queries":${results.size},"queries":{${sb.toString}},"queries_file":"${outFile.toAbsolutePath}",$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

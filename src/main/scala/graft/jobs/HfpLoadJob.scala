@@ -54,12 +54,22 @@ object HfpLoadJob {
       secretsPath: String = graft.sources.SecretsConfig.DefaultSecretsPath): DaySink =
     if (arg.startsWith("jdbc:")) {
       val e = graft.sources.SecretsConfig.resolve(env, secretsPath)
+      // fail FAST on missing credentials, like the reference's
+      // required-config resolution (constants.ts:35-43) — a silent ""
+      // default would surface only at connect time (or connect
+      // unauthenticated if the server allows it)
+      val missing = Seq("PGUSER", "PGPASSWORD")
+        .filterNot(k => e.get(k).exists(_.trim.nonEmpty))
+      if (missing.nonEmpty)
+        throw new IllegalArgumentException(
+          s"jdbc sink requires ${missing.mkString(" and ")} in the " +
+            "environment or /run/secrets")
       def num(key: String, dflt: Int): Int =
         e.get(key).flatMap(_.trim.toIntOption).getOrElse(dflt)
       graft.sources.JdbcDaySink(
         url = arg,
-        user = e.getOrElse("PGUSER", ""),
-        password = e.getOrElse("PGPASSWORD", ""),
+        user = e("PGUSER"),
+        password = e("PGPASSWORD"),
         batchSize = num("EVENT_BATCH_SIZE", 1000),
         numPartitions = num("INSERT_CONCURRENCY", 100))
     } else ParquetDaySink(arg)
@@ -78,13 +88,21 @@ object HfpLoadJob {
         System.err.println(reason)
         sys.exit(2)
       case Right(date) =>
+        // resolve the sink BEFORE any Spark work so a misconfigured
+        // jdbc: run is a usage error, not a late connect failure
+        val sink =
+          try sinkFor(args(1))
+          catch { case e: IllegalArgumentException =>
+            System.err.println(e.getMessage)
+            sys.exit(2)
+          }
         val spark = SparkSession.builder()
           .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
           .config("spark.sql.shuffle.partitions",
             sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
           .config("spark.sql.session.timeZone", "UTC")
           .getOrCreate()
-        try loadDay(spark, args(0), sinkFor(args(1)), date)
+        try loadDay(spark, args(0), sink, date)
           .foreach { case (t, n) => println(s"$t: $n") }
         finally spark.stop()
     }
@@ -126,8 +144,12 @@ object HfpLoadJob {
       if (includeLightPriority) groups :+ lightPriorityGroup else groups
     dayGroups.foreach { case (group, table) =>
       // S1 blob-list analog: does this group have any files for the
-      // date prefix? (globStatus, not a local-FS directory probe)
-      val pattern = s"$csvRoot/csv/$group/$date*"
+      // date prefix? (globStatus, not a local-FS directory probe). The
+      // fixed prefix is escaped so a csvRoot containing glob
+      // metacharacters ([, {, *) stays literal — only the trailing `*`
+      // is pattern syntax. The same escaped pattern feeds the CSV
+      // reader, which resolves paths with the same glob grammar.
+      val pattern = FsUtil.escapeGlob(s"$csvRoot/csv/$group/$date") + "*"
       if (FsUtil.globNonEmpty(spark, pattern)) {
         val isTlp = group == lightPriorityGroup._1
         val raw =
@@ -148,12 +170,21 @@ object HfpLoadJob {
               "unsignedevent" -> typed.where(
                 col("journey_type").isNull || col("journey_type") =!= "journey"))
           else Seq(table -> typed)
-        // A1 build side, read BEFORE writes start; VP unions both tables
-        val buildSide =
+        // A1 build side, read BEFORE writes start; VP unions both tables.
+        // PINNED (persist + count) so the key set is frozen at group
+        // start, matching the reference's snapshot-then-write order
+        // (hfpTask.ts:97-111): a lazy frame would re-run the JDBC key
+        // scan at route 2's action and observe route 1's just-appended
+        // keys, dropping a uuid that appears in BOTH VP routes within
+        // one run (the reference inserts both rows). The count doubles
+        // as the build-side statistic a JDBC relation never has, so
+        // small key sets get an explicit broadcast for the anti-join.
+        val rawBuild =
           if (group == "VehiclePosition")
             sink.existingKeys(spark, "vehicleposition", date)
               .union(sink.existingKeys(spark, "unsignedevent", date))
           else sink.existingKeys(spark, table, date)
+        val (buildSide, pinned) = pinnedBuildSide(rawBuild)
         try routes.foreach { case (targetTable, df) =>
           // persist so the count materializes the route ONCE and the
           // write replays the cached rows — without the pin the two
@@ -164,9 +195,32 @@ object HfpLoadJob {
             if (n > 0) sink.append(fresh, targetTable)
             results(targetTable) = results.getOrElse(targetTable, 0L) + n
           } finally fresh.unpersist(blocking = false)
-        } finally if (group == "VehiclePosition") typed.unpersist(blocking = false)
+        } finally {
+          pinned.unpersist(blocking = false)
+          if (group == "VehiclePosition") typed.unpersist(blocking = false)
+        }
       }
     }
     results.toMap
+  }
+
+  /** One day's keys broadcast below this many rows (~40 MB of 36-byte
+    * uuids — comfortably under executor/driver broadcast budgets on a
+    * real cluster); above it the anti-join shuffles. Spark can never
+    * pick the broadcast itself here: a JDBC relation reports no
+    * statistics, so without the count-derived hint even a 100-row key
+    * side sort-merges (SURVEY §7 hard part 2).
+    */
+  private[graft] val BroadcastKeyRows = 1000000L
+
+  /** Materialize the dedup build side once (persist + count) and apply
+    * the broadcast hint when the counted size allows. Returns the frame
+    * to join against plus the persisted handle to unpersist after the
+    * routes loop.
+    */
+  private[graft] def pinnedBuildSide(raw: DataFrame): (DataFrame, DataFrame) = {
+    val pinned = raw.persist()
+    val n = pinned.count()
+    (if (n <= BroadcastKeyRows) broadcast(pinned) else pinned, pinned)
   }
 }

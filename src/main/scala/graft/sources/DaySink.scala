@@ -45,7 +45,10 @@ final case class ParquetDaySink(dir: String) extends DaySink {
 
   override def existingKeys(spark: SparkSession, table: String,
       date: String): DataFrame = {
-    val path = s"$dir/$table"
+    // escape the warehouse prefix so a dir containing glob
+    // metacharacters stays literal in both the probe pattern and the
+    // reader (Spark resolves read paths with the same glob grammar)
+    val path = FsUtil.escapeGlob(s"$dir/$table")
     // probe for actual day partitions, not the bare directory: a
     // zero-row append leaves a _SUCCESS-only dir that exists but has no
     // schema to infer

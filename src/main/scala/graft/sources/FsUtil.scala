@@ -33,10 +33,29 @@ object FsUtil {
   /** True iff the glob pattern matches at least one path (S1 blob-list
     * analog: "does this group have any blobs for this date prefix?").
     * `globStatus` returns null when the parent does not exist.
+    *
+    * The pattern is glob SYNTAX: callers building a pattern from a
+    * user-supplied base path must [[escapeGlob]] that fixed prefix
+    * before appending their intentional `*` — a csvRoot containing
+    * `[`/`{` would otherwise be parsed as pattern syntax (throwing, or
+    * silently matching the wrong directories) where the old
+    * `java.io.File` probe treated it literally.
     */
   def globNonEmpty(spark: SparkSession, pattern: String): Boolean = {
     val p = new Path(pattern)
     val matches = fsFor(spark, p).globStatus(p)
     matches != null && matches.nonEmpty
   }
+
+  /** Backslash-escape Hadoop glob metacharacters (`\ [ ] { } * ?`) so a
+    * literal path segment matches itself inside a glob pattern. Spark's
+    * own path resolution (`spark.read...`) uses the same glob grammar,
+    * so the escaped form is also the right thing to hand to a reader
+    * whose directory may contain such characters.
+    */
+  def escapeGlob(s: String): String =
+    s.flatMap {
+      case c @ ('\\' | '[' | ']' | '{' | '}' | '*' | '?') => s"\\$c"
+      case c => c.toString
+    }
 }

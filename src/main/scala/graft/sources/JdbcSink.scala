@@ -59,24 +59,67 @@ object JdbcSink {
       .option("batchsize", cfg.batchSize.toString)
       .jdbc(cfg.url, cfg.table, props(cfg))
 
-  /** DDL for a sink table from the cast-type table — the engine-side
-    * analog of the reference's migration schema (postgres_schema.sql:
-    * 1-61, applied before any load runs). Types follow what the cast
-    * layer produces: int→BIGINT, float→DOUBLE PRECISION,
-    * boolean→BOOLEAN, date→DATE, isodate→TIMESTAMP, string→VARCHAR
-    * (explicit VARCHAR, not the dialect default, because Derby maps
-    * StringType to CLOB which can't sit in comparisons).
+  /** DDL dialects for [[createTableDdl]]: `Derby` (default) maps the
+    * cast-type table to what the engine actually writes through Spark's
+    * JDBC sink; `Postgres` reproduces the reference migration's own
+    * column types so a user running the generated DDL against Postgres
+    * gets byte-identical columns to the reference's schema.
+    */
+  sealed trait Dialect
+  case object Derby extends Dialect
+  case object Postgres extends Dialect
+
+  /** The reference migration's column types, keyed by column name
+    * (postgres_schema.sql:65-112 — identical across the five event
+    * tables; the TLP-only columns come from :44-56). NOT derivable from
+    * the cast-type table: e.g. the faithful `vehicle_int` typo leaves
+    * `vehicle_number` a string in the cast layer while the DDL says
+    * `integer`, and `journey_start_time`/`start` stay strings while the
+    * DDL says `time` — Postgres coerces text parameters to the column
+    * type on INSERT (upsert.ts:49-54), which is how the reference gets
+    * away with the same mismatch.
+    */
+  private val postgresTypes: Map[String, String] = (
+    Seq("owner_operator_id", "direction_id", "geohash_level", "dir",
+      "oper", "hdg", "line", "occu", "seq", "dr_type")
+      .map(_ -> "smallint") ++
+    Seq("vehicle_number", "veh", "dl", "jrn", "stop", "tlp_requestid",
+      "tlp_att_seq", "sid", "signal_groupid", "tlp_signalgroupnbr",
+      "tlp_line_configid", "tlp_point_configid", "tlp_frequency")
+      .map(_ -> "integer") ++
+    Seq("tsi", "version").map(_ -> "bigint") ++
+    Seq("acc", "spd", "lat", "long", "odo", "topic_latitude",
+      "topic_longitude", "id").map(_ -> "double precision") ++
+    Seq("is_ongoing", "drst").map(_ -> "boolean") ++
+    Seq("journey_start_time", "start").map(_ -> "time") ++
+    Seq("tst", "received_at").map(_ -> "timestamp with time zone") ++
+    Seq("oday" -> "date", "uuid" -> "uuid")
+  ).toMap.withDefault(_ => "varchar(255)")
+
+  /** DDL for a sink table — the engine-side analog of the reference's
+    * migration schema (postgres_schema.sql:1-61, applied before any
+    * load runs).
+    *
+    * `Derby` dialect follows what the cast layer produces: int→BIGINT,
+    * float→DOUBLE PRECISION, boolean→BOOLEAN, date→DATE,
+    * isodate→TIMESTAMP, string→VARCHAR (explicit VARCHAR, not the
+    * dialect default, because Derby maps StringType to CLOB which
+    * can't sit in comparisons). `Postgres` emits the reference
+    * migration's exact per-column types instead.
     */
   def createTableDdl(table: String, columns: Seq[String],
-      castTypes: String => String): String = {
+      castTypes: String => String, dialect: Dialect = Derby): String = {
     val cols = columns.map { c =>
-      val sqlType = castTypes(c) match {
-        case "int" => "BIGINT"
-        case "float" => "DOUBLE PRECISION"
-        case "boolean" => "BOOLEAN"
-        case "date" => "DATE"
-        case "isodate" => "TIMESTAMP"
-        case _ => "VARCHAR(255)"
+      val sqlType = dialect match {
+        case Postgres => postgresTypes(c)
+        case Derby => castTypes(c) match {
+          case "int" => "BIGINT"
+          case "float" => "DOUBLE PRECISION"
+          case "boolean" => "BOOLEAN"
+          case "date" => "DATE"
+          case "isodate" => "TIMESTAMP"
+          case _ => "VARCHAR(255)"
+        }
       }
       s"$c $sqlType"
     }

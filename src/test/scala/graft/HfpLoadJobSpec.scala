@@ -173,6 +173,61 @@ class HfpLoadJobSpec extends SparkSuite {
       .count() == 3L)
   }
 
+  test("VP group: same uuid in BOTH routes inserts both rows (frozen key set, JDBC sink)") {
+    import graft.sources.{HfpCsvSource, JdbcDaySink, JdbcSink}
+    // the reference snapshots the group's existing keys ONCE before any
+    // write (hfpTask.ts:97-111), so a uuid arriving as one `journey`
+    // row AND one non-journey row in the same run inserts into both
+    // tables. An unpinned lazy build side would re-run the JDBC key
+    // scan at route 2's action, see route 1's just-appended key, and
+    // drop the second row.
+    val url = "jdbc:derby:memory:graftfrozen;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try Seq("vehicleposition", "unsignedevent").foreach { t =>
+      try conn.createStatement().execute(JdbcSink.createTableDdl(
+        t, HfpCsvSource.columns, HfpCsvSource.castTypes))
+      catch { case _: java.sql.SQLException => () }
+    } finally conn.close()
+    val root = Files.createTempDirectory("hfpfrozen").toString
+    val d = Paths.get(root, "csv", "VehiclePosition")
+    Files.createDirectories(d)
+    Files.writeString(d.resolve(s"$date-0.csv"), Seq(
+      row(Map("uuid" -> "dup", "oday" -> date, "journey_type" -> "journey")),
+      row(Map("uuid" -> "dup", "oday" -> date, "journey_type" -> "deadrun")))
+      .mkString("\n") + "\n")
+    val sink = JdbcDaySink(url, batchSize = 10, numPartitions = 1)
+    val first = HfpLoadJob.loadDay(sc, root, sink, date)
+    assert(first == Map("vehicleposition" -> 1L, "unsignedevent" -> 1L), first.toString)
+    val p = new java.util.Properties()
+    assert(spark.read.jdbc(url, "vehicleposition", p)
+      .select("uuid").collect().map(_.getString(0)).toSeq == Seq("dup"))
+    assert(spark.read.jdbc(url, "unsignedevent", p)
+      .select("uuid").collect().map(_.getString(0)).toSeq == Seq("dup"))
+    // re-run: the key now exists in both tables — nothing new
+    val second = HfpLoadJob.loadDay(sc, root, sink, date)
+    assert(second.values.forall(_ == 0L), second.toString)
+  }
+
+  test("loadDay works when the archive and sink paths contain glob metacharacters") {
+    // a base path with [ or { is literal directory naming, not pattern
+    // syntax — the probe and the readers must agree on that (the old
+    // java.io.File probe treated it literally; unescaped globStatus
+    // throws or matches the wrong dirs)
+    val base = Files.createTempDirectory("hfpglob")
+    val root = base.resolve("arch[1]").toString
+    val sink = base.resolve("sink{a}").toString
+    def put(group: String, lines: Seq[String]): Unit = {
+      val d = Paths.get(root, "csv", group)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve(s"$date-0.csv"), lines.mkString("\n") + "\n")
+    }
+    put("StopEvent", Seq(row(Map("uuid" -> "g1", "oday" -> date))))
+    assert(HfpLoadJob.loadDay(sc, root, sink, date) == Map("stopevent" -> 1L))
+    // idempotent re-run: the sink probe + key scan also go through the
+    // escaped path
+    assert(HfpLoadJob.loadDay(sc, root, sink, date) == Map("stopevent" -> 0L))
+  }
+
   test("opt-in LightPriorityEvent route loads the 57-column TLP wire format") {
     import graft.sources.{HfpCsvSource, ParquetDaySink}
     val root = writeArchive()
@@ -225,6 +280,32 @@ class HfpLoadJobSpec extends SparkSuite {
     }
     assert(HfpLoadJob.sinkFor("/data/warehouse", env, secrets.toString) ==
       ParquetDaySink("/data/warehouse"))
+  }
+
+  test("sinkFor: jdbc: URLs fail fast when credentials are missing") {
+    // the reference's config resolution REQUIRES the secrets
+    // (constants.ts:35-43); a silent "" default would fail late at
+    // connect time or connect unauthenticated
+    val secrets = Files.createTempDirectory("hfpnosecrets")
+    val noUser = intercept[IllegalArgumentException] {
+      HfpLoadJob.sinkFor("jdbc:postgresql://h/db",
+        Map("PGPASSWORD" -> "pw"), secrets.toString)
+    }
+    assert(noUser.getMessage.contains("PGUSER"))
+    val noPass = intercept[IllegalArgumentException] {
+      HfpLoadJob.sinkFor("jdbc:postgresql://h/db",
+        Map("PGUSER" -> "app"), secrets.toString)
+    }
+    assert(noPass.getMessage.contains("PGPASSWORD"))
+    // blank values count as missing
+    intercept[IllegalArgumentException] {
+      HfpLoadJob.sinkFor("jdbc:postgresql://h/db",
+        Map("PGUSER" -> " ", "PGPASSWORD" -> "pw"), secrets.toString)
+    }
+    // the parquet twin needs no credentials at all
+    import graft.sources.ParquetDaySink
+    assert(HfpLoadJob.sinkFor("/wh", Map.empty, secrets.toString) ==
+      ParquetDaySink("/wh"))
   }
 
   test("X2: CLI date validation accepts real dates, rejects malformed ones") {
