@@ -41,6 +41,14 @@ object Bench {
       // see GraftSession: cached shared relations must coalesce like
       // any other shuffle output or tiny-partition scheduling dominates
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // the whole-stage codegen class cache defaults to 100 entries;
+      // with the decorrelated sweeps a query's two executions are 351
+      // queries apart, so at the default every pass-B run re-pays
+      // Janino compilation (~0.1 s/query × 352 ≈ a uniform +25% that
+      // is measurement artifact, not plan cost). Sized to hold the
+      // whole registry so pass B measures the same warm-codegen
+      // steady state the historical floors were recorded under.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC") // match Verify: TZ
       // changes event-instant filter selectivity (ADVICE r5)
