@@ -26,6 +26,27 @@ object Bench {
       case _ => -1L
     }
 
+  /** Whether two sweep timings disagree enough (>2×) to buy the one
+    * bounded tie-breaker pass.
+    */
+  private[graft] def needThirdPass(t1: Double, t2: Double): Boolean =
+    math.max(t1, t2) / math.max(math.min(t1, t2), 1e-9) > 2.0
+
+  /** (min, median, degraded) from a query's raw pass timings. Min is
+    * the headline (floor comparability); median is the symmetric
+    * companion (for 2 passes the midpoint, for 3 the middle value);
+    * `degraded` means even the second-best timing sits >2× above the
+    * best — the min is still the best available number, but the
+    * artifact self-identifies as a noisy measurement.
+    */
+  private[graft] def stats(ts: Seq[Double]): (Double, Double, Boolean) = {
+    val sorted = ts.sorted
+    val degraded = sorted(1) / math.max(sorted(0), 1e-9) > 2.0
+    val median = if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+      else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+    (sorted.head, median, degraded)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val loadStart = loadavg()
@@ -104,21 +125,14 @@ object Bench {
     val passA = queries.map { case (name, fn) => time(name)(fn) }
     val passB = queries.map { case (name, fn) => time(name)(fn) }
     val timed = queries.zipWithIndex.map { case ((name, fn), i) =>
-      val base = List(passA(i), passB(i))
       // when the two sweeps disagree by >2×, ONE bounded extra pass
-      // breaks the tie. If even the second-best timing stays >2× the
-      // best, the query self-identifies as `degraded`: its min is still
-      // the best available number, but the artifact says "noisy
-      // measurement", not "plan regression", without a judge re-run.
-      val ts = if (base.max / math.max(base.min, 1e-9) > 2.0)
+      // breaks the tie (stats() then flags `degraded` if even the
+      // second-best timing stays >2× the best)
+      val base = List(passA(i), passB(i))
+      val ts = if (needThirdPass(passA(i), passB(i)))
         base :+ time(name)(fn) else base
-      val sorted = ts.sorted
-      val degraded = sorted(1) / math.max(sorted(0), 1e-9) > 2.0
-      // median: symmetric accounting next to the one-sided min (ADVICE
-      // r14) — for 2 passes the midpoint, for 3 the middle value
-      val median = if (sorted.size % 2 == 1) sorted(sorted.size / 2)
-        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
-      (name, sorted.head, median, ts, degraded)
+      val (minT, median, degraded) = stats(ts)
+      (name, minT, median, ts, degraded)
     }
     val results = timed.map { case (name, t, _, _, _) => (name, t) }
     val medians = timed.map { case (name, _, m, _, _) => (name, m) }
