@@ -66,10 +66,14 @@ object HfpLoadJob {
             "environment or /run/secrets")
       def num(key: String, dflt: Int): Int =
         e.get(key).flatMap(_.trim.toIntOption).getOrElse(dflt)
+      // trimmed like the presence check above — a secrets file that
+      // preserves a trailing space would otherwise pass validation yet
+      // send " app " to the JDBC driver, failing auth at connect time
+      // (exactly the late failure the fail-fast check exists to avoid)
       graft.sources.JdbcDaySink(
         url = arg,
-        user = e("PGUSER"),
-        password = e("PGPASSWORD"),
+        user = e("PGUSER").trim,
+        password = e("PGPASSWORD").trim,
         batchSize = num("EVENT_BATCH_SIZE", 1000),
         numPartitions = num("INSERT_CONCURRENCY", 100))
     } else ParquetDaySink(arg)
@@ -171,20 +175,20 @@ object HfpLoadJob {
                 col("journey_type").isNull || col("journey_type") =!= "journey"))
           else Seq(table -> typed)
         // A1 build side, read BEFORE writes start; VP unions both tables.
-        // PINNED (persist + count) so the key set is frozen at group
-        // start, matching the reference's snapshot-then-write order
-        // (hfpTask.ts:97-111): a lazy frame would re-run the JDBC key
+        // PINNED (eager localCheckpoint) so the key set is frozen at
+        // group start, matching the reference's snapshot-then-write
+        // order (hfpTask.ts:97-111): a lazy frame would re-run the key
         // scan at route 2's action and observe route 1's just-appended
         // keys, dropping a uuid that appears in BOTH VP routes within
-        // one run (the reference inserts both rows). The count doubles
-        // as the build-side statistic a JDBC relation never has, so
-        // small key sets get an explicit broadcast for the anti-join.
+        // one run (the reference inserts both rows) — see
+        // [[pinnedBuildSide]] for why a persist+count pin is not enough
+        // against the parquet sink.
         val rawBuild =
           if (group == "VehiclePosition")
             sink.existingKeys(spark, "vehicleposition", date)
               .union(sink.existingKeys(spark, "unsignedevent", date))
           else sink.existingKeys(spark, table, date)
-        val (buildSide, pinned) = pinnedBuildSide(rawBuild)
+        val (buildSide, unpin) = pinnedBuildSide(rawBuild)
         try routes.foreach { case (targetTable, df) =>
           // persist so the count materializes the route ONCE and the
           // write replays the cached rows — without the pin the two
@@ -196,7 +200,7 @@ object HfpLoadJob {
             results(targetTable) = results.getOrElse(targetTable, 0L) + n
           } finally fresh.unpersist(blocking = false)
         } finally {
-          pinned.unpersist(blocking = false)
+          unpin()
           if (group == "VehiclePosition") typed.unpersist(blocking = false)
         }
       }
@@ -204,23 +208,59 @@ object HfpLoadJob {
     results.toMap
   }
 
-  /** One day's keys broadcast below this many rows (~40 MB of 36-byte
-    * uuids — comfortably under executor/driver broadcast budgets on a
-    * real cluster); above it the anti-join shuffles. Spark can never
-    * pick the broadcast itself here: a JDBC relation reports no
-    * statistics, so without the count-derived hint even a 100-row key
-    * side sort-merges (SURVEY §7 hard part 2).
+  /** Estimated broadcast bytes per key row: a 36-char uuid is ~56 bytes
+    * as an UnsafeRow (8B null bits + 8B offset/len word + padded
+    * string), and the driver-collected BroadcastHashJoin relation
+    * (hashed relation map + object headers) typically carries 3-4× that
+    * — so ~224 bytes end to end. Sizing by raw string bytes alone would
+    * let a "40 MB" key set pressure a default driver heap with the real
+    * ~160 MB relation.
     */
-  private[graft] val BroadcastKeyRows = 1000000L
+  private[graft] val BroadcastKeyRowBytes = 224L
 
-  /** Materialize the dedup build side once (persist + count) and apply
-    * the broadcast hint when the counted size allows. Returns the frame
-    * to join against plus the persisted handle to unpersist after the
-    * routes loop.
+  /** One day's keys broadcast below this many rows; above it the
+    * anti-join shuffles. Derived from the session's own
+    * `autoBroadcastJoinThreshold` over [[BroadcastKeyRowBytes]] — the
+    * same budget Spark applies when a source DOES report statistics
+    * (default 10 MB → ~46k keys), so disabling auto-broadcast (-1)
+    * disables this hint too. Spark can never pick the broadcast itself
+    * here: a JDBC relation reports no statistics, so without the
+    * count-derived hint even a 100-row key side sort-merges (SURVEY §7
+    * hard part 2).
     */
-  private[graft] def pinnedBuildSide(raw: DataFrame): (DataFrame, DataFrame) = {
-    val pinned = raw.persist()
+  private[graft] def broadcastKeyRows(spark: SparkSession): Long = {
+    val thresholdBytes = spark.sessionState.conf.autoBroadcastJoinThreshold
+    if (thresholdBytes <= 0) 0L else thresholdBytes / BroadcastKeyRowBytes
+  }
+
+  /** Materialize the dedup build side once and apply the broadcast hint
+    * when the counted size allows. Returns the frame to join against
+    * plus a cleanup to run after the routes loop.
+    *
+    * This must be `localCheckpoint()` (eager), NOT persist+count: a
+    * cached plan that still reads the sink path is INVALIDATED by the
+    * first route's own append — `InsertIntoHadoopFsRelation` runs
+    * `refreshByPath` over every cached plan touching the written path —
+    * and the recompute re-lists the directory, so route 2 would observe
+    * route 1's just-appended keys after all (dropping a uuid that
+    * arrives in both VP routes within one run; the reference inserts
+    * both, hfpTask.ts:97-111). The checkpoint cuts lineage: the key set
+    * becomes materialized rows with no file source left in the plan for
+    * the refresh to touch. The count doubles as the build-side
+    * statistic a JDBC relation never has, so small key sets get an
+    * explicit broadcast for the anti-join.
+    */
+  private[graft] def pinnedBuildSide(raw: DataFrame): (DataFrame, () => Unit) = {
+    val pinned = raw.localCheckpoint() // eager: materializes + cuts lineage
     val n = pinned.count()
-    (if (n <= BroadcastKeyRows) broadcast(pinned) else pinned, pinned)
+    // free the checkpointed blocks once the routes are written — safe
+    // because nothing reads the frame afterwards (a checkpointed RDD
+    // cannot be recomputed once its blocks are gone)
+    val cleanup: () => Unit = () => pinned.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+    (if (n <= broadcastKeyRows(raw.sparkSession)) broadcast(pinned) else pinned,
+      cleanup)
   }
 }

@@ -71,15 +71,28 @@ object HfpStreamLoader {
                   "unsignedevent" -> batch.where(
                     col("journey_type").isNull || col("journey_type") =!= "journey"))
               else Seq(graft.jobs.HfpLoadJob.groups.toMap.getOrElse(group, group.toLowerCase) -> batch)
-            val buildSide =
+            val rawBuild =
               if (group == "VehiclePosition")
                 existingKeys(s, sinkDir, "vehicleposition", odays, withNullOday)
                   .union(existingKeys(s, sinkDir, "unsignedevent", odays, withNullOday))
               else existingKeys(s, sinkDir, routes.head._1, odays, withNullOday)
-            routes.foreach { case (table, df) =>
+            // pinned (eager localCheckpoint) like the batch path: the
+            // VP group's second route would otherwise re-scan the sink
+            // at its own action and observe route 1's just-appended
+            // keys, dropping a uuid that arrives in both routes within
+            // one batch. The file source's frozen listing does NOT
+            // protect this — route 1's append refreshes every plan
+            // over the written path (refreshByPath), and the refreshed
+            // relation re-lists the directory; the checkpoint leaves no
+            // file source in the plan for the refresh to touch. The
+            // count also licenses the broadcast hint for small key
+            // sides.
+            val (buildSide, unpin) =
+              graft.jobs.HfpLoadJob.pinnedBuildSide(rawBuild)
+            try routes.foreach { case (table, df) =>
               val fresh = df.join(buildSide, Seq("uuid"), "left_anti")
               if (!fresh.isEmpty) JdbcSink.writeParquet(fresh, sinkDir, table)
-            }
+            } finally unpin()
           }
         } finally batch.unpersist(blocking = false)
       }

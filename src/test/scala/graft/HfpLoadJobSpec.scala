@@ -208,6 +208,42 @@ class HfpLoadJobSpec extends SparkSuite {
     assert(second.values.forall(_ == 0L), second.toString)
   }
 
+  test("VP group: same uuid in BOTH routes inserts both rows (parquet sink)") {
+    // the Derby twin of this case passed in r15 because JDBC writes
+    // don't refresh cached plans — against the PARQUET sink a
+    // persist+count pin is defeated by route 1's own append
+    // (InsertIntoHadoopFsRelation refreshes every cached plan over the
+    // written path, and the recompute re-lists the directory), so route
+    // 2 dropped the row. The localCheckpoint pin leaves no file source
+    // in the build side's plan for the refresh to touch.
+    val root = Files.createTempDirectory("hfpdupparquet").toString
+    val sink = Files.createTempDirectory("hfpdupparquetsink").toString
+    val d = Paths.get(root, "csv", "VehiclePosition")
+    Files.createDirectories(d)
+    // seed run gives BOTH tables a real oday partition, so the dup
+    // run's build side is a genuine parquet scan, not the empty frame
+    Files.writeString(d.resolve(s"$date-0.csv"), Seq(
+      row(Map("uuid" -> "v0", "oday" -> date, "journey_type" -> "journey")),
+      row(Map("uuid" -> "u0", "oday" -> date, "journey_type" -> "deadrun")))
+      .mkString("\n") + "\n")
+    assert(HfpLoadJob.loadDay(sc, root, sink, date) ==
+      Map("vehicleposition" -> 1L, "unsignedevent" -> 1L))
+    Files.writeString(d.resolve(s"$date-1.csv"), Seq(
+      row(Map("uuid" -> "dup", "oday" -> date, "journey_type" -> "journey")),
+      row(Map("uuid" -> "dup", "oday" -> date, "journey_type" -> "deadrun")))
+      .mkString("\n") + "\n")
+    val second = HfpLoadJob.loadDay(sc, root, sink, date)
+    assert(second == Map("vehicleposition" -> 1L, "unsignedevent" -> 1L),
+      second.toString)
+    assert(spark.read.parquet(s"$sink/vehicleposition")
+      .select("uuid").collect().map(_.getString(0)).toSet == Set("v0", "dup"))
+    assert(spark.read.parquet(s"$sink/unsignedevent")
+      .select("uuid").collect().map(_.getString(0)).toSet == Set("u0", "dup"))
+    // re-run: both tables hold the key now — nothing new
+    val third = HfpLoadJob.loadDay(sc, root, sink, date)
+    assert(third.values.forall(_ == 0L), third.toString)
+  }
+
   test("loadDay works when the archive and sink paths contain glob metacharacters") {
     // a base path with [ or { is literal directory naming, not pattern
     // syntax — the probe and the readers must agree on that (the old
@@ -280,6 +316,39 @@ class HfpLoadJobSpec extends SparkSuite {
     }
     assert(HfpLoadJob.sinkFor("/data/warehouse", env, secrets.toString) ==
       ParquetDaySink("/data/warehouse"))
+  }
+
+  test("sinkFor: credentials are trimmed — the validated value IS the used value") {
+    import graft.sources.JdbcDaySink
+    // a secrets file that preserves a trailing space would otherwise
+    // pass the nonEmpty check yet send " app " verbatim to the JDBC
+    // driver, failing auth at connect time — the late failure the
+    // fail-fast check exists to avoid
+    val secrets = Files.createTempDirectory("hfptrim")
+    val env = Map("PGUSER" -> " app ", "PGPASSWORD" -> "\tpw\n")
+    HfpLoadJob.sinkFor("jdbc:postgresql://h/db", env, secrets.toString) match {
+      case j: JdbcDaySink =>
+        assert(j.user == "app")
+        assert(j.password == "pw")
+      case other => fail(s"expected JdbcDaySink, got $other")
+    }
+  }
+
+  test("broadcast key gate derives from the session's autoBroadcastJoinThreshold") {
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // default budget (10 MB) over the ~224 B/key relation estimate:
+      // ~46k keys — the same ceiling Spark itself applies to sources
+      // that report statistics, instead of a fixed 1M-row constant
+      // whose hashed relation (~160 MB) could pressure a default-sized
+      // driver heap
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L * 1024 * 1024).toString)
+      assert(HfpLoadJob.broadcastKeyRows(sc) ==
+        10L * 1024 * 1024 / HfpLoadJob.BroadcastKeyRowBytes)
+      // disabling auto-broadcast disables the hint too
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(HfpLoadJob.broadcastKeyRows(sc) == 0L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
   test("sinkFor: jdbc: URLs fail fast when credentials are missing") {

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.col
 import graft.sources.HfpCsvSource
 import graft.streaming.HfpStreamLoader
 
@@ -93,5 +94,84 @@ class HfpStreamLoaderSpec extends SparkSuite {
     assert(scan.metadata("Location").contains("stopevent"))
     assert(scan.selectedPartitions.partitionCount == 1,
       s"expected 1 pruned partition, scanned ${scan.selectedPartitions.partitionCount}")
+  }
+
+  test("VP batch: same uuid in BOTH routes inserts both rows (pinned build side)") {
+    // the build side is snapshotted (persist + count) before either
+    // route writes, matching the batch path and the reference's
+    // read-before-writes order (hfpTask.ts:97-111): a lazy build side
+    // re-evaluated at route 2's action would observe route 1's
+    // just-appended key and drop the second row. The parquet twin's
+    // frozen file listing happens to mask that today; the pin makes the
+    // isolation structural (it must survive a catalog/JDBC sink).
+    val root = Files.createTempDirectory("hfpstreamdup").toString
+    val sink = Files.createTempDirectory("hfpstreamdupsink").toString
+    val dir = Paths.get(root, "csv", "VehiclePosition")
+    Files.createDirectories(dir)
+    // seed the sink with an unrelated key so the build side is a real
+    // parquet scan, not the empty-frame fallback
+    Files.writeString(dir.resolve("seed.csv"),
+      row(Map("uuid" -> "v0", "oday" -> "2021-02-09", "journey_type" -> "journey")) + "\n")
+    val q0 = HfpStreamLoader.start(sc, root, sink, "VehiclePosition",
+      Files.createTempDirectory("ckdup0").toString)
+    q0.awaitTermination()
+    Files.writeString(dir.resolve("dup.csv"), Seq(
+      row(Map("uuid" -> "dup", "oday" -> "2021-02-09", "journey_type" -> "journey")),
+      row(Map("uuid" -> "dup", "oday" -> "2021-02-09", "journey_type" -> "deadrun")))
+      .mkString("\n") + "\n")
+    val q1 = HfpStreamLoader.start(sc, root, sink, "VehiclePosition",
+      Files.createTempDirectory("ckdup1").toString)
+    q1.awaitTermination()
+    assert(spark.read.parquet(s"$sink/vehicleposition")
+      .select("uuid").collect().map(_.getString(0)).toSet == Set("v0", "dup"))
+    assert(spark.read.parquet(s"$sink/unsignedevent")
+      .select("uuid").collect().map(_.getString(0)).toSeq == Seq("dup"))
+    // re-run from a fresh checkpoint: both tables already hold the key
+    val q2 = HfpStreamLoader.start(sc, root, sink, "VehiclePosition",
+      Files.createTempDirectory("ckdup2").toString)
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$sink/vehicleposition").count() == 2L)
+    assert(spark.read.parquet(s"$sink/unsignedevent").count() == 1L)
+  }
+
+  test("restart mid-day heals a partial crash: no duplicate uuids per (oday, table)") {
+    // simulate a loader killed between route writes: the sink already
+    // holds the vehicleposition row of a VP batch but not its
+    // unsignedevent row (foreachBatch is at-least-once; the checkpoint
+    // has no record of the batch, so a restart reprocesses the files).
+    // The re-run must dedup the already-written row per (oday, table)
+    // and land only the missing one — the reference's "re-run the day"
+    // late-data model (hfpStorage.ts:15-16).
+    val root = Files.createTempDirectory("hfpcrash").toString
+    val sink = Files.createTempDirectory("hfpcrashsink").toString
+    val dir = Paths.get(root, "csv", "VehiclePosition")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("day.csv"), Seq(
+      row(Map("uuid" -> "j1", "oday" -> "2021-02-09", "journey_type" -> "journey")),
+      row(Map("uuid" -> "u1", "oday" -> "2021-02-09", "journey_type" -> "deadrun")))
+      .mkString("\n") + "\n")
+    // the "crashed" run's partial output: j1 made it, u1 did not
+    val partial = HfpCsvSource.castAll(
+      spark.read.schema(HfpCsvSource.rawSchema)
+        .option("header", "false")
+        .csv(Paths.get(root, "csv", "VehiclePosition").toString))
+      .where(col("uuid") === "j1")
+    graft.sources.JdbcSink.writeParquet(partial, sink, "vehicleposition")
+    // restart from scratch (the crashed run's checkpoint never
+    // committed the batch, so a fresh checkpoint is the same re-read)
+    val q = HfpStreamLoader.start(sc, root, sink, "VehiclePosition",
+      Files.createTempDirectory("ckcrash").toString)
+    q.awaitTermination()
+    val vp = spark.read.parquet(s"$sink/vehicleposition")
+      .select("uuid", "oday").collect()
+    assert(vp.map(_.getString(0)).toSeq == Seq("j1"), vp.mkString(";")) // healed, not doubled
+    assert(spark.read.parquet(s"$sink/unsignedevent")
+      .select("uuid").collect().map(_.getString(0)).toSeq == Seq("u1"))
+    // and a second restart is a full no-op
+    val q2 = HfpStreamLoader.start(sc, root, sink, "VehiclePosition",
+      Files.createTempDirectory("ckcrash2").toString)
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$sink/vehicleposition").count() == 1L)
+    assert(spark.read.parquet(s"$sink/unsignedevent").count() == 1L)
   }
 }

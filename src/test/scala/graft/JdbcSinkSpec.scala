@@ -63,7 +63,7 @@ class JdbcSinkSpec extends SparkSuite {
     val bcCfg = JdbcSink.Config(url, "bc_keys", batchSize = 50, numPartitions = 1)
     JdbcSink.write(
       (1 to 5).map(i => (s"k$i", "2021-02-09")).toDF("uuid", "oday"), bcCfg)
-    val (buildSide, pinnedHandle) =
+    val (buildSide, unpin) =
       graft.jobs.HfpLoadJob.pinnedBuildSide(JdbcSink.readKeys(spark, bcCfg, "2021-02-09"))
     try {
       val incoming = Seq("k1", "k9").toDF("uuid")
@@ -72,7 +72,7 @@ class JdbcSinkSpec extends SparkSuite {
       val plan = fresh.queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
         plan.take(1200))
-    } finally pinnedHandle.unpersist(blocking = false)
+    } finally unpin()
   }
 
   test("Postgres dialect DDL reproduces the reference migration's column types") {
