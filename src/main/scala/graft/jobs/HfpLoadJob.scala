@@ -75,7 +75,13 @@ object HfpLoadJob {
         user = e("PGUSER").trim,
         password = e("PGPASSWORD").trim,
         batchSize = num("EVENT_BATCH_SIZE", 1000),
-        numPartitions = num("INSERT_CONCURRENCY", 100))
+        numPartitions = num("INSERT_CONCURRENCY", 100),
+        // engine extension (no reference analog — the reference applies
+        // postgres_schema.sql by out-of-band migration): opt-in
+        // create-if-absent bootstrap so a load pointed at an empty
+        // database gets the migration's column types
+        bootstrapDdl = e.get("GRAFT_BOOTSTRAP_DDL")
+          .exists(v => Set("1", "true", "yes").contains(v.trim.toLowerCase)))
     } else ParquetDaySink(arg)
 
   /** CLI entry: `HfpLoadJob <csvRoot> <sinkDirOrJdbcUrl> <date>` —

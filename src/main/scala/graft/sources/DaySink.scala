@@ -64,27 +64,71 @@ final case class ParquetDaySink(dir: String) extends DaySink {
 }
 
 /** The reference's actual sink shape: a JDBC database (Postgres there,
-  * embedded Derby in the test harness). Tables are expected to
-  * pre-exist (the reference applies postgres_schema.sql by migration
-  * before any load runs); [[JdbcSink.createTableDdl]] generates the
-  * matching DDL. Key scans push projection+predicate down
-  * (getEvents.ts:9-16); writes are plain batched INSERT appends
-  * (upsert.ts:6-55 — the "upsert" never updates).
+  * embedded Derby in the test harness). By default tables are expected
+  * to pre-exist (the reference applies postgres_schema.sql by migration
+  * before any load runs); with `bootstrapDdl = true` the sink creates
+  * each missing table on first touch from [[JdbcSink.createTableDdl]] —
+  * the reference migration's own column types against Postgres
+  * ([[JdbcSink.dialectFor]]), the Derby-safe mapping elsewhere. Key
+  * scans push projection+predicate down (getEvents.ts:9-16); writes are
+  * plain batched INSERT appends (upsert.ts:6-55 — the "upsert" never
+  * updates).
   */
 final case class JdbcDaySink(
     url: String,
     user: String = "",
     password: String = "",
     batchSize: Int = 1000,
-    numPartitions: Int = 100) extends DaySink {
+    numPartitions: Int = 100,
+    bootstrapDdl: Boolean = false) extends DaySink {
+
+  /** Tables already probed this sink instance — the existence check is
+    * one metadata round trip per table per run, not per call.
+    */
+  @transient private lazy val ensured =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def connect(): java.sql.Connection =
+    if (user.nonEmpty)
+      java.sql.DriverManager.getConnection(url, user, password)
+    else java.sql.DriverManager.getConnection(url)
+
+  /** Create-if-absent bootstrap (opt-in): one `CREATE TABLE` from the
+    * dialect mapping when the table is missing. Runs on the driver
+    * before any Spark read/write of the table — the engine-side analog
+    * of applying the reference migration.
+    */
+  private def ensureTable(table: String): Unit =
+    if (bootstrapDdl && !ensured.contains(table)) {
+      val conn = connect()
+      try {
+        val meta = conn.getMetaData
+        def exists(n: String): Boolean = {
+          val rs = meta.getTables(null, null, n, null)
+          try rs.next() finally rs.close()
+        }
+        // Derby folds unquoted identifiers to upper case, Postgres to
+        // lower — probe both spellings of the created name
+        if (!exists(table) && !exists(table.toUpperCase)) {
+          val (cols, types) = JdbcSink.tableColumns(table)
+          conn.createStatement().execute(JdbcSink.createTableDdl(
+            table, cols, types, JdbcSink.dialectFor(url)))
+        }
+      } finally conn.close()
+      ensured.add(table)
+    }
 
   private def cfg(table: String): JdbcSink.Config =
     JdbcSink.Config(url, table, user, password, batchSize, numPartitions)
 
   override def existingKeys(spark: SparkSession, table: String,
-      date: String): DataFrame =
+      date: String): DataFrame = {
+    ensureTable(table)
     JdbcSink.readKeys(spark, cfg(table), date)
+  }
 
-  override def append(df: DataFrame, table: String): Unit =
+  override def append(df: DataFrame, table: String): Unit = {
+    ensureTable(table)
     JdbcSink.write(df, cfg(table))
+  }
 }

@@ -69,6 +69,24 @@ object JdbcSink {
   case object Derby extends Dialect
   case object Postgres extends Dialect
 
+  /** Dialect from the JDBC URL: `jdbc:postgresql:` gets the reference
+    * migration's own types; anything else the Derby-safe mapping (which
+    * is also what Spark's JDBC sink writes through).
+    */
+  def dialectFor(url: String): Dialect =
+    if (url.startsWith("jdbc:postgresql")) Postgres else Derby
+
+  /** Wire columns + cast-type table per sink table — the inputs
+    * [[createTableDdl]] needs to bootstrap that table.
+    * `lightpriorityevent` is the 57-column TLP superset
+    * (postgres_schema.sql:44-56); the four event tables share the
+    * 44-column wire schema.
+    */
+  def tableColumns(table: String): (Seq[String], String => String) =
+    if (table == "lightpriorityevent")
+      (HfpCsvSource.lightPriorityEventColumns, HfpCsvSource.lightPriorityCastTypes)
+    else (HfpCsvSource.columns, HfpCsvSource.castTypes)
+
   /** The reference migration's column types, keyed by column name
     * (postgres_schema.sql:65-112 — identical across the five event
     * tables; the TLP-only columns come from :44-56). NOT derivable from

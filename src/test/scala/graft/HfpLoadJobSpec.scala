@@ -173,6 +173,41 @@ class HfpLoadJobSpec extends SparkSuite {
       .count() == 3L)
   }
 
+  test("bootstrapDdl: loadDay against a ZERO-table database creates its tables from the generator") {
+    import graft.sources.JdbcDaySink
+    // the reference pre-applies its migration; the opt-in bootstrap is
+    // the engine-side analog — a user pointing at an empty database
+    // gets the dialect mapping's tables created on first touch
+    // (Derby-safe types here; the Postgres dialect emits the
+    // migration's own types, unit-tested in JdbcSinkSpec)
+    val url = "jdbc:derby:memory:graftboot;create=true"
+    val root = writeArchive()
+    val sink = JdbcDaySink(url, batchSize = 50, numPartitions = 2,
+      bootstrapDdl = true)
+    val first = HfpLoadJob.loadDay(sc, root, sink, date)
+    assert(first == Map(
+      "stopevent" -> 2L, "otherevent" -> 1L,
+      "vehicleposition" -> 2L, "unsignedevent" -> 1L))
+    // idempotent re-run through the bootstrapped tables
+    val second = HfpLoadJob.loadDay(sc, root, sink, date)
+    assert(second.values.forall(_ == 0L), second.toString)
+    // the created columns carry the generator's types: typed oday (DATE)
+    // and comparable VARCHAR uuid (not Derby's CLOB default)
+    val vp = spark.read.jdbc(url, "vehicleposition", new java.util.Properties())
+    assert(vp.select("uuid").collect().map(_.getString(0)).toSet == Set("v1", "v3"))
+    assert(vp.select("oday").schema.head.dataType ==
+      org.apache.spark.sql.types.DateType)
+    // a FRESH sink instance against the now-populated database must not
+    // try to re-create (exists probe, both identifier casings)
+    val again = JdbcDaySink(url, batchSize = 50, numPartitions = 2,
+      bootstrapDdl = true)
+    assert(HfpLoadJob.loadDay(sc, root, again, date).values.forall(_ == 0L))
+    // default stays reference-faithful: no bootstrap, missing table fails
+    val off = JdbcDaySink("jdbc:derby:memory:graftboot2;create=true",
+      batchSize = 50, numPartitions = 2)
+    intercept[Exception] { HfpLoadJob.loadDay(sc, root, off, date) }
+  }
+
   test("VP group: same uuid in BOTH routes inserts both rows (frozen key set, JDBC sink)") {
     import graft.sources.{HfpCsvSource, JdbcDaySink, JdbcSink}
     // the reference snapshots the group's existing keys ONCE before any
@@ -312,6 +347,13 @@ class HfpLoadJobSpec extends SparkSuite {
         assert(j.user == "app")
         assert(j.password == "fromfile") // X1: versioned secrets file wins
         assert(j.batchSize == 250 && j.numPartitions == 100)
+        assert(!j.bootstrapDdl) // default: tables pre-exist by migration
+      case other => fail(s"expected JdbcDaySink, got $other")
+    }
+    // opt-in DDL bootstrap rides the same env resolution
+    HfpLoadJob.sinkFor("jdbc:postgresql://h:5432/db",
+      env + ("GRAFT_BOOTSTRAP_DDL" -> "true"), secrets.toString) match {
+      case j: JdbcDaySink => assert(j.bootstrapDdl)
       case other => fail(s"expected JdbcDaySink, got $other")
     }
     assert(HfpLoadJob.sinkFor("/data/warehouse", env, secrets.toString) ==
