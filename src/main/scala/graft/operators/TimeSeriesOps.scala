@@ -544,22 +544,42 @@ object TimeSeriesOps {
   def qMadOutlier(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir, "events").where(col("value").isNotNull)
       .select(col("event_type"), cents(col("value")).as("vc"))
+    // the whole med/dev/mad chain derives from this ONE value-level
+    // histogram (bounded: |event_types| × |distinct cents| — a value-
+    // domain relation, never corpus-sized), but it feeds seven
+    // downstream references and Spark shares no subplans without
+    // materialization — unpinned, every reference re-runs the corpus
+    // scan + aggregate (~10 full scans; the r15 floor-drift root
+    // cause). One eager localCheckpoint = one data-sized pass total.
     val hist = ev.groupBy("event_type", "vc").agg(count(lit(1)).as("c"))
-    val n = hist.groupBy("event_type").agg(sum("c").as("n"))
-    val medRank = floor((col("n") + 1) / 2d)
-    val med = hist
-      .withColumn("cum", sum("c").over(Window.partitionBy("event_type").orderBy("vc")))
-      .join(n, Seq("event_type"))
-      .where(col("cum") >= medRank)
-      .groupBy("event_type").agg(min("vc").as("med"))
+      .localCheckpoint()
+    // lower-median rank selection in ONE window pass: the running sum
+    // (ordered frame) and the partition total (unbounded frame) share
+    // the event_type exchange, and the per-type total over either
+    // histogram IS the corpus n — no separate n aggregate, no join.
+    // The groupBy(event_type) after each window rides the window's own
+    // HashPartitioning(event_type) (hash keys ⊆ clustering keys), so
+    // each median costs one bounded exchange end to end. Per-type
+    // results are ≤ |event_types| rows — broadcast them explicitly
+    // (the checkpointed LogicalRDD carries no stats, so Spark cannot
+    // make the call itself).
+    def lowerMedian(h: DataFrame, key: String, out: String): DataFrame = {
+      val byType = Window.partitionBy("event_type")
+      broadcast(h
+        .withColumn("cum", sum("c").over(byType.orderBy(key)))
+        .withColumn("tot", sum("c").over(byType))
+        .where(col("cum") >= floor((col("tot") + 1) / 2d))
+        .groupBy("event_type").agg(min(key).as(out)))
+    }
+    val med = lowerMedian(hist, "vc", "med")
+    // the deviation histogram feeds the MAD selection AND the final
+    // fold — checkpoint it too (value-domain-sized) so the second
+    // reference re-reads blocks instead of re-running the join+agg
     val dev = hist.join(med, Seq("event_type"))
       .groupBy(col("event_type"), abs(col("vc") - col("med")).as("ad"))
       .agg(sum("c").as("c"))
-    val mad = dev
-      .withColumn("cum", sum("c").over(Window.partitionBy("event_type").orderBy("ad")))
-      .join(n, Seq("event_type"))
-      .where(col("cum") >= medRank)
-      .groupBy("event_type").agg(min("ad").as("mad"))
+      .localCheckpoint()
+    val mad = lowerMedian(dev, "ad", "mad")
     val thr = lit(3d) * lit(1.4826d) * col("mad").cast(DoubleType)
     dev.join(mad, Seq("event_type"))
       .groupBy("event_type")
