@@ -97,13 +97,13 @@ class HfpStreamLoaderSpec extends SparkSuite {
   }
 
   test("VP batch: same uuid in BOTH routes inserts both rows (pinned build side)") {
-    // the build side is snapshotted (persist + count) before either
-    // route writes, matching the batch path and the reference's
+    // the build side is snapshotted (eager localCheckpoint) before
+    // either route writes, matching the batch path and the reference's
     // read-before-writes order (hfpTask.ts:97-111): a lazy build side
     // re-evaluated at route 2's action would observe route 1's
-    // just-appended key and drop the second row. The parquet twin's
-    // frozen file listing happens to mask that today; the pin makes the
-    // isolation structural (it must survive a catalog/JDBC sink).
+    // just-appended key and drop the second row — and the parquet
+    // twin's frozen file listing does NOT protect this (route 1's
+    // append refreshes every plan over the written path).
     val root = Files.createTempDirectory("hfpstreamdup").toString
     val sink = Files.createTempDirectory("hfpstreamdupsink").toString
     val dir = Paths.get(root, "csv", "VehiclePosition")

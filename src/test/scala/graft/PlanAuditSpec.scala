@@ -346,6 +346,77 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
 
+  // ---- pins for the four queries flagged `degraded` in the r15
+  // official bench (host noise flagged them; these assertions make a
+  // real plan regression impossible to hide behind that flag) --------
+
+  test("geo queries: one scan, one user-keyed window, no joins") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq("q_geo_speed", "q_geo_trajectory").foreach { q =>
+      val df = SparkEntry.queries(q)(sc, sfDir)
+      df.collect()
+      val nodes = PlanAuditSpec.collectFinalPlan(df.queryExecution.executedPlan)
+      val names = nodes.map(_.nodeName).mkString(", ")
+      // the whole query is one events pass: scan → lag window over
+      // (user, time) → two-level hash agg → sort
+      assert(nodes.count(_.isInstanceOf[FileSourceScanExec]) == 1, s"$q: $names")
+      val windows = nodes.collect { case w: WindowExec => w }
+      assert(windows.size == 1, s"$q: $names")
+      assert(windows.head.partitionSpec
+        .exists(_.references.exists(_.name == "user_id")), s"$q: unpartitioned window")
+      assert(!nodes.exists(_.nodeName.contains("Join")), s"$q: $names")
+      // one data shuffle (the window's user_id exchange) + the final
+      // range sort — anything more is a regression
+      assert(nodes.count(_.isInstanceOf[ShuffleExchangeLike]) <= 2, s"$q: $names")
+    }
+  }
+
+  test("ann_ivf: candidates meet probes through a LeftSemi hash join on the cell id") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+    val df = SparkEntry.queries("ann_ivf")(sc, sfDir)
+    df.collect()
+    val nodes = PlanAuditSpec.collectFinalPlan(df.queryExecution.executedPlan)
+    // the corpus is restricted to the probed IVF cells by an equi
+    // (semi) join on the cell id — the scale path; a cartesian against
+    // the corpus would mean the cell restriction fell out of the plan
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      nodes.map(_.nodeName).mkString(", "))
+    val semis = nodes.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j
+    }
+    assert(semis.exists(_.leftKeys.exists(
+      _.references.exists(_.name.startsWith("cell")))),
+      s"no cell-keyed semi join: ${nodes.map(_.nodeName).mkString(", ")}")
+  }
+
+  test("ta_tfidf_cosine: pair generation is a term-keyed equi self-join under the df cap") {
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, CartesianProductExec}
+    val df = SparkEntry.queries("ta_tfidf_cosine")(sc, sfDir)
+    df.collect()
+    val nodes = PlanAuditSpec.collectFinalPlan(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      nodes.map(_.nodeName).mkString(", "))
+    // the doc-pair join is keyed on the (df-capped) term — an equi
+    // join, so pair volume is Σ df² over capped terms, never docs²
+    val termJoins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.HashJoin
+        if j.leftKeys.exists(_.references.exists(_.name.startsWith("term"))) => j
+    }
+    assert(termJoins.nonEmpty, nodes.map(_.nodeName).mkString(", "))
+    // the df cap itself must sit in the plan (ShingleDfCap analog):
+    // without it one corpus-wide term makes the self-join quadratic
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("<= 64"), p.take(1500))
+    // both join sides read the shared cached tf relation — losing the
+    // cache re-runs the tokenize+explode once per side
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+      nodes.map(_.nodeName).mkString(", "))
+  }
+
   test("dd_ngram_jaccard pairs on the df-capped shingle base") {
     // candidate generation must go through the ShingleDfCap filter —
     // without it, one boilerplate shingle in df documents contributes
