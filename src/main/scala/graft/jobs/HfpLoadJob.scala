@@ -66,14 +66,18 @@ object HfpLoadJob {
             "environment or /run/secrets")
       def num(key: String, dflt: Int): Int =
         e.get(key).flatMap(_.trim.toIntOption).getOrElse(dflt)
-      // trimmed like the presence check above — a secrets file that
-      // preserves a trailing space would otherwise pass validation yet
-      // send " app " to the JDBC driver, failing auth at connect time
-      // (exactly the late failure the fail-fast check exists to avoid)
+      // the USED values must be the VALIDATED values: the user is
+      // trimmed (identifiers never legitimately carry edge whitespace —
+      // a secrets file preserving a trailing space would pass the
+      // presence check yet send " app " to the driver, failing auth at
+      // connect time, exactly the late failure the fail-fast check
+      // exists to avoid). The password only sheds the trailing
+      // newline a secrets FILE appends — interior/edge spaces can be a
+      // legitimate part of a password, so they pass through verbatim.
       graft.sources.JdbcDaySink(
         url = arg,
         user = e("PGUSER").trim,
-        password = e("PGPASSWORD").trim,
+        password = e("PGPASSWORD").replaceAll("[\r\n]+$", ""),
         batchSize = num("EVENT_BATCH_SIZE", 1000),
         numPartitions = num("INSERT_CONCURRENCY", 100),
         // engine extension (no reference analog — the reference applies
@@ -257,6 +261,12 @@ object HfpLoadJob {
     * explicit broadcast for the anti-join.
     */
   private[graft] def pinnedBuildSide(raw: DataFrame): (DataFrame, () => Unit) = {
+    // Failure-mode trade, chosen deliberately: a checkpoint block lost
+    // to executor decommissioning (e.g. dynamic allocation) ABORTS the
+    // group instead of recomputing — and that is the correct side,
+    // because a recompute would observe the routes' own appends and
+    // silently drop rows (wrong results), while the load is idempotent
+    // and a re-run heals an abort.
     val pinned = raw.localCheckpoint() // eager: materializes + cuts lineage
     val n = pinned.count()
     // free the checkpointed blocks once the routes are written — safe
@@ -266,7 +276,7 @@ object HfpLoadJob {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
     }
-    (if (n <= broadcastKeyRows(raw.sparkSession)) broadcast(pinned) else pinned,
-      cleanup)
+    val limit = broadcastKeyRows(raw.sparkSession)
+    (if (limit > 0 && n <= limit) broadcast(pinned) else pinned, cleanup)
   }
 }

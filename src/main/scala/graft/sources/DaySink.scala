@@ -103,16 +103,28 @@ final case class JdbcDaySink(
       val conn = connect()
       try {
         val meta = conn.getMetaData
+        // scope the probe to the CONNECTION's schema (where an
+        // unqualified CREATE/SELECT resolves): an unscoped getTables
+        // would find a same-named table in another schema, skip the
+        // create, and the load would then fail on the missing relation
+        val schema =
+          try Option(conn.getSchema).filter(_.nonEmpty).orNull
+          catch { case _: Throwable => null }
         def exists(n: String): Boolean = {
-          val rs = meta.getTables(null, null, n, null)
+          val rs = meta.getTables(null, schema, n, null)
           try rs.next() finally rs.close()
         }
         // Derby folds unquoted identifiers to upper case, Postgres to
         // lower — probe both spellings of the created name
         if (!exists(table) && !exists(table.toUpperCase)) {
           val (cols, types) = JdbcSink.tableColumns(table)
-          conn.createStatement().execute(JdbcSink.createTableDdl(
+          try conn.createStatement().execute(JdbcSink.createTableDdl(
             table, cols, types, JdbcSink.dialectFor(url)))
+          catch { case e: java.sql.SQLException =>
+            // concurrent first-touch (another thread/process created it
+            // between probe and create) is fine; anything else is real
+            if (!exists(table) && !exists(table.toUpperCase)) throw e
+          }
         }
       } finally conn.close()
       ensured.add(table)

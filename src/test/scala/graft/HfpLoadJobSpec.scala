@@ -365,13 +365,15 @@ class HfpLoadJobSpec extends SparkSuite {
     // a secrets file that preserves a trailing space would otherwise
     // pass the nonEmpty check yet send " app " verbatim to the JDBC
     // driver, failing auth at connect time — the late failure the
-    // fail-fast check exists to avoid
+    // fail-fast check exists to avoid. The password only sheds the
+    // trailing newline a secrets FILE appends: spaces can be a
+    // legitimate part of a password and must survive.
     val secrets = Files.createTempDirectory("hfptrim")
-    val env = Map("PGUSER" -> " app ", "PGPASSWORD" -> "\tpw\n")
+    val env = Map("PGUSER" -> " app ", "PGPASSWORD" -> " p w \r\n")
     HfpLoadJob.sinkFor("jdbc:postgresql://h/db", env, secrets.toString) match {
       case j: JdbcDaySink =>
         assert(j.user == "app")
-        assert(j.password == "pw")
+        assert(j.password == " p w ")
       case other => fail(s"expected JdbcDaySink, got $other")
     }
   }

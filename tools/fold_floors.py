@@ -39,6 +39,14 @@ def main() -> int:
         if missing:
             print(f"[fold] {path}: missing {sorted(missing)[:5]}...", file=sys.stderr)
 
+    # a reset name absent from every run would silently keep its stale
+    # floor (typo protection: the whole point of --reset is the reset)
+    unmatched = reset - set().union(*[set(q) for q in run_queries])
+    if unmatched:
+        print(f"[fold] reset queries not in any run: {sorted(unmatched)}",
+              file=sys.stderr)
+        return 2
+
     folded_down, entered, reset_log = 0, 0, []
     names = set(floors) | set().union(*[set(q) for q in run_queries])
     for name in sorted(names):
