@@ -93,23 +93,32 @@ object Analytics3 {
     // a late row survives iff its order has ≥2 distinct suppliers
     // overall (EXISTS another supplier) and exactly 1 distinct LATE
     // supplier (NOT EXISTS another late one — which must then be the
-    // row's own). Two hash aggregates + small joins instead of two
-    // self-joins of the fact against itself — at 100 TB this also
-    // removes the skewed orderkey×orderkey join entirely.
+    // row's own). r16: ONE pass over the fact instead of two — the old
+    // shape shuffled lineitem twice (the orders join AND a separate
+    // whole-fact groupBy for the ≥2-suppliers test) and paid two
+    // countDistinct Expands; both per-order statistics now fold from a
+    // single (orderkey, suppkey) aggregate stacked on the join output.
+    // Every l_orderkey has its order row (FK), so aggregating over the
+    // join ≡ aggregating over the bare fact. The stacked groupBys ride
+    // the join's HashPartitioning(l_orderkey) — grouping keys ⊇
+    // partitioning key, so the whole chain costs exactly one fact-sized
+    // exchange; at 100 TB this also halves the bytes into that one
+    // exchange (3 narrow columns + a boolean).
     val li = Tables(s, dir, "lineitem")
-    val late = li.join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 1000 DAYS"))
-      .select(col("l_orderkey").as("lo"), col("l_suppkey").as("ls"))
-    val lateAgg = late.groupBy("lo")
-      .agg(countDistinct(col("ls")).as("n_late_supps"),
-        count(lit(1)).as("n_late_rows"),
-        min(col("ls")).as("only_ls"))
-      .filter(col("n_late_supps") === 1)
-    val suppAgg = li.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supps"))
-      .filter(col("n_supps") >= 2)
-    lateAgg
-      .join(suppAgg, col("lo") === col("l_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val j = li.join(Tables(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 1000 DAYS")).as("late"))
+    val perSupp = j.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(col("late"), 1L).otherwise(0L)).as("late_rows"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supps"),
+        sum(when(col("late_rows") > 0, 1L).otherwise(0L)).as("n_late_supps"),
+        sum(col("late_rows")).as("n_late_rows"),
+        min(when(col("late_rows") > 0, col("l_suppkey"))).as("only_ls"))
+      .filter(col("n_late_supps") === 1 && col("n_supps") >= 2)
+    perOrder
       .join(Tables(s, dir, "supplier"), col("only_ls") === col("s_suppkey"))
       .groupBy("s_name")
       .agg(sum(col("n_late_rows")).as("numwait"))

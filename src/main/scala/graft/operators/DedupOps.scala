@@ -403,10 +403,18 @@ object DedupOps {
       col("doc_id").as("b"), col("fingerprint").as("fb"))
     l.join(r, col("band") === col("rband") && col("seg") === col("rseg")
         && col("a") < col("b"))
-      .select("a", "b", "fa", "fb").distinct()
+      // hamming BEFORE the dedup: Catalyst already pushes the ≤ filter
+      // into the join, and computing the value there too lets the
+      // candidate-dedup distinct carry (a, b, hamming) — 24 bytes —
+      // instead of dragging both 8-byte fingerprints through its
+      // exchange to recompute the same xor afterwards (r16: one less
+      // column pair in the query's widest shuffle; hamming is a pure
+      // function of (a, b)'s fingerprints, so the distinct's key change
+      // cannot alter the pair set)
       .select(col("a"), col("b"),
         bit_count(col("fa").bitwiseXOR(col("fb"))).cast(LongType).as("hamming"))
       .where(col("hamming") <= HammingMax)
+      .distinct()
       .orderBy("a", "b")
   }
 

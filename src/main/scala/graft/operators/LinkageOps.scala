@@ -141,12 +141,13 @@ object LinkageOps {
     // 3-arg levenshtein then runs the BANDED O(n·k) computation with
     // early exit (-1 past the threshold) instead of the full O(n²)
     // matrix — same distances for every kept pair. Scoring runs
-    // BEFORE pair dedup on purpose: a true match is rediscovered under
-    // each of its ~60 shared variants, and re-running the O(L·k)
-    // banded kernel per rediscovery is far cheaper than shuffling the
-    // multiplied wide candidate rows through a distinct — the dedup
-    // then aggregates only the narrow (ids, lev) survivors, inside the
-    // same stage as the join via partial aggregation.
+    // BEFORE the match election on purpose: a true match is
+    // rediscovered under each of its ~60 shared variants, and
+    // re-running the O(L·k) banded kernel per rediscovery is far
+    // cheaper than shuffling the multiplied wide candidate rows
+    // through a distinct — the election aggregates only the narrow
+    // (ids, lev) survivors, inside the same stage as the join via
+    // partial aggregation.
     val cand = dKeys.join(mBlocks, Seq("c_nationkey", "vk"))
       .select(col("dirty_id"), col("dirty_name"),
         explode(col("blk")).as("m"))
@@ -155,12 +156,19 @@ object LinkageOps {
         levenshtein(col("dirty_name"), col("m.c_name"), LevThreshold).cast(LongType))
       .where(col("lev") >= 0 && col("lev") <= LevThreshold)
       .select(col("dirty_id"), col("m.c_custkey").as("c_custkey"), col("lev"))
-      .distinct()
-    val best = cand.groupBy("dirty_id").agg(min("lev").as("edit_dist"))
-      .withColumnRenamed("dirty_id", "best_id")
-    val pick = cand.join(best,
-        col("dirty_id") === col("best_id") && col("lev") === col("edit_dist"))
-      .groupBy("dirty_id", "edit_dist").agg(min("c_custkey").as("matched_key"))
+    // r16: the match election is ONE map-side-combinable argmax —
+    // min(struct(lev, custkey)) picks the lowest distance and breaks
+    // ties on the lowest key, exactly the old distinct → min(lev) →
+    // lev=min self-join → min(custkey) chain, which re-executed the
+    // whole blocking+levenshtein subtree (Spark shares no subplans
+    // without materialization: 2 full candidate passes, +1 distinct
+    // exchange, measured 2× the query). Duplicate (dirty_id, custkey,
+    // lev) rows from shared variants cannot move a min, so the
+    // distinct is subsumed by the aggregate.
+    val pick = cand.groupBy("dirty_id")
+      .agg(min(struct(col("lev"), col("c_custkey"))).as("b"))
+      .select(col("dirty_id"), col("b.lev").as("edit_dist"),
+        col("b.c_custkey").as("matched_key"))
     dirty.join(pick, Seq("dirty_id"), "left_outer")
       .select(col("dirty_id"), col("dirty_name"), col("matched_key"),
         col("edit_dist"),

@@ -99,4 +99,39 @@ class KernelSpec extends AnyFunSuite {
     assert(wpGot(s).forall(p =>
       graft.functions.WordPiece.Vocab.contains(p) || p.length == 1))
   }
+
+  test("md5 kernel: hash60 is byte-identical to a fresh MessageDigest") {
+    // pins the reused-digest seam against any future reimplementation
+    // (r16 tried a hand-rolled RFC 1321 single-block path — it LOST to
+    // the JDK's intrinsified MD5, 1.9 s vs 1.5 s per 10M 10-byte grams,
+    // and was reverted; this property test is what made that experiment
+    // safe). Exercises every length through both block boundaries (the
+    // 0x80 pad alignment, the 55/56 one-vs-two-block cutoff) and both
+    // entry points (byte-range with nonzero offset, UTF8String incl.
+    // multi-byte chars whose numBytes > numChars).
+    def ref(b: Array[Byte], off: Int, len: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(b, off, len)
+      val d = md.digest()
+      var l = 0L
+      var i = 0
+      while (i < 8) { l = (l << 8) | (d(i) & 0xffL); i += 1 }
+      l >>> 4
+    }
+    val rnd = new scala.util.Random(20260818L) // fixed seed: deterministic
+    for (len <- 0 to 130; rep <- 0 until (if (len <= 60) 3 else 1)) {
+      val pad = rnd.nextInt(5)
+      val buf = new Array[Byte](pad + len + 3)
+      rnd.nextBytes(buf)
+      assert(PortableMd5.hash60(buf, pad, len) == ref(buf, pad, len),
+        s"byte-range mismatch at len=$len pad=$pad rep=$rep")
+    }
+    for (s <- Seq("", "a", "käsesoßenrührlöffel", "日本語のテキスト",
+        "x" * 54, "x" * 55, "x" * 56, "ü" * 28, "a b c d e f g")) {
+      val u = UTF8String.fromString(s)
+      val b = s.getBytes("UTF-8")
+      assert(PortableMd5.hash60(u) == ref(b, 0, b.length),
+        s"UTF8String mismatch for '$s'")
+    }
+  }
 }
