@@ -182,6 +182,13 @@ object CurationOps3 {
       // exact in both engines (NOTES #29's fdiv pattern)
       .selectExpr("doc_id",
         "(sumq - ((sumq % nb + nb) % nb)) DIV nb AS avg_q")
+      // r16 (guide §2.4): referenced 3× below (histogram, total, final
+      // join) — the bgd⋈bgc⋈unic join chain re-executed per reference
+      // (19 parquet scans / 65 exchanges in the before-plan). The frame
+      // is (doc_id, avg_q) — doc-count-sized, two longs — so one eager
+      // localCheckpoint collapses the plan to one model-build pass
+      // (after-plan: 0 repeated scans).
+      .localCheckpoint()
     val hist = perDoc.groupBy("avg_q").agg(count(lit(1)).as("c"))
     // the one global window — over DISTINCT score values only
     val cum = hist.withColumn("cum",

@@ -215,11 +215,20 @@ object EvalOps4 {
     val e = Similarity.withNorm(s, Tables(s, dir, "embeddings"))
     val q = e.where(col("vec_id") === 0)
       .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    // r16 (guide §2.4/§5): the greedy rounds below reference `pool`
+    // from ~10 spots of the unrolled plan (each round's anti-join,
+    // cross-join and re-join), and Spark shares no subplans without
+    // materialization — the corpus-sized relevance scan + top-k ran
+    // once per reference (68 parquet scans / 126 exchanges in the
+    // before-plan). One eager localCheckpoint of the 20-row pool makes
+    // every round a broadcast-scale pass over materialized rows: one
+    // corpus pass total, plan falls to 2 scans / 5 exchanges.
     val pool = e.where(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         (expr("graft_dot_f(embedding, qe)") / (col("nrm") * col("qn"))).as("rel"))
       .orderBy(desc("rel"), asc("vec_id")).limit(MmrPool)
+      .localCheckpoint()
     var sel = pool.orderBy(desc("rel"), asc("vec_id")).limit(1)
       .select(lit(1L).as("rank"), col("vec_id"), col("embedding"),
         col("nrm"), col("rel"), col("rel").as("mmr"))
@@ -236,10 +245,14 @@ object EvalOps4 {
         .select(col("vec_id"), col("rel"),
           (lit(MmrLambda) * col("rel") - lit(1.0 - MmrLambda) * col("msim")).as("mmr"))
         .orderBy(desc("mmr"), asc("vec_id")).limit(1)
+      // 1 row; materialized so the next round's three references to
+      // `sel` (anti-join, similarity cross-join, union) don't re-run
+      // this round's scoring chain (the ta_bpe_train `top` pattern)
       val pick = scored
         .join(pool.select("vec_id", "embedding", "nrm"), "vec_id")
         .select(lit(t.toLong).as("rank"), col("vec_id"), col("embedding"),
           col("nrm"), col("rel"), col("mmr"))
+        .localCheckpoint()
       sel = sel.unionByName(pick)
     }
     sel.select(col("rank"), col("vec_id"), round(col("rel"), 6).as("relevance"),

@@ -90,10 +90,25 @@ object PrefOps {
       .groupBy("ta", "tb")
       .agg(count(lit(1)).as("n"),
         sum(when(col("va") > col("vb"), 1L).otherwise(0L)).as("wa"))
+    // r16 (guide §2.4): the unrolled MM rounds reference `m` 3× and
+    // `wtot` 5×, and Spark shares no subplans without materialization —
+    // the events scan → per-user rep → user self-join → games chain
+    // re-executed once per reference (184 parquet scans / 444 exchanges
+    // in the before-plan; only the exchanges dedupe at runtime, the
+    // data-sized self-join re-runs). The match matrix is
+    // dimension-sized (|event_type|² rows, constant in the corpus), so
+    // one eager localCheckpoint of `m` (and of the |types|-row `wtot`)
+    // collapses the whole plan to ONE pass over the events-derived
+    // chain; every round is then arithmetic over materialized
+    // broadcast-scale rows. Values are untouched: the rounds consume
+    // the same rows, and the sorted-fold denominator is
+    // partitioning-independent by construction.
     val m = games.select(col("ta").as("i"), col("tb").as("j"), col("n"), col("wa").as("w"))
       .unionAll(games.select(col("tb").as("i"), col("ta").as("j"), col("n"),
         (col("n") - col("wa")).as("w")))
+      .localCheckpoint()
     val wtot = m.groupBy("i").agg(sum("w").as("wins"), sum("n").as("games"))
+      .localCheckpoint()
     var p = wtot.select(col("i"), lit(1.0).as("p"))
     for (_ <- 1 to BtRounds) {
       // the denominator folds the VALUE-sorted term list SEQUENTIALLY:
@@ -117,6 +132,10 @@ object PrefOps {
         .select(col("i"),
           when(col("wins") === 0, lit(0.0))
             .otherwise(col("wins").cast(DoubleType) / col("denom")).as("p"))
+        // |types| rows; materialized per round (the pagerankLoop
+        // pattern) — the next round references p twice, which would
+        // otherwise double the prior round's join chain per round
+        .localCheckpoint()
     }
     wtot.join(p, "i")
       .select(col("i").as("event_type"), col("wins"), col("games"),
