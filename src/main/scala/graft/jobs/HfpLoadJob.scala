@@ -200,15 +200,20 @@ object HfpLoadJob {
           else sink.existingKeys(spark, table, date)
         val (buildSide, unpin) = pinnedBuildSide(rawBuild)
         try routes.foreach { case (targetTable, df) =>
-          // persist so the count materializes the route ONCE and the
-          // write replays the cached rows — without the pin the two
-          // actions would each re-run the scan+cast+anti-join
-          val fresh = df.join(buildSide, Seq("uuid"), "left_anti").persist()
-          try {
-            val n = fresh.count()
-            if (n > 0) sink.append(fresh, targetTable)
-            results(targetTable) = results.getOrElse(targetTable, 0L) + n
-          } finally fresh.unpersist(blocking = false)
+          // r16 (guide §1.4/§5): ONE action per route — the appended-row
+          // count rides the write itself as an observed metric, so the
+          // scan+cast+anti-join streams straight into the sink. The old
+          // persist→count→append shape ran two jobs per route and
+          // round-tripped every fresh row through the block store; at
+          // 100 TB that cache write/read is a full extra copy of the
+          // day. A zero-row route now issues a zero-row append (a no-op
+          // INSERT on JDBC; a _SUCCESS-only dir on parquet, which the
+          // `oday=*` existence probes already handle — NOTES #56b).
+          val fresh = df.join(buildSide, Seq("uuid"), "left_anti")
+          val obs = org.apache.spark.sql.Observation()
+          sink.append(fresh.observe(obs, count(lit(1)).as("n")), targetTable)
+          val n = obs.get("n").asInstanceOf[Long]
+          results(targetTable) = results.getOrElse(targetTable, 0L) + n
         } finally {
           unpin()
           if (group == "VehiclePosition") typed.unpersist(blocking = false)

@@ -252,7 +252,20 @@ object DedupOps2 {
       val bucket = graft.functions.PortableHash.hash64(c.cast(StringType)) % 100
       when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     }
+    // r16 (guide §2.5/§2.6 — serial stage, not a plan defect): the pair
+    // relation lands from ddSimhash's candidate-dedup at ~40 MB
+    // (1.66M rows at sf0.1), which AQE's byte-sized coalescing packs
+    // into ~1 post-shuffle partition — and THIS query then evaluates
+    // two portable md5 hashes per pair row inside that stage, so the
+    // whole 3.3M-hash classification ran serially (bench: 3.8 s vs
+    // dd_simhash's 1.2 s on the same pair build). An explicit
+    // hash-repartition on `a` (count tracks the session's declared
+    // shuffle width, the ddSimhash band-join rationale) spreads the
+    // hashing across every core; the aggregate's values are
+    // partitioning-independent (counts + mins).
     DedupOps.ddSimhash(s, dir)
+      .repartition(math.max(s.sparkContext.defaultParallelism,
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt), col("a"))
       .select(col("a"), col("b"), split(col("a")).as("split_a"),
         split(col("b")).as("split_b"))
       .where(col("split_a") =!= col("split_b"))

@@ -59,16 +59,19 @@ class HfpLoadJobSpec extends SparkSuite {
     assert(un == Set("v2"))
   }
 
-  test("each route is computed once: the sink write replays the cached rows") {
-    // capture the executed plan of every write action during loadDay;
-    // the source must be the persisted route (InMemoryTableScan), not a
-    // second CSV scan+cast+anti-join
-    val writePlans = scala.collection.mutable.ArrayBuffer[String]()
+  test("each route is computed once: the count rides the write as an observed metric") {
+    // r16: capture EVERY executed action during loadDay. Each route must
+    // be computed by exactly one action — the sink write itself, with the
+    // appended-row count as an observed metric on that write. The old
+    // shape (persist → count() → append replaying the cache) ran two
+    // jobs per route and round-tripped every fresh row through the block
+    // store; a reappearing standalone count action over the route would
+    // mean the regression came back.
+    val plans = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
-        if (funcName == "command" || funcName.contains("save"))
-          writePlans += qe.executedPlan.toString
+        plans.synchronized { plans += ((funcName, qe.executedPlan.toString)) }
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     }
@@ -77,19 +80,32 @@ class HfpLoadJobSpec extends SparkSuite {
       val root = writeArchive()
       val sink = Files.createTempDirectory("hfpsink3").toString
       HfpLoadJob.loadDay(sc, root, sink, date)
-      // listener delivery is async — poll briefly for the write events
+      // listener delivery is async — poll until all four routes' writes
+      // (stopevent, otherevent, vehicleposition, unsignedevent) arrive
       val deadline = System.nanoTime() + 10e9.toLong
-      while (!writePlans.exists(_.contains("InsertIntoHadoopFsRelation")) &&
-        System.nanoTime() < deadline) Thread.sleep(100)
-      val parquetWrites = writePlans.filter(_.contains("InsertIntoHadoopFsRelation"))
-      assert(parquetWrites.nonEmpty, "expected captured sink writes")
-      parquetWrites.foreach { p =>
-        assert(p.contains("InMemoryTableScan"), p.take(800))
-        // the InMemoryRelation node prints its (lazy) cached plan, which
-        // legitimately mentions the CSV scan — only the plan ABOVE the
-        // cache boundary must be free of a second source scan
-        val aboveCache = p.substring(0, p.indexOf("InMemoryRelation"))
-        assert(!aboveCache.contains("Scan csv"), aboveCache.take(800))
+      def writes = plans.synchronized {
+        plans.map(_._2).filter(_.contains("InsertIntoHadoopFsRelation"))
+      }
+      while (writes.size < 4 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(writes.size == 4, s"expected 4 route writes, got ${writes.size}")
+      // each write computes its route in the SAME action: the anti-join
+      // sits directly above the sink insert (CSV scan inline, or the
+      // shared VP cast cache for the two VP routes)
+      writes.foreach { p =>
+        assert(p.contains("Join LeftAnti") || p.contains("BroadcastHashJoin"),
+          p.take(800))
+      }
+      // and no standalone count action re-executed a route: every
+      // captured `count` touches neither the CSV source nor the cached
+      // VP cast (the only count left in loadDay is the pinned build
+      // side's, which runs over a checkpointed LogicalRDD)
+      val counts = plans.synchronized {
+        plans.filter(_._1 == "count").map(_._2)
+      }
+      counts.foreach { p =>
+        assert(!p.contains("Scan csv") && !p.contains("InMemoryTableScan"),
+          p.take(800))
       }
     } finally sc.listenerManager.unregister(listener)
   }
